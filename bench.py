@@ -1,0 +1,63 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
+(per-query sec), "sf"}.
+
+Timing includes full materialization (collect) — result sets are
+bounded (top-k / grouped), so driver transfer is negligible and the
+measured cost is the query itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from open_tlm_spark.plans import REGISTRY
+    from open_tlm_spark.session import get_spark, load_tables
+
+    spark = get_spark("open-tlm-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the session (JVM/codegen) and the OS page cache once so
+    # per-query numbers measure the plans, not first-touch overheads.
+    load_tables(spark, sf_dir)
+    spark.table("lineitem").count()
+    spark.table("events").count()
+
+    per_query: dict[str, float] = {}
+    t_total = time.perf_counter()
+    for name, q in sorted(REGISTRY.items()):
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        n = len(df.collect())
+        per_query[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {per_query[name]:.3f}s rows={n}", file=sys.stderr)
+    total = round(time.perf_counter() - t_total, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

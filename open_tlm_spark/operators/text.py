@@ -1,0 +1,94 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond reference parity (driver north-star, BASELINE.json): language
+ID, quality scoring, token counting, document fingerprinting — all as
+built-in column expressions (JVM-side, codegen'd; no Python UDFs), so
+at 100 TB they are scan-bound narrow transformations with zero
+shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deterministic and SQL-expressible so the DuckDB oracle can replicate
+# the exact same scoring (correctness is vs the declared heuristic,
+# not vs ground-truth labels).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "von", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (array of non-empty tokens)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count_regex(text: Column) -> Column:
+    """BPE-ish token count: words, numbers, and punctuation each count
+    — regexp_count keeps it a single codegen'd expression."""
+    return F.regexp_count(text, F.lit(TOKEN_PATTERN))
+
+
+def marker_hits(text: Column, words: list[str]) -> Column:
+    """Count of marker-word occurrences (word-boundary regex)."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pat))
+
+
+def language_id(text: Column) -> Column:
+    """Pick the language whose marker lexicon hits most.
+
+    Deterministic rule (the oracle replicates it exactly): highest
+    hit count wins; ties broken by language code DESC (struct
+    array_max ordering); zero hits -> 'und'.
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                marker_hits(text, words).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["hits"] == 0, F.lit("und")).otherwise(best["lang"])
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, word stats, punctuation / stopword /
+    alpha ratios — the standard cheap pre-filters for web-scale corpora
+    (C4/Gopher-style rules)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    n_chars = F.length(t)
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_words.alias("q_n_words"),
+        F.round(n_chars / n_words, 6).alias("q_avg_word_len"),
+        F.round(
+            F.regexp_count(t, F.lit(r"[^\w\s]")) / n_chars, 6
+        ).alias("q_punct_ratio"),
+        F.round(
+            marker_hits(t, STOPWORDS) / n_words, 6
+        ).alias("q_stopword_ratio"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the sorted distinct token set —
+    order/whitespace-insensitive near-exact dedup key (the classic
+    'bag-of-words hash' fingerprint)."""
+    bag = F.array_join(F.array_sort(F.array_distinct(tokens(F.lower(text)))), " ")
+    return F.md5(bag)

@@ -1,0 +1,11 @@
+"""Query plans: the declared operator inventory (SURVEY.md §2) as
+(PySpark query, DuckDB oracle SQL) pairs, plus the fidelity router."""
+
+from open_tlm_spark.plans.registry import REGISTRY, register, spark_queries, oracle_queries
+
+# Importing the query modules populates REGISTRY.
+from open_tlm_spark.plans import tsdb_queries  # noqa: F401
+from open_tlm_spark.plans import sql_queries  # noqa: F401
+from open_tlm_spark.plans import pipeline_queries  # noqa: F401
+
+__all__ = ["REGISTRY", "register", "spark_queries", "oracle_queries"]

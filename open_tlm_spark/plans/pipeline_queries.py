@@ -1,0 +1,383 @@
+"""Training-data pipeline operators as driver-checkable queries.
+
+Dedup / similarity / text analysis over the driver's ``documents`` and
+``embeddings`` tables (BASELINE.json north-star). Every query has a
+full DuckDB oracle — including MinHash-LSH and SimHash, which work
+because both engines compute identical md5 hex digests over utf-8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_tlm_spark.operators import dedup as D
+from open_tlm_spark.operators import similarity as S
+from open_tlm_spark.operators import text as T
+from open_tlm_spark.plans.registry import register
+
+# Shared DuckDB CTE: the (doc_id, shingle) relation (3-word shingles
+# of lowercased whitespace tokens, distinct per doc) — mirrors
+# dedup.shingle_table.
+SHINGLES_CTE = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+      FROM toks, UNNEST(range(0, len(w) - 2)) AS u(i)
+      WHERE len(w) >= 3
+    )
+"""
+
+
+# ------------------------------------------------------------ exact dedup
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT text, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy on the raw text): deterministic
+    keeper = lowest doc_id. One shuffle; at 100 TB, group on a
+    fingerprint column instead of the full text payload."""
+    return D.exact_dedup(spark.table("documents"), ["text"], "doc_id")
+
+
+@register(
+    "dedup_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_sort(list_distinct(
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> ''))), ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint dedup: md5 of the sorted distinct
+    token set — catches word-order shuffles exact dedup misses. The
+    16-byte key (not the document) is what shuffles."""
+    docs = spark.table("documents").select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return D.exact_dedup(docs, ["fingerprint"], "doc_id")
+
+
+# -------------------------------------------------------- n-gram Jaccard
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {SHINGLES_CTE},
+    df_counts AS (
+      SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+    ),
+    rare AS (
+      SELECT sh.doc_id, sh.shingle
+      FROM sh JOIN df_counts USING (shingle) WHERE df <= 100
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM rare a JOIN rare b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs 3-gram Jaccard >= 0.05 with stop-shingle removal
+    (df > 100 dropped before the join — the hot-key cap that keeps the
+    pairwise join from going quadratic at corpus scale)."""
+    sh = D.shingle_table(spark.table("documents"))
+    return D.ngram_jaccard_pairs(sh, min_jaccard=0.05, max_df=100)
+
+
+# ----------------------------------------------------------- MinHash LSH
+def _minhash_oracle() -> str:
+    sig_cols = ",\n             ".join(
+        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(D.NUM_HASHES)
+    )
+    band_rows = []
+    for b in range(D.NUM_BANDS):
+        cols = " || '|' || ".join(
+            f"sig_{b * D.BAND_ROWS + r}" for r in range(D.BAND_ROWS)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sig"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_rows)
+    return f"""
+    WITH {SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    SELECT c.doc_a, c.doc_b,
+           round(coalesce(i.n_inter, 0) /
+                 (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (12 hashes) + LSH banding (4 bands x 3 rows, s-curve
+    threshold ~0.63): candidate pairs share at least one band key;
+    each candidate is then verified with exact Jaccard. Signature =
+    k min-aggregates in ONE groupBy; banding shuffle is keyed on the
+    16-byte band hash."""
+    docs = spark.table("documents")
+    sh = D.shingle_table(docs)
+    sig = D.minhash_signatures(sh)
+    cand = D.lsh_candidates(sig)
+    verified = D.jaccard_for_pairs(cand, sh)
+    # LEFT-join semantics of the oracle: candidates with zero shared
+    # shingles keep jaccard 0 (possible: band collision w/o overlap).
+    out = cand.join(verified, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+    )
+    return out
+
+
+# --------------------------------------------------------------- SimHash
+_SIMHASH_BITS = 16
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {SHINGLES_CTE},
+    hv AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(shingle), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(shingle), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(shingle), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(shingle), 4, 1)) - 1) AS h
+      FROM sh
+    ),
+    votes AS (
+      SELECT doc_id, b.b AS bit,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM hv, (SELECT unnest(range(0, {_SIMHASH_BITS})) AS b) b
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           sum(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END)::BIGINT AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit, md5-derived) per document: near-dup buckets =
+    equal fingerprints; Hamming-distance joins refine. One codegen'd
+    hash projection + one grouped aggregation with 16 conditional
+    sums (map-side partial agg collapses each doc's shingles before
+    the shuffle)."""
+    sh = D.shingle_table(spark.table("documents"))
+    return D.simhash(sh, bits=_SIMHASH_BITS)
+
+
+# ------------------------------------------------------ similarity search
+_DUCK_COS = """
+      round(
+        list_sum(list_transform(range(1, 65),
+                 i -> a.vec[i] * q.vec[i]))
+        / (sqrt(list_sum(list_transform(range(1, 65), i -> a.vec[i] * a.vec[i])))
+         * sqrt(list_sum(list_transform(range(1, 65), i -> q.vec[i] * q.vec[i])))),
+        6)
+"""
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, vec FROM vecs WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, a.vec_id,
+             {_DUCK_COS} AS cos_sim
+      FROM vecs a, q
+      WHERE a.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: cosine top-10 for 5 query vectors against
+    the whole corpus. Queries broadcast; dot product is a sequential
+    zip_with fold in doubles (deterministic; float math would diverge
+    between engines)."""
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.brute_force_topk(emb, queries, k=10)
+
+
+@register(
+    "sim_ivf_assign",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    q AS (SELECT vec_id AS centroid_id, vec FROM vecs WHERE vec_id < 8),
+    scored AS (
+      SELECT a.vec_id, q.centroid_id,
+             {_DUCK_COS.replace('q.query_id', 'q.centroid_id')} AS cs
+      FROM vecs a, q
+    )
+    SELECT vec_id, centroid_id
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cs DESC, centroid_id) = 1
+    """,
+)
+def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment (the scale path for ANN): every vector
+    joins only the broadcast centroid set (deterministic: lowest
+    vec_ids as centroids so the oracle reproduces them); queries then
+    probe a single cell instead of the full corpus."""
+    emb = spark.table("embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    return S.ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+
+
+# ------------------------------------------------------------- text ops
+@register(
+    "text_langid",
+    oracle="""
+    WITH hits AS (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '\\b(der|die|und|von|das)\\b')) AS h_de,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b'))    AS h_en,
+        len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los)\\b'))    AS h_es,
+        len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b'))    AS h_fr
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+           WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+           WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+           WHEN h_en >= h_de THEN 'en'
+           ELSE 'de' END AS lang_pred
+    FROM hits
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID (n-gram heuristic): count per-lang
+    stopword hits, highest wins (ties -> lang code DESC). Pure regex
+    column math — scan-bound at any scale."""
+    return spark.table("documents").select(
+        "doc_id", T.language_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+             AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+             AS n_regex_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens
+    (words / numbers / punctuation) + char length."""
+    t = F.col("text")
+    return spark.table("documents").select(
+        "doc_id",
+        F.size(T.tokens(t)).cast("long").alias("n_ws_tokens"),
+        T.token_count_regex(t).cast("long").alias("n_regex_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS q_n_chars,
+             len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+               AS q_n_words,
+             len(regexp_extract_all(lower(text),
+                 '\b(the|a|and|of|to|in|is|it)\b')) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id, q_n_chars, q_n_words,
+           round(q_n_chars / q_n_words, 6) AS q_avg_word_len,
+           round(stop_hits / q_n_words, 6) AS q_stopword_ratio,
+           CASE WHEN q_n_words >= 20 AND stop_hits / q_n_words >= 0.01
+                THEN true ELSE false END AS keep
+    FROM feats
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (C4/Gopher-style cheap filters): length & word
+    stats, stopword density, and the resulting keep/drop decision."""
+    t = F.col("text")
+    toks = T.tokens(t)
+    n_words = F.size(toks)
+    n_chars = F.length(t)
+    stop_hits = T.marker_hits(t, T.STOPWORDS)
+    return spark.table("documents").select(
+        "doc_id",
+        n_chars.cast("long").alias("q_n_chars"),
+        n_words.cast("long").alias("q_n_words"),
+        F.round(n_chars / n_words, 6).alias("q_avg_word_len"),
+        F.round(stop_hits / n_words, 6).alias("q_stopword_ratio"),
+        ((n_words >= 20) & (stop_hits / n_words >= 0.01)).alias("keep"),
+    )

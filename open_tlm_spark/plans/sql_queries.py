@@ -1,0 +1,325 @@
+"""General SQL surface: joins / aggregations / sorts / sets / windows.
+
+The reference has NO joins (SURVEY.md §2.3) — series are fetched
+independently — but the engine must present a clean general SQL
+surface (§7 "What's hard" #5): the correctness gate runs TPC-H-style
+queries. These exercise Spark's native join/agg/window/set operators,
+which come free with the DataFrame API; our job is that the PLANS are
+right at 100 TB (broadcast the dims, partial aggregation before the
+shuffle, top-k instead of global sorts).
+
+Float discipline: money aggregates go through DECIMAL(18,2|4) casts on
+both engines — exact, order-independent — then back to double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from open_tlm_spark.plans.registry import register
+
+
+# ---------------------------------------------------------------- TPC-H Q1
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                    * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: the canonical partial-agg showcase.
+
+    Plan: scan with shipdate pushed to parquet -> partial hash agg
+    (map side) -> single shuffle on 2 low-cardinality keys -> final
+    agg. At 100 TB the shuffle carries only (#flags x #status x
+    #partitions) rows — this query is scan-bound, as it should be.
+
+    Float discipline: inputs (2-4 dp by construction) are cast to
+    narrow decimals BEFORE multiplying, so every product and sum is
+    exact in both engines; casting the double PRODUCT to decimal
+    instead would hit engine-specific rounding of the 10th+ digit.
+    """
+    li = spark.table("lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+    )
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price = ep * (F.lit(1) - F.col("l_discount").cast("decimal(6,4)"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(6,4)"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").cast("double").alias("sum_qty"),
+        F.sum(ep).cast("decimal(38,2)").cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("decimal(38,6)").cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("decimal(38,6)").cast("double").alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q3
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority: selective dim -> fact join chain, top-k.
+
+    Plan choices for scale: customer (filtered on segment) is
+    broadcast into orders — no shuffle of the orders fact; the
+    orders->lineitem join shuffles on orderkey (both facts, necessary)
+    and AQE can flip it to broadcast at small SF. Final top-10 is
+    TakeOrderedAndProject, never a global sort.
+    """
+    c = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = spark.table("orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = spark.table("lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    joined = l.join(
+        broadcast(c).join(o, F.col("c_custkey") == F.col("o_custkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("decimal(38,6)").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q5
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume: 6-table join. region/nation/supplier/
+    customer are all broadcast dims; the only shuffle joins the two
+    facts on orderkey. Join order: facts last, so Catalyst keeps the
+    dim filters upstream of the big join."""
+    r = spark.table("region").filter(F.col("r_name") == "ASIA")
+    n = spark.table("nation")
+    s = spark.table("supplier")
+    c = spark.table("customer")
+    o = spark.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = spark.table("lineitem")
+    sn = broadcast(
+        s.join(broadcast(n), s.s_nationkey == n.n_nationkey).join(
+            broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+    )
+    co = c.join(o, c.c_custkey == o.o_custkey)
+    joined = l.join(co, l.l_orderkey == F.col("o_orderkey")).join(
+        sn,
+        (l.l_suppkey == F.col("s_suppkey"))
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(revenue).cast("decimal(38,6)").cast("double").alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q6
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change: pure filter+agg — every predicate
+    must reach the parquet scan (PushedFilters), zero shuffle
+    (single-row global agg)."""
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(6,4)")
+        ).cast("decimal(38,4)").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ------------------------------------------------------------ top-k join
+@register(
+    "top_customers_by_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_spend,
+           count(*) AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 25
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + top-k. Aggregate BEFORE the join
+    (group orders by custkey first) so the join input is one row per
+    customer, then broadcast the smaller aggregated side."""
+    o = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("decimal(38,2)").cast("double").alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    c = spark.table("customer")
+    return (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .orderBy(F.col("total_spend").desc(), "c_custkey")
+        .limit(25)
+        .select("c_custkey", "c_name", "total_spend", "n_orders")
+    )
+
+
+# --------------------------------------------------------- window functions
+@register(
+    "window_user_running_stats",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           row_number() OVER w AS seq,
+           round(sum(value) OVER w, 6) AS running_sum,
+           round(value - lag(value, 1, 0.0) OVER w, 6) AS delta,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS moving_avg5
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 analytic windows (reference has none — natural extension):
+    per-user ordered row_number / running sum / lag delta / 5-row
+    moving average. One shuffle on user_id, one sort within
+    partitions, all four functions share the frame."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w5 = w.rowsBetween(-4, 0)
+    ev = spark.table("events").filter(F.col("user_id") < 50)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.row_number().over(w).alias("seq"),
+        F.round(F.sum("value").over(w), 6).alias("running_sum"),
+        F.round(F.col("value") - F.lag("value", 1, 0.0).over(w), 6).alias("delta"),
+        F.round(F.avg("value").over(w5), 6).alias("moving_avg5"),
+    )
+
+
+# ------------------------------------------------------------- set ops
+@register(
+    "set_ops_purchasers_vs_errors",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations (absent in reference, free in Spark SQL):
+    INTERSECT/EXCEPT with DISTINCT semantics."""
+    ev = spark.table("events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return purchasers.intersect(errors).subtract(signups)
+
+
+# ------------------------------------------------------------- pivot/melt
+@register(
+    "pivot_event_type_daily",
+    oracle="""
+    SELECT (epoch_us(ts) // (86400::BIGINT * 1000000)) * 86400 AS day_ts,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 multi-series overlay as a relational operator: align all
+    series on a shared time axis via groupBy(bin).pivot(dataset_id).
+    Explicit pivot values -> single-pass, no extra distinct job."""
+    from open_tlm_spark.functions.time import floor_to
+
+    ev = spark.table("events")
+    return (
+        ev.groupBy(floor_to("ts", 86400).alias("day_ts"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "error", "purchase", "signup", "view"])
+    )

@@ -1,0 +1,306 @@
+"""TSDB operator inventory as driver-checkable queries (SURVEY.md §2).
+
+The driver's ``events`` table plays the reference's points model:
+dataset_id = event_type, ts, value (see sources.points). Each query
+cites the reference operator(s) it subsumes.
+
+Oracle conventions: bin timestamps as epoch-second BIGINT via exact
+integer arithmetic; means rounded to 6 dp on both sides; top-k with a
+unique tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_tlm_spark.functions.time import floor_to
+from open_tlm_spark.operators.histogram import histogram, range_summary
+from open_tlm_spark.operators.rollup import (
+    aggregate_points,
+    cascade_from_finer,
+    recommended_fidelity,
+    with_mean,
+)
+from open_tlm_spark.plans.registry import register
+from open_tlm_spark.sources.points import events_as_points
+
+# Query window constants (events span 2024-01-01 .. 2024-01-30).
+T0 = "2024-01-05 00:00:00"
+T1 = "2024-01-15 00:00:00"
+
+
+def _points(spark: SparkSession) -> DataFrame:
+    return events_as_points(spark.table("events"))
+
+
+def _round6(c) -> F.Column:
+    return F.round(c, 6)
+
+
+# --------------------------------------------------------------- S1/P1/P2
+@register(
+    "ts_range_scan",
+    oracle=f"""
+    SELECT event_type AS dataset_id, ts, value
+    FROM events
+    WHERE event_type = 'purchase'
+      AND ts BETWEEN TIMESTAMP '{T0}' AND TIMESTAMP '{T1}'
+    """,
+)
+def ts_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 time-range scan + P2 dataset-id equality, exact range
+    semantics (reference is file-granular: src/index.py:204-217).
+
+    Plan: parquet scan with both predicates pushed
+    (PushedFilters: [ts >= .., ts <= .., event_type = ..]), 3-column
+    ReadSchema — no shuffle at all.
+    """
+    return _points(spark).filter(
+        (F.col("dataset_id") == "purchase")
+        & F.col("ts").between(F.lit(T0).cast("timestamp"), F.lit(T1).cast("timestamp"))
+    )
+
+
+# ------------------------------------------------------------------ A1/A4
+def _agg_oracle(duration: int, source_filter: str = "") -> str:
+    return f"""
+    SELECT event_type AS dataset_id,
+           (epoch_us(ts) // ({duration}::BIGINT * 1000000)) * {duration} AS bin_ts,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           round(sum(value), 6) AS sum_values,
+           count(value) AS count,
+           round(sum(value) / count(value), 6) AS mean_value
+    FROM events {source_filter}
+    GROUP BY 1, 2
+    """
+
+
+@register("ts_agg_1000s", oracle=_agg_oracle(1000))
+def ts_agg_1000s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 tumbling-window aggregate at the 1000 s fidelity + A4 mean
+    derivation. One hash-agg shuffle keyed (dataset_id, bin) with
+    map-side partial aggregation — input order irrelevant (the
+    reference pre-sorts; hash agg doesn't need it)."""
+    agg = with_mean(aggregate_points(_points(spark), 1000))
+    return agg.select(
+        "dataset_id",
+        "bin_ts",
+        "min_value",
+        "max_value",
+        _round6("sum_values").alias("sum_values"),
+        "count",
+        _round6("mean_value").alias("mean_value"),
+    )
+
+
+# --------------------------------------------------------------------- A3
+@register(
+    "ts_rollup_cascade",
+    oracle=f"""
+    SELECT event_type AS dataset_id,
+           (epoch_us(ts) // (100000::BIGINT * 1000000)) * 100000 AS bin_ts,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           round(sum(value), 6) AS sum_values,
+           count(value) AS count
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 multi-resolution rollup cascade: the 100000 s level built by
+    re-aggregating 1000 s -> 10000 s -> 100000 s (algebraic
+    composition). The oracle aggregates raw directly — equality IS the
+    rollup-composability law (SURVEY.md §5 property 3).
+
+    At 100 TB this is the whole point: each cascade step reads ~10x
+    less than raw, so maintaining all 6 levels costs ~1.1 passes over
+    the finest rollup instead of 6 passes over raw.
+    """
+    level = aggregate_points(_points(spark), 1000)
+    for d in (10_000, 100_000):
+        level = cascade_from_finer(level, d)
+    return level.select(
+        "dataset_id",
+        "bin_ts",
+        "min_value",
+        "max_value",
+        _round6("sum_values").alias("sum_values"),
+        "count",
+    )
+
+
+# --------------------------------------------------------------------- O2
+@register("ts_fidelity_route", oracle=_agg_oracle(
+    1000,
+    f"WHERE ts BETWEEN TIMESTAMP '{T0}' AND TIMESTAMP '{T1}'",
+))
+def ts_fidelity_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 rollup routing: a 10-day range (864000 s) routes to the
+    1000 s level per the reference thresholds (src/index.py:252-275)
+    — asserted here, then answered from that level."""
+    duration = 10 * 86400
+    assert recommended_fidelity(duration) == 1000
+    pts = _points(spark).filter(
+        F.col("ts").between(F.lit(T0).cast("timestamp"), F.lit(T1).cast("timestamp"))
+    )
+    agg = with_mean(aggregate_points(pts, 1000))
+    return agg.select(
+        "dataset_id",
+        "bin_ts",
+        "min_value",
+        "max_value",
+        _round6("sum_values").alias("sum_values"),
+        "count",
+        _round6("mean_value").alias("mean_value"),
+    )
+
+
+# ------------------------------------------------------------------ A6/A7
+@register(
+    "ts_histogram",
+    oracle="""
+    WITH stats AS (
+      SELECT min(value) AS lo, max(value) AS hi,
+             count(DISTINCT value) AS n_distinct
+      FROM events
+    ),
+    b AS (
+      SELECT CASE WHEN s.hi = s.lo THEN 0
+                  ELSE least(
+                    CAST(floor((e.value - s.lo) /
+                         ((s.hi - s.lo) / least(s.n_distinct, 30))) AS BIGINT),
+                    least(s.n_distinct, 30) - 1)
+             END AS bucket
+      FROM events e, stats s
+    )
+    SELECT bucket, count(*) AS n FROM b GROUP BY bucket
+    """,
+)
+def ts_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 equal-width histogram + A7 exact distinct bucket rule
+    (public/histogram.js:58-132), server-side. Two aggregations, no
+    UDFs; the 1-row stats frame is broadcast."""
+    return histogram(_points(spark), "value", max_buckets=30)
+
+
+# --------------------------------------------------------------------- A8
+@register(
+    "ts_minmax_range",
+    oracle=f"""
+    SELECT event_type AS dataset_id,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           round(avg(value), 6) AS mean_value,
+           count(*) AS count
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{T0}' AND TIMESTAMP '{T1}'
+    GROUP BY 1
+    """,
+)
+def ts_minmax_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 visible-range min/max/mean per series (axis autoscaling,
+    public/axes.js:118-164)."""
+    pts = _points(spark).filter(
+        F.col("ts").between(F.lit(T0).cast("timestamp"), F.lit(T1).cast("timestamp"))
+    )
+    out = range_summary(pts)
+    return out.select(
+        "dataset_id",
+        "min_value",
+        "max_value",
+        _round6("mean_value").alias("mean_value"),
+        "count",
+    )
+
+
+# ------------------------------------------------------------ P3/C1/T3
+@register(
+    "ts_dataset_search",
+    oracle="""
+    SELECT DISTINCT event_type AS dataset_id
+    FROM events
+    WHERE event_type LIKE '%u%'
+    ORDER BY dataset_id
+    LIMIT 300
+    """,
+)
+def ts_dataset_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 substring search over the dataset catalog (C1), limit AFTER
+    the filter (the reference caps scanned entries before filtering —
+    quirk fixed, SURVEY.md §4)."""
+    return (
+        _points(spark)
+        .select("dataset_id")
+        .distinct()
+        .filter(F.col("dataset_id").contains("u"))
+        .orderBy("dataset_id")
+        .limit(300)
+    )
+
+
+# ------------------------------------------------------------------ T4/O9
+@register(
+    "ts_topk_latest",
+    oracle="""
+    SELECT event_type AS dataset_id, ts, value
+    FROM events
+    WHERE event_type = 'error'
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 20
+    """,
+)
+def ts_topk_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 ordered limit -> Spark plans TakeOrderedAndProject (top-k,
+    the reference's early-exit O9) — no global sort."""
+    ev = spark.table("events").filter(F.col("event_type") == "error")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(20)
+        .select(F.col("event_type").alias("dataset_id"), "ts", "value")
+    )
+
+
+# --------------------------------------------------------------- P4/C3/T4
+@register(
+    "ts_comment_tag_filter",
+    oracle=f"""
+    WITH comments AS (
+      SELECT event_id AS id, ts, props AS text,
+             [event_type, CASE WHEN value >= 100 THEN 'high' ELSE 'low' END] AS tags
+      FROM events
+    )
+    SELECT id, ts, text
+    FROM comments
+    WHERE ts BETWEEN TIMESTAMP '{T0}' AND TIMESTAMP '{T1}'
+      AND len(list_intersect(tags, ['error', 'high'])) = 2
+    ORDER BY ts, id
+    LIMIT 20
+    """,
+)
+def ts_comment_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 comment range + all-tags-present filter with T4's ordered
+    cap (Marks.get, src/marks.py:34-63). Tags as a real ArrayType;
+    all-present = size(array_intersect(tags, query)) == |query|."""
+    ev = spark.table("events")
+    comments = ev.select(
+        F.col("event_id").alias("id"),
+        "ts",
+        F.col("props").alias("text"),
+        F.array(
+            F.col("event_type"),
+            F.when(F.col("value") >= 100, F.lit("high")).otherwise(F.lit("low")),
+        ).alias("tags"),
+    )
+    qt = F.array(F.lit("error"), F.lit("high"))
+    return (
+        comments.filter(
+            F.col("ts").between(F.lit(T0).cast("timestamp"), F.lit(T1).cast("timestamp"))
+            & (F.size(F.array_intersect(F.col("tags"), qt)) == 2)
+        )
+        .orderBy("ts", "id")
+        .limit(20)
+        .select("id", "ts", "text")
+    )

@@ -1,0 +1,220 @@
+"""TelemetryStore — Parquet-backed (time, value) series store.
+
+Reference parity (SURVEY.md §1.4, §3):
+  * Index.put  (src/index.py:102-177)  -> put(): validate -> dedup ->
+    append raw points (partitioned, sorted-within-partition for
+    Parquet min/max locality) -> upsert all rollup levels.
+  * Index.get  (src/index.py:179-217)  -> get(): fidelity routing +
+    exact time-range filter. The reference returns whole overlapping
+    *files* (coarse, documented quirk); we return exact ranges —
+    Catalyst partition pruning + Parquet row-group skipping replace
+    the reference's arithmetic file enumeration (_subpaths,
+    src/index.py:408-458) wholesale.
+  * Index.datasets (src/index.py:219-239) -> datasets(): substring
+    search over the dataset catalog, limit applied AFTER the filter
+    (the reference caps scanned entries before filtering — documented
+    quirk we fix).
+
+Physical layout (designed for 100 TB):
+  points/   partitioned by ds_date (UTC day of ts). Within a
+            partition, rows are sorted by (dataset_id, ts) at write so
+            Parquet column stats make per-series range scans skip
+            row groups. At cluster scale add a dataset_id hash-bucket
+            partition column (bucket count sized to executor count);
+            locally day-partitioning suffices and keeps file counts
+            sane at test volumes.
+  rollup_<d>/ partitioned by bin_date; tiny relative to raw (≈1/d),
+            so read-merge-overwrite of touched partitions is cheap —
+            this is the unbounded-lateness upsert (SURVEY.md ST3)
+            that pure watermarked streaming cannot express.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_tlm_spark.operators.rollup import (
+    aggregate_points,
+    recommended_fidelity,
+    with_mean,
+)
+from open_tlm_spark.schemas import (
+    DATASET_ID_PATTERN,
+    FIDELITIES,
+    POINTS_SCHEMA,
+    ROLLUP_SCHEMA,
+)
+
+
+class TelemetryStore:
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base = base_path
+        self.points_path = os.path.join(base_path, "points")
+        # Dynamic partition overwrite: rollup upsert rewrites only the
+        # partitions the incoming batch touches.
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # ------------------------------------------------------------- paths
+    def _rollup_path(self, duration_s: int) -> str:
+        return os.path.join(self.base, f"rollup_{duration_s}")
+
+    def _read(self, path: str, schema) -> DataFrame:
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
+
+    # ------------------------------------------------------------ ingest
+    def validate(self, batch: DataFrame) -> DataFrame:
+        """P5/P6: drop NaN/null values and illegal dataset ids; ST5:
+        exact dedup on (dataset_id, ts) — a strict improvement over
+        the reference's double-counting (src/index.py:39-40)."""
+        return (
+            batch.filter(
+                F.col("value").isNotNull()
+                & ~F.isnan("value")
+                & F.col("dataset_id").rlike(DATASET_ID_PATTERN)
+                & ~F.col("dataset_id").contains("..")
+                & (F.col("ts") >= F.lit(_dt.datetime(1970, 1, 1)))
+            )
+            .dropDuplicates(["dataset_id", "ts"])
+        )
+
+    def put(self, batch: DataFrame) -> None:
+        """S6: append raw + upsert every rollup level.
+
+        One pass over the batch for the 1 s level; each coarser level
+        re-aggregates the incoming batch (cheap — batch-local), then
+        merges into the stored table partition-locally.
+        """
+        batch = self.validate(batch).select("dataset_id", "ts", "value")
+        # Cross-batch idempotence (ST5): anti-join against the stored
+        # points of the touched date-partitions only (partition-pruned
+        # read — never a full-table scan), so re-sent points neither
+        # duplicate raw storage nor double-count rollups. The
+        # reference double-counts here (src/index.py:39-40).
+        if os.path.exists(self.points_path):
+            dates = [
+                r[0]
+                for r in batch.select(F.to_date("ts").alias("d")).distinct().collect()
+            ]
+            existing = (
+                self.spark.read.parquet(self.points_path)
+                .filter(F.col("ds_date").isin(dates))
+                .select("dataset_id", "ts")
+            )
+            batch = batch.join(existing, ["dataset_id", "ts"], "left_anti")
+        # Freeze the (validated, deduped) batch NOW: the anti-join above
+        # must not re-evaluate after the append below, or it would see
+        # the batch's own rows in storage and erase itself from the
+        # rollup passes.
+        batch = batch.localCheckpoint(eager=True)
+        (
+            batch.withColumn("ds_date", F.to_date("ts"))
+            .sortWithinPartitions("dataset_id", "ts")
+            .write.mode("append")
+            .partitionBy("ds_date")
+            .parquet(self.points_path)
+        )
+        for d in FIDELITIES:
+            self._merge_rollup(aggregate_points(batch, d), d)
+
+    def _merge_rollup(self, new_agg: DataFrame, duration_s: int) -> None:
+        """A2/ST3: algebraic merge into the stored level — union the
+        incoming partial aggregates with the stored rows of the
+        touched date-partitions, re-aggregate, overwrite only those
+        partitions (partitionOverwriteMode=dynamic)."""
+        path = self._rollup_path(duration_s)
+        new_agg = new_agg.withColumn(
+            "bin_date", F.to_date(F.timestamp_seconds("bin_ts"))
+        )
+        if os.path.exists(path):
+            dates = [r[0] for r in new_agg.select("bin_date").distinct().collect()]
+            existing = self.spark.read.parquet(path).filter(
+                F.col("bin_date").isin(dates)
+            )
+            merged = (
+                existing.unionByName(new_agg)
+                .groupBy("dataset_id", "bin_ts", "bin_date")
+                .agg(
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                    F.sum("sum_values").alias("sum_values"),
+                    F.sum("count").alias("count"),
+                )
+            )
+            # The merged plan READS the same path the overwrite is
+            # about to truncate — materialize it first (lineage cut).
+            # On a cluster with Delta this whole branch is a single
+            # MERGE INTO rollup_d USING new_agg ON (dataset_id,
+            # bin_ts) WHEN MATCHED THEN UPDATE min/max/sum/count.
+            merged = merged.localCheckpoint(eager=True)
+        else:
+            merged = new_agg
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("bin_date")
+            .parquet(path)
+        )
+
+    # ------------------------------------------------------------- query
+    def get(
+        self,
+        dataset_id: str,
+        start: _dt.datetime,
+        end: _dt.datetime,
+        fidelity: int | str | None = "auto",
+    ) -> DataFrame:
+        """S1 + O2: exact time-range scan at an explicit or routed
+        fidelity. FULL -> raw points; otherwise rollup rows with
+        mean derived (A4)."""
+        if fidelity == "auto":
+            fidelity = recommended_fidelity((end - start).total_seconds())
+        if fidelity is None:
+            df = self._read(self.points_path, POINTS_SCHEMA)
+            return (
+                df.filter(
+                    (F.col("dataset_id") == dataset_id)
+                    & F.col("ts").between(F.lit(start), F.lit(end))
+                )
+                .select("dataset_id", "ts", "value")
+                .orderBy("ts")
+            )
+        d = int(fidelity)
+        df = self._read(self._rollup_path(d), ROLLUP_SCHEMA)
+        # A bin labeled bin_ts covers [bin_ts, bin_ts+d): return every
+        # bin whose window overlaps [start, end] — floor the lower
+        # bound to the bin grid (the bin containing `start` counts).
+        lo = int(start.timestamp()) // d * d
+        return (
+            with_mean(df)
+            .filter(
+                (F.col("dataset_id") == dataset_id)
+                & (F.col("bin_ts") >= lo)
+                & (F.col("bin_ts") <= int(end.timestamp()))
+            )
+            .select(
+                "dataset_id",
+                "bin_ts",
+                "min_value",
+                "mean_value",
+                "max_value",
+                "sum_values",
+                "count",
+            )
+            .orderBy("bin_ts")
+        )
+
+    # ----------------------------------------------------------- catalog
+    def datasets(self, query: str = "", max_count: int = 300) -> DataFrame:
+        """P3/C1: substring search over the series catalog; limit
+        applied after filtering."""
+        df = self._read(self.points_path, POINTS_SCHEMA)
+        out = df.select("dataset_id").distinct()
+        if query:
+            out = out.filter(F.col("dataset_id").contains(query))
+        return out.orderBy("dataset_id").limit(max_count)

@@ -1,0 +1,176 @@
+"""Unit tests for histogram, sources, text, dedup, and similarity
+operators (small hand-checkable inputs)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from open_tlm_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_for_pairs,
+    lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_table,
+    simhash,
+    word_shingles,
+)
+from open_tlm_spark.operators.histogram import histogram, range_summary
+from open_tlm_spark.operators.similarity import brute_force_topk, cosine, as_double
+from open_tlm_spark.operators.text import (
+    fingerprint,
+    language_id,
+    token_count_regex,
+    tokens,
+)
+from open_tlm_spark.sources.points import melt_wide_table
+
+
+def test_histogram_golden(spark):
+    """10 distinct values 0..9 -> 10 buckets of width 0.9 (reference
+    bucket rule: n = min(distinct, 30), clamp max into last)."""
+    df = spark.createDataFrame([(float(i),) for i in range(10)], "value double")
+    rows = histogram(df, "value").collect()
+    assert len(rows) == 10
+    assert all(r.n == 1 for r in rows)
+    assert [r.bucket for r in rows] == list(range(10))
+
+
+def test_histogram_constant(spark):
+    df = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "value double")
+    rows = histogram(df, "value").collect()
+    assert len(rows) == 1 and rows[0].bucket == 0 and rows[0].n == 3
+
+
+def test_range_summary(spark):
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1.0), ("a", dt.datetime(2024, 1, 2), 3.0)],
+        "dataset_id string, ts timestamp, value double",
+    )
+    r = range_summary(df).collect()[0]
+    assert (r.min_value, r.max_value, r.mean_value, r["count"]) == (1.0, 3.0, 2.0, 2)
+
+
+def test_melt_wide_table(spark):
+    """S9: the reference's Parquet upload client semantics
+    (examples/upload_data.py:58-115): melt numeric columns, drop NaN."""
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 1.0, float("nan")), (dt.datetime(2024, 1, 2), 2.0, 5.0)],
+        "t timestamp, cpu double, mem double",
+    )
+    out = melt_wide_table(df, "t", prefix="sys.").orderBy("dataset_id", "ts").collect()
+    assert [(r.dataset_id, r.value) for r in out] == [
+        ("sys.cpu", 1.0),
+        ("sys.cpu", 2.0),
+        ("sys.mem", 5.0),  # NaN dropped
+    ]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    got = df.select(word_shingles(F.col("text")).alias("s")).collect()[0].s
+    assert got == ["a b c", "b c d"]
+    short = spark.createDataFrame([("a b",)], "text string")
+    assert short.select(word_shingles(F.col("text")).alias("s")).collect()[0].s == []
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y")], "doc_id long, text string"
+    )
+    rows = {r.text: (r.keeper_id, r.n_copies) for r in exact_dedup(df, ["text"], "doc_id").collect()}
+    assert rows == {"x": (1, 2), "y": (2, 1)}
+
+
+def test_minhash_identical_docs_collide(spark):
+    """Identical texts -> identical signatures -> LSH candidates ->
+    Jaccard 1.0; a disjoint doc never pairs."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "entirely different words appear in this unrelated document text"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingle_table(docs)
+    sig = minhash_signatures(sh)
+    cand = lsh_candidates(sig).collect()
+    assert {(r.doc_a, r.doc_b) for r in cand} == {(1, 2)}
+    verified = jaccard_for_pairs(lsh_candidates(sig), sh).collect()
+    assert verified[0].jaccard == pytest.approx(1.0)
+
+
+def test_ngram_jaccard_pairs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d x"),
+            (3, "p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingle_table(docs)
+    rows = ngram_jaccard_pairs(sh, min_jaccard=0.1).collect()
+    # docs 1,2 share shingles {a b c, b c d} of union size 4 -> 0.5
+    assert len(rows) == 1
+    assert (rows[0].doc_a, rows[0].doc_b) == (1, 2)
+    assert rows[0].jaccard == pytest.approx(0.5)
+
+
+def test_simhash_deterministic_and_similar(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")],
+        "doc_id long, text string",
+    )
+    rows = simhash(shingle_table(docs)).collect()
+    by_id = {r.doc_id: r.simhash for r in rows}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+    assert 0 <= by_id[1] < 2**16
+
+
+def test_cosine_topk(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, query_vec array<float>")
+    rows = brute_force_topk(emb, q, k=2).orderBy("rank").collect()
+    assert [r.vec_id for r in rows] == [1, 2]
+    assert rows[0].cos_sim == pytest.approx(1 / (1.01) ** 0.5, abs=1e-6)
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [("The cat and the dog, in to of!",)], "text string"
+    )
+    r = df.select(
+        F.size(tokens(F.col("text"))).alias("nt"),
+        token_count_regex(F.col("text")).alias("nr"),
+        language_id(F.col("text")).alias("lang"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).collect()[0]
+    assert r.nt == 8
+    # words: The cat and the dog in to of (8) + ',' + '!' = 10
+    assert r.nr == 10
+    assert r.lang == "en"
+    assert len(r.fp) == 32
+
+    # fingerprint is word-order insensitive
+    df2 = spark.createDataFrame([("dog! the cat and the, in of to",)], "text string")
+    assert df2.select(fingerprint(F.col("text")).alias("fp")).collect()[0].fp != r.fp
+    # (punctuation attaches to tokens -> different bag; same bag matches:)
+    df3 = spark.createDataFrame([("of! in to the dog, cat and The",)], "text string")
+    assert df3.select(fingerprint(F.col("text")).alias("fp")).collect()[0].fp == r.fp
+
+
+def test_language_id_und(spark):
+    df = spark.createDataFrame([("xyzzy plugh foobar",)], "text string")
+    assert df.select(language_id(F.col("text")).alias("l")).collect()[0].l == "und"
