@@ -51,6 +51,10 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Deep Catalyst/codegen/regex recursion (e.g. streaming
+        # micro-batch planning) can blow the default 512k-1m thread
+        # stack in a busy local JVM; give threads real headroom.
+        .config("spark.driver.extraJavaOptions", "-Xss32m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )

@@ -66,6 +66,10 @@ class TelemetryStore:
     def _read(self, path: str, schema) -> DataFrame:
         if not os.path.exists(path):
             return self.spark.createDataFrame([], schema)
+        # Spark caches parquet file listings per path; after our own
+        # overwrites/appends a cached listing is stale and can silently
+        # drop files from the next read -> refresh before every read.
+        self.spark.catalog.refreshByPath(path)
         return self.spark.read.parquet(path)
 
     # ------------------------------------------------------------ ingest
@@ -92,6 +96,8 @@ class TelemetryStore:
         merges into the stored table partition-locally.
         """
         batch = self.validate(batch).select("dataset_id", "ts", "value")
+        if batch.isEmpty():
+            return  # nothing valid to ingest (also: empty micro-batches)
         # Cross-batch idempotence (ST5): anti-join against the stored
         # points of the touched date-partitions only (partition-pruned
         # read — never a full-table scan), so re-sent points neither
@@ -102,8 +108,12 @@ class TelemetryStore:
                 r[0]
                 for r in batch.select(F.to_date("ts").alias("d")).distinct().collect()
             ]
+            self.spark.catalog.refreshByPath(self.points_path)
             existing = (
-                self.spark.read.parquet(self.points_path)
+                self.spark.read.schema(
+                    "dataset_id string, ts timestamp, value double, ds_date date"
+                )
+                .parquet(self.points_path)
                 .filter(F.col("ds_date").isin(dates))
                 .select("dataset_id", "ts")
             )
@@ -134,6 +144,7 @@ class TelemetryStore:
         )
         if os.path.exists(path):
             dates = [r[0] for r in new_agg.select("bin_date").distinct().collect()]
+            self.spark.catalog.refreshByPath(path)
             existing = self.spark.read.parquet(path).filter(
                 F.col("bin_date").isin(dates)
             )

@@ -1,0 +1,9 @@
+"""Structured Streaming ingest (SURVEY.md §2.9, build-plan phase 3)."""
+
+from open_tlm_spark.streaming.ingest import (
+    start_file_ingest,
+    start_metrics_stream,
+    streaming_rollup,
+)
+
+__all__ = ["start_file_ingest", "start_metrics_stream", "streaming_rollup"]

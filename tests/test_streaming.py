@@ -1,0 +1,129 @@
+"""Streaming ingest tests (SURVEY.md ST1-ST3).
+
+The file-landing ingest is exercised end-to-end: JSON files dropped
+into a landing dir -> micro-batches -> store.put -> raw + rollups,
+including a LATE batch that must back-fill an existing bin (the
+reference's unbounded-lateness semantics)."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_tlm_spark.store import TelemetryStore
+from open_tlm_spark.streaming import start_file_ingest, streaming_rollup
+
+
+def _write_landing(path: str, rows: list[dict], name: str) -> None:
+    tmp = os.path.join(path, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(tmp, os.path.join(path, f"{name}.json"))
+
+
+def _wait(predicate, timeout_s=60, poll=0.5):
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        try:
+            if predicate():
+                return True
+        except Exception:
+            pass  # e.g. parquet dir exists but is mid-write
+        time.sleep(poll)
+    return False
+
+
+def test_file_ingest_with_late_backfill(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = TelemetryStore(spark, str(tmp_path / "store"))
+    q = start_file_ingest(
+        store, str(landing), str(tmp_path / "ckpt"), trigger_seconds=1.0
+    )
+    try:
+        batch1 = [
+            {"dataset_id": "s1", "date": "2024-01-01T03:00:00", "value": 10.0},
+            {"dataset_id": "s1", "date": "2024-01-01T03:00:00.200000", "value": 8.0},
+            {"dataset_id": "s1", "date": "2024-01-01T03:05:00", "value": 4.0},
+        ]
+        _write_landing(str(landing), batch1, "batch1")
+        assert _wait(
+            lambda: os.path.exists(store.points_path)
+            and spark.read.parquet(store.points_path).count() == 3
+        ), "batch1 never ingested"
+
+        # LATE batch: lands in the already-written 03:00:00 bin.
+        batch2 = [
+            {"dataset_id": "s1", "date": "2024-01-01T03:00:00.100000", "value": 2.0},
+        ]
+        _write_landing(str(landing), batch2, "batch2")
+
+        # Wait for the ROLLUP merge (the last step of the sink), not
+        # just the raw append — stopping the query mid-merge would
+        # interrupt it.
+        def _merged():
+            rows = spark.read.parquet(store._rollup_path(1)).collect()
+            return any(r["count"] == 3 for r in rows)
+
+        assert _wait(_merged), "late batch rollup merge never completed"
+    finally:
+        q.stop()
+
+    import datetime as dt
+
+    rows = store.get(
+        "s1",
+        dt.datetime(2024, 1, 1, 3, 0, tzinfo=dt.timezone.utc),
+        dt.datetime(2024, 1, 1, 3, 10, tzinfo=dt.timezone.utc),
+        fidelity=1,
+    ).collect()
+    assert len(rows) == 2
+    merged = rows[0]
+    assert merged["count"] == 3  # 10.0, 8.0 + late 2.0 merged into one bin
+    assert merged.min_value == 2.0
+    assert merged.max_value == 10.0
+    assert merged.mean_value == pytest.approx(20.0 / 3)
+
+
+def test_streaming_rollup_window(spark, tmp_path):
+    """Pure-streaming variant: event-time tumbling window with
+    watermark, checked via an in-memory sink in complete mode."""
+    import datetime as dt
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"dataset_id": "a", "date": "2024-01-01T00:00:01", "value": 1.0},
+        {"dataset_id": "a", "date": "2024-01-01T00:00:02", "value": 3.0},
+        {"dataset_id": "a", "date": "2024-01-01T00:01:05", "value": 5.0},
+    ]
+    _write_landing(str(src), rows, "w1")
+
+    stream = (
+        spark.readStream.schema("dataset_id string, date string, value double")
+        .json(str(src))
+        .select("dataset_id", F.to_timestamp("date").alias("ts"), "value")
+    )
+    agg = streaming_rollup(stream, 60)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        assert _wait(
+            lambda: spark.sql("SELECT * FROM rollup_test").count() == 2
+        ), "windowed agg never produced 2 bins"
+        got = {
+            r.bin_ts: (r.min_value, r.max_value, r.sum_values, r["count"])
+            for r in spark.sql("SELECT * FROM rollup_test").collect()
+        }
+    finally:
+        q.stop()
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    assert got[base] == (1.0, 3.0, 4.0, 2)
+    assert got[base + 60] == (5.0, 5.0, 5.0, 1)
