@@ -77,20 +77,51 @@ def _nanos_ts_columns(path: str) -> list[str]:
     ]
 
 
+def _normalize_nanos_table(spark: SparkSession, path: str, ns_cols: list[str]) -> str:
+    """One-time schema normalization: rewrite a TIMESTAMP(NANOS)
+    table as native µs timestamps into a local cache, atomically.
+
+    WHY (the 100 TB reason): reading nanos as longs and wrapping them
+    in timestamp_micros(col div 1000) makes every time predicate a
+    function of the column — Catalyst cannot push it to the parquet
+    reader, so time-range scans lose row-group skipping entirely
+    (verified via PushedFilters). Normalizing once at the boundary —
+    exactly what a production ingest job does — restores native
+    TIMESTAMP columns with full pushdown + min/max statistics.
+    The conversion is lossless (integer ns->µs; the data has no
+    sub-µs precision).
+    """
+    from pyspark.sql import functions as F
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_key = os.path.basename(os.path.normpath(os.path.dirname(path)))
+    cache = os.path.join(repo_root, ".tlm_cache", sf_key, os.path.basename(path))
+    if not os.path.exists(cache):
+        df = spark.read.parquet(path)
+        for c in ns_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        tmp = f"{cache}.tmp.{os.getpid()}"
+        df.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, cache)  # atomic publish; loser of a race cleans up
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return cache
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Load the driver's parquet tables and register temp views.
 
     Returns {name: DataFrame}. Views let every operator also be
     reachable through ``spark.sql`` (SURVEY.md §7 phase 4).
 
-    The driver's tables store timestamps as TIMESTAMP(NANOS), which
-    Spark cannot read natively; we read them as longs
-    (legacy.parquet.nanosAsLong — runtime-settable, so this works on
-    any caller-provided session) and convert ns -> µs losslessly
-    (integer div; the data carries no sub-µs precision).
+    Tables with TIMESTAMP(NANOS) columns (unreadable natively by
+    Spark) are normalized once into .tlm_cache with µs timestamps —
+    see _normalize_nanos_table for why this beats an in-plan
+    conversion.
     """
-    from pyspark.sql import functions as F
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Engine invariant (SURVEY.md §4): all time math is UTC. The
     # caller's session may default to a local JVM tz, which would
@@ -111,10 +142,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            df = spark.read.parquet(path)
-            for c in _nanos_ts_columns(path):
-                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-            df.createOrReplaceTempView(name)
-            out[name] = df
+        if not os.path.exists(path):
+            continue
+        ns_cols = _nanos_ts_columns(path)
+        if ns_cols:
+            path = _normalize_nanos_table(spark, path, ns_cols)
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
     return out

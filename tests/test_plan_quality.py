@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the plans we designed for 100 TB
+must stay the plans Catalyst picks — predicate pushdown into parquet,
+binary-column pruning, broadcast joins for dims, TakeOrderedAndProject
+for top-k (no global sorts)."""
+
+import pytest
+
+from open_tlm_spark.plans import REGISTRY
+from open_tlm_spark.session import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_scan_pushdown(spark):
+    """S1/P1: both the dataset-id equality and the time-range bounds
+    must reach the parquet reader (row-group skipping at scale)."""
+    plan = plan_of(spark, "ts_range_scan")
+    assert "PushedFilters:" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "event_type" in pushed and "ts" in pushed
+    assert "GreaterThanOrEqual" in pushed and "LessThanOrEqual" in pushed
+
+
+def test_q6_pushdown_and_no_shuffle_agg(spark):
+    """Q6 is filter+global-agg: predicates pushed, single exchange."""
+    plan = plan_of(spark, "tpch_q6_forecast_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    # global agg over 1 group: exactly one shuffle (partial -> final)
+    assert plan.count("Exchange") <= 2
+
+
+def test_metadata_stats_prunes_binary(spark):
+    """Multimodal: metadata-only aggregate must not read the payload
+    (at 100 TB this is the difference between KB and TB scanned)."""
+    plan = plan_of(spark, "multimodal_metadata_stats")
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, "no parquet scan in plan"
+    assert "content" not in scan_lines[0]
+    assert "text" in scan_lines[0]  # payload source column IS read
+
+
+def test_q3_broadcasts_dimensions(spark):
+    """Q3: the filtered customer dim must broadcast — the orders/
+    lineitem fact join is the only shuffle join allowed."""
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "tpch_q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3  # region, nation, supplier(+customer side varies)
+
+
+def test_topk_is_take_ordered(spark):
+    """T4/O9: ordered limit must plan as TakeOrderedAndProject, never
+    a global Sort."""
+    plan = plan_of(spark, "ts_topk_latest")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_histogram_broadcasts_stats(spark):
+    """A6: the 1-row stats frame joins via broadcast (no shuffle of
+    the fact side)."""
+    plan = plan_of(spark, "ts_histogram")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_agg_has_partial_aggregation(spark):
+    """A1: hash aggregation must run map-side partial then final —
+    the shuffle carries bins, not raw points."""
+    plan = plan_of(spark, "ts_agg_1000s")
+    assert "partial_" in plan.lower() or plan.count("HashAggregate") >= 2
