@@ -49,6 +49,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def normalized(df: DataFrame, vec_col: str, out_col: str = "nvec") -> DataFrame:
+    """Add an L2-normalized copy of `vec_col` (computed ONCE per
+    vector). Every pairwise score then costs a single dot-product
+    fold instead of dot + two norms — 3x fewer interpreted fold
+    passes in the pairwise stage, and at corpus scale the normalized
+    column is what you persist."""
+    tmp = df.withColumn("_norm", norm(F.col(vec_col)))
+    return tmp.withColumn(
+        out_col, F.transform(F.col(vec_col), lambda x: x / F.col("_norm"))
+    ).drop("_norm")
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -57,19 +69,20 @@ def brute_force_topk(
     """Exact cosine top-k for each query vector.
 
     embeddings: (vec_id, embedding); queries: (query_id, query_vec).
-    Queries are broadcast (small side); rank via window on
+    Both sides pre-normalized (cosine == dot of unit vectors);
+    queries are broadcast (small side); rank via window on
     (rounded score desc, vec_id) for a deterministic result set.
     """
-    e = embeddings.select(
-        "vec_id", as_double(F.col("embedding")).alias("vec")
-    )
-    q = queries.select(
-        "query_id", as_double(F.col("query_vec")).alias("qvec")
-    )
+    e = normalized(
+        embeddings.select("vec_id", as_double(F.col("embedding")).alias("vec")), "vec"
+    ).select("vec_id", "nvec")
+    q = normalized(
+        queries.select("query_id", as_double(F.col("query_vec")).alias("vec")), "vec"
+    ).select("query_id", F.col("nvec").alias("qvec"))
     scored = e.join(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+        F.round(dot(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
@@ -87,13 +100,17 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
 
     centroids: (centroid_id, cvec). Broadcast; one narrow pass.
     """
-    e = embeddings.select("vec_id", as_double(F.col("embedding")).alias("vec"))
-    c = centroids.select("centroid_id", as_double(F.col("cvec")).alias("cvec"))
+    e = normalized(
+        embeddings.select("vec_id", as_double(F.col("embedding")).alias("vec")), "vec"
+    )
+    c = normalized(
+        centroids.select("centroid_id", as_double(F.col("cvec")).alias("vec")), "vec"
+    ).select("centroid_id", F.col("nvec").alias("cnvec"))
     scored = e.join(F.broadcast(c)).select(
         "vec_id",
         "vec",
         "centroid_id",
-        F.round(cosine(F.col("vec"), F.col("cvec")), 6).alias("cs"),
+        F.round(dot(F.col("nvec"), F.col("cnvec")), 6).alias("cs"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("centroid_id"))
     return (

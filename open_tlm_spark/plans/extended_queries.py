@@ -283,26 +283,28 @@ def ts_value_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- embedding near-dup
-_DUCK_COS_AB = """
-      round(
-        list_sum(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i]))
-        / (sqrt(list_sum(list_transform(range(1, 65), i -> a.vec[i] * a.vec[i])))
-         * sqrt(list_sum(list_transform(range(1, 65), i -> b.vec[i] * b.vec[i])))),
-        6)
+_NORMED_LBL_CTE = """
+    WITH vecs AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, label,
+             list_transform(vec, x -> x / n) AS nvec
+      FROM (SELECT vec_id, label, vec,
+                   sqrt(list_sum(list_transform(range(1, 65), i -> vec[i] * vec[i]))) AS n
+            FROM vecs))
 """
 
 
 @register(
     "dedup_embedding_cosine",
-    oracle=f"""
-    WITH vecs AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {_DUCK_COS_AB} AS cos_sim
-    FROM vecs a JOIN vecs b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_DUCK_COS_AB} >= 0.35
+    oracle=f"""{_NORMED_LBL_CTE}
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_sum(list_transform(range(1, 65), i -> a.nvec[i] * b.nvec[i])), 6) AS cos_sim
+      FROM normed a JOIN normed b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.35
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,16 +312,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pairwise join runs only within blocks (here the cluster
     label; in production an LSH/IVF bucket), turning O(n^2) into
     O(sum b_i^2) — the standard scale pattern for vector dedup."""
-    vecs = spark.table("embeddings").select(
-        "vec_id", "label", S.as_double(F.col("embedding")).alias("vec")
-    )
+    vecs = S.normalized(
+        spark.table("embeddings").select(
+            "vec_id", "label", S.as_double(F.col("embedding")).alias("vec")
+        ),
+        "vec",
+    ).select("vec_id", "label", "nvec")
     a, b = vecs.alias("a"), vecs.alias("b")
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
-    cos = F.round(S.cosine(F.col("a.vec"), F.col("b.vec")), 6)
+    cos = F.round(S.dot(F.col("a.nvec"), F.col("b.nvec")), 6)
     return pairs.select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),

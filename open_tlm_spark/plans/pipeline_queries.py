@@ -219,27 +219,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------ similarity search
-_DUCK_COS = """
-      round(
-        list_sum(list_transform(range(1, 65),
-                 i -> a.vec[i] * q.vec[i]))
-        / (sqrt(list_sum(list_transform(range(1, 65), i -> a.vec[i] * a.vec[i])))
-         * sqrt(list_sum(list_transform(range(1, 65), i -> q.vec[i] * q.vec[i])))),
-        6)
+# Shared DuckDB CTE mirroring similarity.normalized(): norm computed
+# once per vector, then unit vectors; pairwise cosine = plain dot.
+NORMED_CTE = """
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id,
+             list_transform(vec, x -> x / n) AS nvec
+      FROM (SELECT vec_id, vec,
+                   sqrt(list_sum(list_transform(range(1, 65), i -> vec[i] * vec[i]))) AS n
+            FROM vecs))
 """
 
 
 @register(
     "sim_topk_bruteforce",
-    oracle=f"""
-    WITH vecs AS (
-      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
-    ),
-    q AS (SELECT vec_id AS query_id, vec FROM vecs WHERE vec_id < 5),
+    oracle=f"""{NORMED_CTE},
+    q AS (SELECT vec_id AS query_id, nvec AS qvec FROM normed WHERE vec_id < 5),
     scored AS (
       SELECT q.query_id, a.vec_id,
-             {_DUCK_COS} AS cos_sim
-      FROM vecs a, q
+             round(list_sum(list_transform(range(1, 65), i -> q.qvec[i] * a.nvec[i])), 6) AS cos_sim
+      FROM normed a, q
       WHERE a.vec_id <> q.query_id
     )
     SELECT query_id, vec_id, cos_sim,
@@ -263,15 +265,12 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivf_assign",
-    oracle=f"""
-    WITH vecs AS (
-      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
-    ),
-    q AS (SELECT vec_id AS centroid_id, vec FROM vecs WHERE vec_id < 8),
+    oracle=f"""{NORMED_CTE},
+    q AS (SELECT vec_id AS centroid_id, nvec AS cnvec FROM normed WHERE vec_id < 8),
     scored AS (
       SELECT a.vec_id, q.centroid_id,
-             {_DUCK_COS.replace('q.query_id', 'q.centroid_id')} AS cs
-      FROM vecs a, q
+             round(list_sum(list_transform(range(1, 65), i -> a.nvec[i] * q.cnvec[i])), 6) AS cs
+      FROM normed a, q
     )
     SELECT vec_id, centroid_id
     FROM scored
