@@ -1,0 +1,199 @@
+"""HTTP API shim — the reference's public API surface over the Spark
+engine (SURVEY.md §7 phase 4; reference routes server.py:47-175).
+
+Same routes, same JSON shapes (TimeSeriesDataset envelope,
+src/model/data.py:22-25), stdlib-only (http.server — no Flask in this
+environment; the API layer is deliberately thin since serving is not
+a Spark concern, SURVEY.md S7/S8).
+
+Routes:
+  GET    /api/datasets?text=                     -> list[str]
+  GET    /api/data/<dataset_id>?start&end        -> {"data": {dataset, points}}
+  POST   /api/data {"data":[{dataset_id,points}]} -> {"message": "N datapoints were posted"}
+  GET    /api/comment?start&end&tags=a,b         -> {"comments": [...]}
+  POST   /api/comment/new {"comment": {...}}     -> {"message", "id"}
+  PUT    /api/comment/edit {"comment": {...}}    -> {"message", "id"}
+  DELETE /api/comment/delete/<id>                -> {"comments": null}
+
+Fidelity routing is automatic (O2): wide ranges answer from rollups
+with (date, min, mean, max) rows; narrow ranges return raw
+(date, value) rows — exactly the reference's polymorphic payload
+(Datapoint | AggregatedDatapoint, src/model/data.py:8-19).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import functions as F
+
+from open_tlm_spark.schemas import POINTS_SCHEMA
+from open_tlm_spark.store import CommentStore, TelemetryStore
+
+
+def _iso(ts) -> str:
+    return ts.isoformat()
+
+
+class TlmHandler(BaseHTTPRequestHandler):
+    store: TelemetryStore
+    comments: CommentStore
+
+    # ------------------------------------------------------- plumbing
+    def _send(self, code: int, payload) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self):
+        n = int(self.headers.get("Content-Length", 0))
+        return json.loads(self.rfile.read(n)) if n else {}
+
+    def log_message(self, *args) -> None:  # quiet test output
+        pass
+
+    def _range(self, q):
+        try:
+            return (
+                _dt.datetime.fromisoformat(q["start"][0]),
+                _dt.datetime.fromisoformat(q["end"][0]),
+            )
+        except Exception:
+            return None
+
+    # --------------------------------------------------------- routes
+    def do_GET(self):
+        url = urlparse(self.path)
+        q = parse_qs(url.query)
+        if url.path == "/api/datasets":
+            text = q.get("text", [""])[0]
+            rows = self.store.datasets(text).collect()
+            return self._send(200, [r.dataset_id for r in rows])
+        m = re.fullmatch(r"/api/data/([^/]+)", url.path)
+        if m:
+            rng = self._range(q)
+            if rng is None:
+                return self._send(400, {"message": "Invalid or missing start/end times"})
+            df = self.store.get(m.group(1), *rng)
+            rows = df.collect()
+            if rows and "value" in df.columns:
+                points = [{"date": _iso(r.ts), "value": r.value} for r in rows]
+            else:
+                points = [
+                    {
+                        "date": _dt.datetime.fromtimestamp(
+                            r.bin_ts, tz=_dt.timezone.utc
+                        ).isoformat(),
+                        "min_value": r.min_value,
+                        "mean_value": r.mean_value,
+                        "max_value": r.max_value,
+                    }
+                    for r in rows
+                ]
+            return self._send(
+                200, {"data": {"dataset": m.group(1), "points": points}}
+            )
+        if url.path == "/api/comment":
+            rng = self._range(q)
+            if rng is None:
+                return self._send(400, {"message": "Invalid or missing start/end times"})
+            tags = q.get("tags", [None])[0]
+            tag_filter = tags.split(",") if tags else []
+            rows = self.comments.get(*rng, tags=tag_filter).collect()
+            return self._send(
+                200,
+                {
+                    "comments": [
+                        {
+                            "id": r.id,
+                            "date": _iso(r.ts),
+                            "text": r.text,
+                            "tags": list(r.tags or []),
+                        }
+                        for r in rows
+                    ]
+                },
+            )
+        return self._send(404, {"message": "not found"})
+
+    def do_POST(self):
+        url = urlparse(self.path)
+        if url.path == "/api/data":
+            body = self._body()
+            data = body.get("data")
+            if not isinstance(data, list) or not data:
+                return self._send(400, {"message": "'data' must be a nonempty list"})
+            for ds in data:
+                if "dataset_id" not in ds:
+                    return self._send(
+                        400, {"message": "One or more data fields was missing 'dataset_id'"}
+                    )
+                if "points" not in ds:
+                    return self._send(
+                        400, {"message": "One or more data fields was missing 'points'"}
+                    )
+            rows, count = [], 0
+            for ds in data:
+                for p in ds["points"]:
+                    rows.append(
+                        (
+                            str(ds["dataset_id"]),
+                            _dt.datetime.fromisoformat(p["date"]),
+                            float(p["value"]),
+                        )
+                    )
+                count += len(ds["points"])
+            self.store.put(self.store.spark.createDataFrame(rows, POINTS_SCHEMA))
+            return self._send(200, {"message": f"{count} datapoints were posted"})
+        if url.path == "/api/comment/new":
+            body = self._body()
+            c = body.get("comment")
+            if c is None:
+                return self._send(400, {"message": "Missing required 'comment' key"})
+            cid = self.comments.create(
+                _dt.datetime.fromisoformat(c["date"]), c.get("text", ""), c.get("tags", [])
+            )
+            return self._send(200, {"message": "Comment created", "id": cid})
+        return self._send(404, {"message": "not found"})
+
+    def do_PUT(self):
+        if urlparse(self.path).path == "/api/comment/edit":
+            body = self._body()
+            c = body.get("comment")
+            if c is None or "id" not in c:
+                return self._send(400, {"message": "Missing required 'comment' key"})
+            self.comments.update(int(c["id"]), c.get("text"), c.get("tags"))
+            return self._send(200, {"message": "Comment edited", "id": int(c["id"])})
+        return self._send(404, {"message": "not found"})
+
+    def do_DELETE(self):
+        m = re.fullmatch(r"/api/comment/delete/([^/]+)", urlparse(self.path).path)
+        if m:
+            try:
+                self.comments.delete(int(m.group(1)))
+            except ValueError:
+                return self._send(400, {"message": "invalid id"})
+            return self._send(200, {"comments": None})
+        return self._send(404, {"message": "not found"})
+
+
+def serve(
+    store: TelemetryStore,
+    comments: CommentStore,
+    port: int = 0,
+) -> ThreadingHTTPServer:
+    """Start the API server on a daemon thread; returns the server
+    (server.server_address[1] is the bound port; shutdown() to stop)."""
+    handler = type("BoundHandler", (TlmHandler,), {"store": store, "comments": comments})
+    srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv

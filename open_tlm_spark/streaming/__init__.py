@@ -4,6 +4,12 @@ from open_tlm_spark.streaming.ingest import (
     start_file_ingest,
     start_metrics_stream,
     streaming_rollup,
+    streaming_sessions,
 )
 
-__all__ = ["start_file_ingest", "start_metrics_stream", "streaming_rollup"]
+__all__ = [
+    "start_file_ingest",
+    "start_metrics_stream",
+    "streaming_rollup",
+    "streaming_sessions",
+]

@@ -110,6 +110,34 @@ def streaming_rollup(
     )
 
 
+def streaming_sessions(
+    points_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """ST4: event-time session windows (absent in the reference, free
+    in Structured Streaming): sessions close after `gap` of silence
+    per dataset. Batch backfill equivalent: plans/extended_queries.py
+    sessionize_events (lag + running sum)."""
+    return (
+        points_stream.withWatermark("ts", watermark)
+        .groupBy("dataset_id", F.session_window("ts", gap).alias("win"))
+        .agg(
+            F.count("value").alias("n_points"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "dataset_id",
+            F.unix_timestamp(F.col("win.start")).alias("session_start"),
+            F.unix_timestamp(F.col("win.end")).alias("session_end"),
+            "n_points",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
 def start_metrics_stream(
     store: TelemetryStore,
     checkpoint_dir: str,

@@ -1,0 +1,146 @@
+"""End-to-end HTTP API tests: the reference's 8-route surface
+(server.py:47-175) over the Spark engine, driven through real HTTP."""
+
+import json
+import urllib.request
+
+import pytest
+
+from open_tlm_spark.api import serve
+from open_tlm_spark.store import CommentStore, TelemetryStore
+
+
+@pytest.fixture()
+def api(spark, tmp_path):
+    store = TelemetryStore(spark, str(tmp_path))
+    comments = CommentStore(spark, str(tmp_path))
+    srv = serve(store, comments)
+    port = srv.server_address[1]
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _req(url, method="GET", body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(
+        url, data=data, method=method, headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_data_roundtrip(api):
+    # POST points (reference body shape, server.py:76-103)
+    status, body = _req(
+        f"{api}/api/data",
+        "POST",
+        {
+            "data": [
+                {
+                    "dataset_id": "api.test",
+                    "points": [
+                        {"date": "2024-01-01T03:00:00", "value": 10.0},
+                        {"date": "2024-01-01T03:00:01", "value": 12.0},
+                    ],
+                }
+            ]
+        },
+    )
+    assert status == 200 and body["message"] == "2 datapoints were posted"
+
+    # search catalog
+    status, names = _req(f"{api}/api/datasets?text=api")
+    assert status == 200 and names == ["api.test"]
+
+    # GET range -> FULL fidelity (narrow range), TimeSeriesDataset shape
+    status, body = _req(
+        f"{api}/api/data/api.test?start=2024-01-01T02:59:00&end=2024-01-01T03:01:00"
+    )
+    assert status == 200
+    pts = body["data"]["points"]
+    assert body["data"]["dataset"] == "api.test"
+    assert [p["value"] for p in pts] == [10.0, 12.0]
+
+    # bad range -> 400 like the reference
+    status, body = _req(f"{api}/api/data/api.test?start=xx&end=yy")
+    assert status == 400
+
+
+def test_data_auto_fidelity(api):
+    # A wide range (> MAX_DURATION_FULL) must answer from a rollup with
+    # min/mean/max rows (AggregatedDatapoint shape).
+    _req(
+        f"{api}/api/data",
+        "POST",
+        {
+            "data": [
+                {
+                    "dataset_id": "api.agg",
+                    "points": [
+                        {"date": "2024-01-01T00:00:00", "value": 1.0},
+                        {"date": "2024-01-01T00:00:00.500000", "value": 3.0},
+                    ],
+                }
+            ]
+        },
+    )
+    status, body = _req(
+        f"{api}/api/data/api.agg?start=2024-01-01T00:00:00&end=2024-01-01T01:00:00"
+    )
+    assert status == 200
+    pts = body["data"]["points"]
+    assert len(pts) == 1
+    assert pts[0]["min_value"] == 1.0
+    assert pts[0]["mean_value"] == 2.0
+    assert pts[0]["max_value"] == 3.0
+
+
+def test_post_validation_errors(api):
+    status, body = _req(f"{api}/api/data", "POST", {"data": []})
+    assert status == 400 and "nonempty" in body["message"]
+    status, body = _req(f"{api}/api/data", "POST", {"data": [{"points": []}]})
+    assert status == 400 and "dataset_id" in body["message"]
+
+
+def test_comment_crud(api):
+    status, body = _req(
+        f"{api}/api/comment/new",
+        "POST",
+        {"comment": {"date": "2024-01-01T12:00:00", "text": "anomaly", "tags": ["ops", "p1"]}},
+    )
+    assert status == 200
+    cid = body["id"]
+
+    status, body = _req(
+        f"{api}/api/comment?start=2024-01-01T00:00:00&end=2024-01-02T00:00:00&tags=ops"
+    )
+    assert status == 200 and len(body["comments"]) == 1
+    assert body["comments"][0]["text"] == "anomaly"
+
+    # tag filter requires ALL query tags present (src/marks.py:58)
+    status, body = _req(
+        f"{api}/api/comment?start=2024-01-01T00:00:00&end=2024-01-02T00:00:00&tags=ops,p2"
+    )
+    assert status == 200 and body["comments"] == []
+
+    status, body = _req(
+        f"{api}/api/comment/edit",
+        "PUT",
+        {"comment": {"id": cid, "text": "resolved", "tags": ["ops"]}},
+    )
+    assert status == 200
+
+    status, body = _req(
+        f"{api}/api/comment?start=2024-01-01T00:00:00&end=2024-01-02T00:00:00"
+    )
+    assert body["comments"][0]["text"] == "resolved"
+
+    status, body = _req(f"{api}/api/comment/delete/{cid}", "DELETE")
+    assert status == 200
+    status, body = _req(
+        f"{api}/api/comment?start=2024-01-01T00:00:00&end=2024-01-02T00:00:00"
+    )
+    assert body["comments"] == []
