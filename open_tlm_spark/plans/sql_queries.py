@@ -323,3 +323,88 @@ def pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["click", "error", "purchase", "signup", "view"])
     )
+
+
+# ------------------------------------------------------------- semi join
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking: EXISTS -> LEFT SEMI join. The semi
+    join shuffles only (orderkey, orderdate) pairs and short-circuits
+    on first match — never materializes the lineitem payload."""
+    o = spark.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = spark.table("lineitem")
+    matched = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# ------------------------------------------------------------- anti join
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    LIMIT 50
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> LEFT ANTI join (null-safe, unlike NOT IN): the
+    canonical 'find the orphans' scan."""
+    c = spark.table("customer")
+    o = spark.table("orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .orderBy("c_custkey")
+        .limit(50)
+        .select("c_custkey", "c_name")
+    )
+
+
+# ----------------------------------------------------- correlated subquery
+@register(
+    "parts_above_brand_average",
+    oracle="""
+    WITH brand_avg AS (
+      SELECT p_brand, round(avg(p_retailprice), 6) AS brand_avg
+      FROM part GROUP BY p_brand
+    )
+    SELECT p.p_partkey, p.p_brand, p.p_retailprice, b.brand_avg
+    FROM part p JOIN brand_avg b USING (p_brand)
+    WHERE p.p_retailprice > b.brand_avg
+    """,
+)
+def parts_above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery pattern (price above the brand's
+    average), decorrelated the way Catalyst does it: aggregate once,
+    broadcast the tiny per-brand frame back onto the fact."""
+    p = spark.table("part")
+    brand_avg = p.groupBy("p_brand").agg(
+        F.round(F.avg("p_retailprice"), 6).alias("brand_avg")
+    )
+    return (
+        p.join(broadcast(brand_avg), "p_brand")
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice", "brand_avg")
+    )
