@@ -89,16 +89,31 @@ def shingle_table(
     )
 
 
+# Modulus for Kirsch-Mitzenmacher hash combination (large 32-bit prime).
+KM_PRIME = 4_294_967_291
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """MinHash signature per doc: sig_j = min over shingles of
-    md5(j || ':' || shingle), as fixed-width hex (lexicographic min ==
-    numeric min). One groupBy with k min-aggregates — k column
-    expressions, not k passes."""
+    """MinHash signature per doc via Kirsch-Mitzenmacher double
+    hashing: ONE md5 per shingle yields two 32-bit words (w1, w2);
+    h_j = (w1 + j*w2) mod p simulates k independent hashes
+    (Kirsch & Mitzenmacher, 'Less Hashing, Same Performance', 2006 —
+    public technique). 12x fewer digest computations than hashing
+    per-j, with the same s-curve behavior. One groupBy with k
+    min-aggregates — k column expressions, not k passes."""
+    h = F.md5("shingle")
+    w1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    w2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    hashed = sh.select(
+        "doc_id", w1.alias("w1"), w2.alias("w2")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
+        F.min((F.col("w1") + F.lit(j) * F.col("w2")) % F.lit(KM_PRIME)).alias(
+            f"sig_{j}"
+        )
         for j in range(num_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidates(sig: DataFrame) -> DataFrame:

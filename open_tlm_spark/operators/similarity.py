@@ -32,8 +32,26 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential fold over zip_with products — deterministic order."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Deterministic dot product.
+
+    With `dim` given, a flat left-associated chain a[1]*b[1] + ... +
+    a[d]*b[d] (same float result as the sequential fold). NOTE:
+    measured SLOWER than the fold in pairwise joins — projection
+    collapse inlines upstream per-element expressions (e.g. the
+    normalization divides) into every unrolled term, exploding the
+    expression tree. Default (dim=None) higher-order fold is the fast
+    path; the unrolled form only wins on columns read directly from
+    storage.
+    """
+    if dim is not None:
+        terms = [
+            F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -41,30 +59,38 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
-def normalized(df: DataFrame, vec_col: str, out_col: str = "nvec") -> DataFrame:
+def normalized(
+    df: DataFrame, vec_col: str, out_col: str = "nvec", dim: int | None = None
+) -> DataFrame:
     """Add an L2-normalized copy of `vec_col` (computed ONCE per
-    vector). Every pairwise score then costs a single dot-product
-    fold instead of dot + two norms — 3x fewer interpreted fold
-    passes in the pairwise stage, and at corpus scale the normalized
-    column is what you persist."""
-    tmp = df.withColumn("_norm", norm(F.col(vec_col)))
-    return tmp.withColumn(
-        out_col, F.transform(F.col(vec_col), lambda x: x / F.col("_norm"))
-    ).drop("_norm")
+    vector). Every pairwise score then costs a single dot product
+    instead of dot + two norms, and at corpus scale the normalized
+    column is what you persist. With `dim` known, the division is an
+    unrolled array constructor (codegen'd) instead of an interpreted
+    transform."""
+    tmp = df.withColumn("_norm", norm(F.col(vec_col), dim))
+    if dim is not None:
+        unit = F.array(
+            *[F.element_at(F.col(vec_col), i + 1) / F.col("_norm") for i in range(dim)]
+        )
+    else:
+        unit = F.transform(F.col(vec_col), lambda x: x / F.col("_norm"))
+    return tmp.withColumn(out_col, unit).drop("_norm")
 
 
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k for each query vector.
 
@@ -73,16 +99,29 @@ def brute_force_topk(
     queries are broadcast (small side); rank via window on
     (rounded score desc, vec_id) for a deterministic result set.
     """
-    e = normalized(
-        embeddings.select("vec_id", as_double(F.col("embedding")).alias("vec")), "vec"
-    ).select("vec_id", "nvec")
-    q = normalized(
-        queries.select("query_id", as_double(F.col("query_vec")).alias("vec")), "vec"
-    ).select("query_id", F.col("nvec").alias("qvec"))
+    # Lineage cut: without it, projection collapse inlines the
+    # normalization into EVERY pairwise term, recomputing it once per
+    # (vector, query) pair — measured 2-3x slower.
+    e = (
+        normalized(
+            embeddings.select("vec_id", as_double(F.col("embedding")).alias("vec")),
+            "vec", dim=dim,
+        )
+        .select("vec_id", "nvec")
+        .localCheckpoint(eager=False)
+    )
+    q = (
+        normalized(
+            queries.select("query_id", as_double(F.col("query_vec")).alias("vec")),
+            "vec", dim=dim,
+        )
+        .select("query_id", F.col("nvec").alias("qvec"))
+        .localCheckpoint(eager=False)
+    )
     scored = e.join(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "vec_id",
-        F.round(dot(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim"),
+        F.round(dot(F.col("qvec"), F.col("nvec"), dim), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
@@ -94,23 +133,32 @@ def brute_force_topk(
     )
 
 
-def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+def ivf_assign(
+    embeddings: DataFrame, centroids: DataFrame, dim: int | None = None
+) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine
     (deterministic argmax: max (rounded cos, -centroid_id) struct).
 
     centroids: (centroid_id, cvec). Broadcast; one narrow pass.
     """
+    # Lineage cut — see brute_force_topk.
     e = normalized(
-        embeddings.select("vec_id", as_double(F.col("embedding")).alias("vec")), "vec"
+        embeddings.select("vec_id", as_double(F.col("embedding")).alias("vec")),
+        "vec", dim=dim,
+    ).localCheckpoint(eager=False)
+    c = (
+        normalized(
+            centroids.select("centroid_id", as_double(F.col("cvec")).alias("vec")),
+            "vec", dim=dim,
+        )
+        .select("centroid_id", F.col("nvec").alias("cnvec"))
+        .localCheckpoint(eager=False)
     )
-    c = normalized(
-        centroids.select("centroid_id", as_double(F.col("cvec")).alias("vec")), "vec"
-    ).select("centroid_id", F.col("nvec").alias("cnvec"))
     scored = e.join(F.broadcast(c)).select(
         "vec_id",
         "vec",
         "centroid_id",
-        F.round(dot(F.col("nvec"), F.col("cnvec")), 6).alias("cs"),
+        F.round(dot(F.col("nvec"), F.col("cnvec"), dim), 6).alias("cs"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("centroid_id"))
     return (

@@ -197,7 +197,7 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.approx_count_distinct("value", rsd=0.01).alias("approx_values"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 1000).alias("approx_pcts"),
     )
 
 
@@ -312,12 +312,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pairwise join runs only within blocks (here the cluster
     label; in production an LSH/IVF bucket), turning O(n^2) into
     O(sum b_i^2) — the standard scale pattern for vector dedup."""
-    vecs = S.normalized(
-        spark.table("embeddings").select(
-            "vec_id", "label", S.as_double(F.col("embedding")).alias("vec")
-        ),
-        "vec",
-    ).select("vec_id", "label", "nvec")
+    vecs = (
+        S.normalized(
+            spark.table("embeddings").select(
+                "vec_id", "label", S.as_double(F.col("embedding")).alias("vec")
+            ),
+            "vec",
+        )
+        .select("vec_id", "label", "nvec")
+        # lineage cut: stop projection collapse from recomputing the
+        # normalization per pair (see operators/similarity.py)
+        .localCheckpoint(eager=False)
+    )
     a, b = vecs.alias("a"), vecs.alias("b")
     pairs = a.join(
         b,

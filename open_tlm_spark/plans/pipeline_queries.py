@@ -113,8 +113,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------- MinHash LSH
 def _minhash_oracle() -> str:
+    # Kirsch-Mitzenmacher double hashing, mirroring
+    # dedup.minhash_signatures: one md5 -> two 32-bit words ->
+    # h_j = (w1 + j*w2) mod p.
     sig_cols = ",\n             ".join(
-        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(D.NUM_HASHES)
+        f"min((w1 + {j} * w2) % {D.KM_PRIME}) AS sig_{j}"
+        for j in range(D.NUM_HASHES)
     )
     band_rows = []
     for b in range(D.NUM_BANDS):
@@ -127,10 +131,16 @@ def _minhash_oracle() -> str:
     bands_sql = "\n      UNION ALL\n      ".join(band_rows)
     return f"""
     WITH {SHINGLES_CTE},
+    hw AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS w1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS w2
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id,
              {sig_cols}
-      FROM sh GROUP BY doc_id
+      FROM hw GROUP BY doc_id
     ),
     bands AS (
       {bands_sql}

@@ -142,7 +142,7 @@ def test_cosine_topk(spark):
         "vec_id long, embedding array<float>",
     )
     q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, query_vec array<float>")
-    rows = brute_force_topk(emb, q, k=2).orderBy("rank").collect()
+    rows = brute_force_topk(emb, q, k=2, dim=2).orderBy("rank").collect()
     assert [r.vec_id for r in rows] == [1, 2]
     assert rows[0].cos_sim == pytest.approx(1 / (1.01) ** 0.5, abs=1e-6)
 
