@@ -107,7 +107,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs 3-gram Jaccard >= 0.05 with stop-shingle removal
     (df > 100 dropped before the join — the hot-key cap that keeps the
     pairwise join from going quadratic at corpus scale)."""
-    sh = D.shingle_table(spark.table("documents"))
+    # Materialize the shingle relation once: it feeds df_counts,
+    # the self-join (twice), and the size frame — without the cut each
+    # use re-tokenizes the corpus. (At 100 TB: persist it to storage.)
+    sh = D.shingle_table(spark.table("documents")).localCheckpoint(eager=False)
     return D.ngram_jaccard_pairs(sh, min_jaccard=0.05, max_df=100)
 
 
@@ -177,7 +180,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     k min-aggregates in ONE groupBy; banding shuffle is keyed on the
     16-byte band hash."""
     docs = spark.table("documents")
-    sh = D.shingle_table(docs)
+    # One materialization feeds signatures, pairwise verification
+    # (both sides), and size counts.
+    sh = D.shingle_table(docs).localCheckpoint(eager=False)
     sig = D.minhash_signatures(sh)
     cand = D.lsh_candidates(sig)
     verified = D.jaccard_for_pairs(cand, sh)
