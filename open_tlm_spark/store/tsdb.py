@@ -132,6 +132,25 @@ class TelemetryStore:
         )
         for d in FIDELITIES:
             self._merge_rollup(aggregate_points(batch, d), d)
+        self._merge_catalog(batch)
+
+    def _merge_catalog(self, batch: DataFrame) -> None:
+        """C1: maintain the dataset catalog as a tiny dimension table
+        (the reference's catalog is the data/full/ directory listing,
+        src/index.py:231-239). Search then scans a frame with one row
+        per series ever written — never the fact table."""
+        path = os.path.join(self.base, "datasets")
+        new_ids = batch.select("dataset_id").distinct()
+        if os.path.exists(path):
+            self.spark.catalog.refreshByPath(path)
+            existing = self.spark.read.parquet(path)
+            # eager checkpoint: the plan reads the path it overwrites
+            merged = existing.unionByName(new_ids).distinct().localCheckpoint(
+                eager=True
+            )
+        else:
+            merged = new_ids
+        merged.coalesce(1).write.mode("overwrite").parquet(path)
 
     def _merge_rollup(self, new_agg: DataFrame, duration_s: int) -> None:
         """A2/ST3: algebraic merge into the stored level — union the
@@ -173,18 +192,36 @@ class TelemetryStore:
         )
 
     # ------------------------------------------------------------- query
+    # O4/T5: reject queries whose routed result would exceed this many
+    # rows (the reference hard-fails range queries touching >500 files
+    # = ~2.5M raw points, src/index.py:414,445-448). Auto-routing (O2)
+    # makes the guard moot in practice — it only trips on explicit
+    # fidelity overrides.
+    MAX_RESULT_POINTS = 2_500_000
+
     def get(
         self,
         dataset_id: str,
         start: _dt.datetime,
         end: _dt.datetime,
         fidelity: int | str | None = "auto",
+        max_result_points: int | None = MAX_RESULT_POINTS,
     ) -> DataFrame:
         """S1 + O2: exact time-range scan at an explicit or routed
         fidelity. FULL -> raw points; otherwise rollup rows with
         mean derived (A4)."""
         if fidelity == "auto":
             fidelity = recommended_fidelity((end - start).total_seconds())
+        if max_result_points is not None:
+            span = (end - start).total_seconds()
+            # FULL estimated at the reference's 10 Hz design point
+            est = span * 10 if fidelity is None else span / int(fidelity)
+            if est > max_result_points:
+                raise ValueError(
+                    f"range query would return ~{int(est)} points at "
+                    f"fidelity={fidelity} (> {max_result_points}); pick a "
+                    "coarser fidelity or use auto-routing"
+                )
         if fidelity is None:
             df = self._read(self.points_path, POINTS_SCHEMA)
             return (
@@ -223,9 +260,18 @@ class TelemetryStore:
     # ----------------------------------------------------------- catalog
     def datasets(self, query: str = "", max_count: int = 300) -> DataFrame:
         """P3/C1: substring search over the series catalog; limit
-        applied after filtering."""
-        df = self._read(self.points_path, POINTS_SCHEMA)
-        out = df.select("dataset_id").distinct()
+        applied after filtering (reference caps the scan BEFORE the
+        filter — quirk fixed, SURVEY.md §4). Served from the
+        maintained dimension table (one row per series), falling back
+        to a distinct scan of the fact table."""
+        cat_path = os.path.join(self.base, "datasets")
+        if os.path.exists(cat_path):
+            self.spark.catalog.refreshByPath(cat_path)
+            out = self.spark.read.parquet(cat_path)
+        else:
+            out = self._read(self.points_path, POINTS_SCHEMA).select(
+                "dataset_id"
+            ).distinct()
         if query:
             out = out.filter(F.col("dataset_id").contains(query))
         return out.orderBy("dataset_id").limit(max_count)

@@ -81,3 +81,21 @@ def test_router_thresholds():
     assert recommended_fidelity(5_000_000) == 10_000
     assert recommended_fidelity(50_000_000) == 100_000
     assert recommended_fidelity(10**10) == 100_000
+
+
+def test_fanout_guard(spark, tmp_path):
+    """O4/T5: explicit-fidelity queries over absurd ranges are
+    rejected; auto-routing never trips the guard."""
+    import datetime as dt
+
+    from open_tlm_spark.store import TelemetryStore
+
+    store = TelemetryStore(spark, str(tmp_path))
+    start = dt.datetime(1970, 1, 2, tzinfo=dt.timezone.utc)
+    end = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    with pytest.raises(ValueError, match="points"):
+        store.get("x", start, end, fidelity=None)
+    with pytest.raises(ValueError, match="points"):
+        store.get("x", start, end, fidelity=1)
+    # auto-routing picks 100000s -> fine
+    assert store.get("x", start, end).count() == 0
