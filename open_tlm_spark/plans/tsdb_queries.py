@@ -304,3 +304,37 @@ def ts_comment_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("id", "ts", "text")
     )
+
+
+# ------------------------------------------------------------------ A2/ST3
+@register("ts_incremental_merge", oracle=_agg_oracle(100))
+def ts_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/ST3 in the correctness gate: the month of events ingested as
+    three successive batches (as a streaming backfill would), each
+    aggregated independently and merged with combine_rollups — the
+    oracle aggregates the whole table in one pass. Equality IS the
+    reference's _combine_aggregations law (src/index.py:328-374)
+    under arbitrary batch boundaries."""
+    from open_tlm_spark.operators.rollup import combine_rollups
+
+    pts = _points(spark)
+    cuts = ["2024-01-08 00:00:00", "2024-01-20 00:00:00"]
+    b1 = pts.filter(F.col("ts") < F.lit(cuts[0]).cast("timestamp"))
+    b2 = pts.filter(
+        (F.col("ts") >= F.lit(cuts[0]).cast("timestamp"))
+        & (F.col("ts") < F.lit(cuts[1]).cast("timestamp"))
+    )
+    b3 = pts.filter(F.col("ts") >= F.lit(cuts[1]).cast("timestamp"))
+    acc = aggregate_points(b1, 100)
+    for b in (b2, b3):
+        acc = combine_rollups(acc, aggregate_points(b, 100))
+    out = with_mean(acc)
+    return out.select(
+        "dataset_id",
+        "bin_ts",
+        "min_value",
+        "max_value",
+        _round6("sum_values").alias("sum_values"),
+        "count",
+        _round6("mean_value").alias("mean_value"),
+    )
