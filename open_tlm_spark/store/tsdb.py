@@ -50,6 +50,14 @@ from open_tlm_spark.schemas import (
 )
 
 
+def _utc_date(d: _dt.datetime) -> _dt.date:
+    """UTC calendar date of a datetime (partitions are UTC-dated; a
+    tz-aware input's local .date() can be off by one)."""
+    if d.tzinfo is not None:
+        d = d.astimezone(_dt.timezone.utc)
+    return d.date()
+
+
 class TelemetryStore:
     def __init__(self, spark: SparkSession, base_path: str):
         self.spark = spark
@@ -224,11 +232,19 @@ class TelemetryStore:
                 )
         if fidelity is None:
             df = self._read(self.points_path, POINTS_SCHEMA)
-            return (
-                df.filter(
-                    (F.col("dataset_id") == dataset_id)
-                    & F.col("ts").between(F.lit(start), F.lit(end))
+            cond = (F.col("dataset_id") == dataset_id) & F.col("ts").between(
+                F.lit(start), F.lit(end)
+            )
+            # Explicit bound on the PARTITION column: Catalyst cannot
+            # derive ds_date limits from the ts predicate, and without
+            # them a narrow scan lists every day partition
+            # (PartitionFilters: [] — caught by tools/scale_smoke.py).
+            if "ds_date" in df.columns:
+                cond = cond & F.col("ds_date").between(
+                    F.lit(_utc_date(start)), F.lit(_utc_date(end))
                 )
+            return (
+                df.filter(cond)
                 .select("dataset_id", "ts", "value")
                 .orderBy("ts")
             )
@@ -238,13 +254,21 @@ class TelemetryStore:
         # bin whose window overlaps [start, end] — floor the lower
         # bound to the bin grid (the bin containing `start` counts).
         lo = int(start.timestamp()) // d * d
+        cond = (
+            (F.col("dataset_id") == dataset_id)
+            & (F.col("bin_ts") >= lo)
+            & (F.col("bin_ts") <= int(end.timestamp()))
+        )
+        if "bin_date" in df.columns:  # partition pruning (see FULL path)
+            cond = cond & F.col("bin_date").between(
+                F.lit(
+                    _dt.datetime.fromtimestamp(lo, tz=_dt.timezone.utc).date()
+                ),
+                F.lit(_utc_date(end)),
+            )
         return (
             with_mean(df)
-            .filter(
-                (F.col("dataset_id") == dataset_id)
-                & (F.col("bin_ts") >= lo)
-                & (F.col("bin_ts") <= int(end.timestamp()))
-            )
+            .filter(cond)
             .select(
                 "dataset_id",
                 "bin_ts",
