@@ -44,6 +44,33 @@ def histogram(
     )
 
 
+def histogram_per_group(
+    df: DataFrame,
+    group_col: str = "dataset_id",
+    value_col: str = "value",
+    max_buckets: int = 30,
+) -> DataFrame:
+    """A6 per-series: the reference renders one histogram per visible
+    dataset (public/histogram.js render_one per dataset) — same bucket
+    rule, stats computed per group and joined back (broadcast: one row
+    per group)."""
+    stats = df.groupBy(group_col).agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.count_distinct(F.col(value_col)).alias("n_distinct"),
+    )
+    with_stats = df.join(F.broadcast(stats), group_col)
+    n = F.least(F.col("n_distinct"), F.lit(max_buckets))
+    width = (F.col("hi") - F.col("lo")) / n
+    raw_bucket = F.floor((F.col(value_col) - F.col("lo")) / width)
+    bucket = F.least(raw_bucket, n - 1)
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(bucket)
+    return (
+        with_stats.groupBy(group_col, bucket.cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def range_summary(
     df: DataFrame,
     group_col: str = "dataset_id",

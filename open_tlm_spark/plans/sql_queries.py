@@ -8,8 +8,11 @@ which come free with the DataFrame API; our job is that the PLANS are
 right at 100 TB (broadcast the dims, partial aggregation before the
 shuffle, top-k instead of global sorts).
 
-Float discipline: money aggregates go through DECIMAL(18,2|4) casts on
-both engines — exact, order-independent — then back to double.
+Float discipline: money inputs are cast to narrow decimals BEFORE any
+arithmetic (products and sums then exact in both engines), the final
+sum's scale is trimmed without rounding (inputs bound the true scale),
+and only then cast to double — every step deterministic and identical
+across engines.
 """
 
 from __future__ import annotations

@@ -338,3 +338,35 @@ def ts_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count",
         _round6("mean_value").alias("mean_value"),
     )
+
+
+# --------------------------------------------------------- A6 per-series
+@register(
+    "ts_histogram_per_series",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi,
+             count(DISTINCT value) AS n_distinct
+      FROM events GROUP BY event_type
+    ),
+    b AS (
+      SELECT e.event_type AS dataset_id,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE least(
+                    CAST(floor((e.value - s.lo) /
+                         ((s.hi - s.lo) / least(s.n_distinct, 30))) AS BIGINT),
+                    least(s.n_distinct, 30) - 1)
+             END AS bucket
+      FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT dataset_id, bucket, count(*) AS n
+    FROM b GROUP BY dataset_id, bucket
+    """,
+)
+def ts_histogram_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 faithful form: the reference renders ONE histogram PER
+    dataset (public/histogram.js render_one loop) — per-group stats
+    broadcast back onto the facts, single bucket-count aggregation."""
+    from open_tlm_spark.operators.histogram import histogram_per_group
+
+    return histogram_per_group(_points(spark), "dataset_id", "value", 30)

@@ -281,6 +281,36 @@ class TelemetryStore:
             .orderBy("bin_ts")
         )
 
+    # --------------------------------------------------------- maintenance
+    def compact(self, max_records_per_file: int = 5_000_000) -> None:
+        """O8: rewrite accumulated small files into few sorted files
+        per partition (the reference's file-sizing targets,
+        src/index.py:45-57; Delta OPTIMIZE on a cluster).
+
+        Micro-batch ingest appends one file set per put; compaction
+        restores (dataset_id, ts)-sorted files whose parquet min/max
+        stats make per-series range scans skip whole row groups.
+        """
+        targets = [self.points_path] + [
+            self._rollup_path(d) for d in FIDELITIES
+        ]
+        sort_keys = {self.points_path: ["dataset_id", "ts"]}
+        for path in targets:
+            if not os.path.exists(path):
+                continue
+            self.spark.catalog.refreshByPath(path)
+            df = self.spark.read.parquet(path).localCheckpoint(eager=True)
+            part_col = "ds_date" if path == self.points_path else "bin_date"
+            keys = sort_keys.get(path, ["dataset_id", "bin_ts"])
+            (
+                df.repartition(F.col(part_col))
+                .sortWithinPartitions(*keys)
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", max_records_per_file)
+                .partitionBy(part_col)
+                .parquet(path)
+            )
+
     # ----------------------------------------------------------- catalog
     def datasets(self, query: str = "", max_count: int = 300) -> DataFrame:
         """P3/C1: substring search over the series catalog; limit

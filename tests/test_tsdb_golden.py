@@ -229,3 +229,38 @@ def test_large_put(spark, tmp_path):
     for d in ids:
         n = store.get(d, start, end, None).count()
         assert n == 9999  # reference: 10000 (duplicate kept); we dedup
+
+
+def test_compact_preserves_data(spark, tmp_path):
+    """O8: compaction reduces file count and changes no query result."""
+    import glob
+
+    store = TelemetryStore(spark, str(tmp_path))
+    for batch in range(4):
+        rows = [
+            (
+                "compact.s",
+                _dt(f"2024-01-01T0{batch}:00:0{i}"),
+                float(batch * 10 + i),
+            )
+            for i in range(8)
+        ]
+        store.put(spark.createDataFrame(rows, POINTS_SCHEMA))
+
+    start, end = _dt("2024-01-01T00:00:00"), _dt("2024-01-01T06:00:00")
+    before = [
+        (r.ts, r.value) for r in store.get("compact.s", start, end, None).collect()
+    ]
+    files_before = len(glob.glob(f"{tmp_path}/points/*/*.parquet"))
+
+    store.compact()
+
+    after = [
+        (r.ts, r.value) for r in store.get("compact.s", start, end, None).collect()
+    ]
+    files_after = len(glob.glob(f"{tmp_path}/points/*/*.parquet"))
+    assert after == before
+    assert files_after < files_before
+
+    rows = store.get("compact.s", start, end, 1000).collect()
+    assert sum(r["count"] for r in rows) == 32
