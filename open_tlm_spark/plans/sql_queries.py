@@ -411,3 +411,108 @@ def parts_above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_retailprice") > F.col("brand_avg"))
         .select("p_partkey", "p_brand", "p_retailprice", "brand_avg")
     )
+
+
+# --------------------------------------------------------------- TPC-H Q14
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT round(
+             100.00 * CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(38,6)) AS DOUBLE)
+             / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE),
+             6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect: conditional aggregation over a broadcast dim
+    join — CASE inside sum, one scan, one broadcast, one 1-row agg."""
+    l = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    p = spark.table("part")
+    joined = l.join(broadcast(p), l.l_partkey == p.p_partkey)
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo).cast("decimal(38,6)").cast("double")
+            / F.sum(rev).cast("decimal(38,6)").cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+# --------------------------------------------------------------- TPC-H Q18
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers: HAVING post-aggregate filter feeding a
+    semi-style join. The `big` set (aggregate-then-filter) is tiny ->
+    broadcast back onto orders, so the only fact-fact shuffle is the
+    final per-order quantity sum."""
+    l = spark.table("lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select("l_orderkey")
+    )
+    c = spark.table("customer")
+    o = spark.table("orders")
+    joined = (
+        o.join(broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l.alias("li"), F.col("li.l_orderkey") == o.o_orderkey)
+    )
+    return (
+        joined.groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(
+            F.sum(F.col("li.l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .limit(100)
+    )
