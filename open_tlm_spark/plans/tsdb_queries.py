@@ -370,3 +370,70 @@ def ts_histogram_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_tlm_spark.operators.histogram import histogram_per_group
 
     return histogram_per_group(_points(spark), "dataset_id", "value", 30)
+
+
+# ----------------------------------------------------------- derivative
+@register(
+    "ts_derivative",
+    oracle="""
+    SELECT event_type AS dataset_id, ts, value,
+           round((value - lag(value) OVER w) /
+                 ((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0),
+                 6) AS dv_dt
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+    """,
+)
+def ts_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-of-change per series (dv/dt via lag) — the classic
+    counter-to-rate transform (§2.5 extension; the reference has no
+    analytics windows at all)."""
+    from open_tlm_spark.operators.timeseries import derivative
+
+    return derivative(_points(spark))
+
+
+# ------------------------------------------------------------- gap fill
+_GRID_START = 1704067200  # 2024-01-01T00:00:00Z
+_GRID_END = 1704067200 + 86400 * 7
+_GRID_STEP = 3600
+
+
+@register(
+    "ts_gap_fill",
+    oracle=f"""
+    WITH grid AS (
+      SELECT e.event_type AS dataset_id, t.g AS grid_ts
+      FROM (SELECT DISTINCT event_type FROM events) e,
+           UNNEST(range({_GRID_START}, {_GRID_END} + 1, {_GRID_STEP})) t(g)
+    ),
+    p AS (
+      SELECT event_type AS dataset_id,
+             epoch_us(ts) / 1000000.0 AS ts_s, value
+      FROM events
+    )
+    SELECT grid.dataset_id, grid.grid_ts, p.value AS filled_value
+    FROM grid ASOF LEFT JOIN p
+      ON grid.dataset_id = p.dataset_id AND grid.grid_ts >= p.ts_s
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward fill (hourly grid over the
+    first week): union-tag + windowed carry-forward — one shuffle, no
+    range-join explosion (operators/timeseries.py). Ticks before a
+    series' first point stay NULL (left-asof semantics)."""
+    from open_tlm_spark.operators.timeseries import gap_fill
+
+    return gap_fill(_points(spark), _GRID_STEP, _GRID_START, _GRID_END)
+
+
+# ----------------------------------------------------------------- EWMA
+@register("ts_ewma", oracle=None)  # linear recurrence: not expressible
+# as non-recursive SQL -> driver records the weaker rows-only check
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing per series (alpha=0.3): inherently sequential,
+    so it runs as an Arrow-batched grouped-map kernel (applyInPandas)
+    — one shuffle on the series key, vectorized within each series."""
+    from open_tlm_spark.operators.timeseries import ewma
+
+    return ewma(_points(spark), alpha=0.3)
