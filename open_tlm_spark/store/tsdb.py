@@ -58,10 +58,25 @@ def _utc_date(d: _dt.datetime) -> _dt.date:
     return d.date()
 
 
+def _ds_bucket(dataset_id: str, n_buckets: int) -> int:
+    """Bucket id of a series — crc32, which Python's zlib and Spark's
+    F.crc32 compute identically, so the query side can prune to one
+    bucket without running a Spark job."""
+    import zlib
+
+    return zlib.crc32(dataset_id.encode("utf-8")) % n_buckets
+
+
 class TelemetryStore:
-    def __init__(self, spark: SparkSession, base_path: str):
+    """n_buckets: dataset-hash bucket count for the points layout
+    (SURVEY.md phase 6: dataset_id hash-bucket x time bucket). A
+    single-series query then scans 1/n_buckets of each day partition.
+    Size to the cluster's executor count; 8 is a local default."""
+
+    def __init__(self, spark: SparkSession, base_path: str, n_buckets: int = 8):
         self.spark = spark
         self.base = base_path
+        self.n_buckets = n_buckets
         self.points_path = os.path.join(base_path, "points")
         # Dynamic partition overwrite: rollup upsert rewrites only the
         # partitions the incoming batch touches.
@@ -119,7 +134,8 @@ class TelemetryStore:
             self.spark.catalog.refreshByPath(self.points_path)
             existing = (
                 self.spark.read.schema(
-                    "dataset_id string, ts timestamp, value double, ds_date date"
+                    "dataset_id string, ts timestamp, value double, "
+                    "ds_bucket int, ds_date date"
                 )
                 .parquet(self.points_path)
                 .filter(F.col("ds_date").isin(dates))
@@ -132,10 +148,15 @@ class TelemetryStore:
         # rollup passes.
         batch = batch.localCheckpoint(eager=True)
         (
-            batch.withColumn("ds_date", F.to_date("ts"))
+            batch.withColumn(
+                "ds_bucket",
+                F.pmod(F.crc32(F.encode("dataset_id", "UTF-8")), F.lit(self.n_buckets))
+                .cast("int"),
+            )
+            .withColumn("ds_date", F.to_date("ts"))
             .sortWithinPartitions("dataset_id", "ts")
             .write.mode("append")
-            .partitionBy("ds_date")
+            .partitionBy("ds_bucket", "ds_date")
             .parquet(self.points_path)
         )
         for d in FIDELITIES:
@@ -243,6 +264,11 @@ class TelemetryStore:
                 cond = cond & F.col("ds_date").between(
                     F.lit(_utc_date(start)), F.lit(_utc_date(end))
                 )
+            if "ds_bucket" in df.columns:
+                # driver-side crc32 == Spark's -> prune to one bucket
+                cond = cond & (
+                    F.col("ds_bucket") == _ds_bucket(dataset_id, self.n_buckets)
+                )
             return (
                 df.filter(cond)
                 .select("dataset_id", "ts", "value")
@@ -300,14 +326,18 @@ class TelemetryStore:
                 continue
             self.spark.catalog.refreshByPath(path)
             df = self.spark.read.parquet(path).localCheckpoint(eager=True)
-            part_col = "ds_date" if path == self.points_path else "bin_date"
+            part_cols = (
+                ["ds_bucket", "ds_date"]
+                if path == self.points_path
+                else ["bin_date"]
+            )
             keys = sort_keys.get(path, ["dataset_id", "bin_ts"])
             (
-                df.repartition(F.col(part_col))
+                df.repartition(*[F.col(c) for c in part_cols])
                 .sortWithinPartitions(*keys)
                 .write.mode("overwrite")
                 .option("maxRecordsPerFile", max_records_per_file)
-                .partitionBy(part_col)
+                .partitionBy(*part_cols)
                 .parquet(path)
             )
 

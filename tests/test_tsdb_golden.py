@@ -251,14 +251,14 @@ def test_compact_preserves_data(spark, tmp_path):
     before = [
         (r.ts, r.value) for r in store.get("compact.s", start, end, None).collect()
     ]
-    files_before = len(glob.glob(f"{tmp_path}/points/*/*.parquet"))
+    files_before = len(glob.glob(f"{tmp_path}/points/**/*.parquet", recursive=True))
 
     store.compact()
 
     after = [
         (r.ts, r.value) for r in store.get("compact.s", start, end, None).collect()
     ]
-    files_after = len(glob.glob(f"{tmp_path}/points/*/*.parquet"))
+    files_after = len(glob.glob(f"{tmp_path}/points/**/*.parquet", recursive=True))
     assert after == before
     assert files_after < files_before
 
