@@ -38,6 +38,8 @@ def main() -> int:
     per_query: dict[str, float] = {}
     t_total = time.perf_counter()
     for name, q in sorted(REGISTRY.items()):
+        if not q.bench:
+            continue  # correctness-only entries (stateful round trips)
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         n = len(df.collect())

@@ -27,12 +27,13 @@ from open_tlm_spark.session import load_tables
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL, or None -> rows-only check
+    bench: bool = True  # False: correctness-only (e.g. writes state)
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, bench: bool = True):
     """Register a query under SURVEY.md §2's inventory name."""
 
     def deco(fn):
@@ -40,7 +41,7 @@ def register(name: str, oracle: str | None = None):
             load_tables(spark, sf_dir)
             return fn(spark, sf_dir)
 
-        REGISTRY[name] = QueryDef(wrapped, oracle)
+        REGISTRY[name] = QueryDef(wrapped, oracle, bench)
         return fn
 
     return deco

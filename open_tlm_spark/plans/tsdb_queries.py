@@ -437,3 +437,50 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_tlm_spark.operators.timeseries import ewma
 
     return ewma(_points(spark), alpha=0.3)
+
+
+# ------------------------------------------------------- store round-trip
+@register(
+    "store_roundtrip_rollup",
+    bench=False,  # ingests state each run — correctness gate only
+    oracle=f"""
+    SELECT event_type AS dataset_id,
+           (epoch_us(ts) // (1000::BIGINT * 1000000)) * 1000 AS bin_ts,
+           min(value) AS min_value,
+           round(sum(value) / count(value), 6) AS mean_value,
+           max(value) AS max_value,
+           round(sum(value), 6) AS sum_values,
+           count(value) AS count
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def store_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end STORE check inside the gate: ingest the whole events
+    table through TelemetryStore.put (validate -> dedup -> raw append
+    -> 6 materialized rollup levels), then answer from the STORED
+    1000 s rollup via the routed get() path. The oracle aggregates the
+    source directly — equality proves the persisted pyramid, not just
+    the in-flight plan."""
+    import datetime as _dtm
+    import tempfile
+
+    from open_tlm_spark.store import TelemetryStore
+
+    store = TelemetryStore(spark, tempfile.mkdtemp(prefix="tlm_gate_"))
+    store.put(_points(spark))
+    lo = _dtm.datetime(2023, 12, 31, tzinfo=_dtm.timezone.utc)
+    hi = _dtm.datetime(2024, 2, 2, tzinfo=_dtm.timezone.utc)
+    out = None
+    for r in [r.dataset_id for r in store.datasets().collect()]:
+        part = store.get(r, lo, hi, fidelity=1000)
+        out = part if out is None else out.unionByName(part)
+    return out.select(
+        "dataset_id",
+        "bin_ts",
+        "min_value",
+        F.round("mean_value", 6).alias("mean_value"),
+        "max_value",
+        F.round("sum_values", 6).alias("sum_values"),
+        "count",
+    )
