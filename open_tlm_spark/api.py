@@ -34,15 +34,31 @@ from pyspark.sql import functions as F
 
 from open_tlm_spark.schemas import POINTS_SCHEMA
 from open_tlm_spark.store import CommentStore, TelemetryStore
+from open_tlm_spark.store.tsdb import _as_utc
 
 
 def _iso(ts) -> str:
     return ts.isoformat()
 
 
+def _us_iso(us: int) -> str:
+    """Epoch-microseconds -> naive-UTC ISO string (the reference's
+    payload format, src/model/data.py:10)."""
+    return (
+        _dt.datetime.fromtimestamp(us / 1_000_000, tz=_dt.timezone.utc)
+        .replace(tzinfo=None)
+        .isoformat()
+    )
+
+
 class TlmHandler(BaseHTTPRequestHandler):
     store: TelemetryStore
     comments: CommentStore
+    # ThreadingHTTPServer runs one thread per request; the stores'
+    # read-merge-overwrite paths are not concurrent-writer-safe, so
+    # mutations serialize on this lock (reads stay lock-free — single
+    # node shim; a cluster deployment uses Delta's ACID instead).
+    write_lock = threading.Lock()
 
     # ------------------------------------------------------- plumbing
     def _send(self, code: int, payload) -> None:
@@ -83,15 +99,21 @@ class TlmHandler(BaseHTTPRequestHandler):
             if rng is None:
                 return self._send(400, {"message": "Invalid or missing start/end times"})
             df = self.store.get(m.group(1), *rng)
-            rows = df.collect()
-            if rows and "value" in df.columns:
-                points = [{"date": _iso(r.ts), "value": r.value} for r in rows]
+            if "value" in df.columns:
+                # epoch-derived formatting: collected naive datetimes
+                # are OS-local, which would shift on non-UTC hosts and
+                # differ from the (UTC) aggregate branch
+                rows = df.select(
+                    F.unix_micros("ts").alias("us"), "value"
+                ).collect()
+                points = [
+                    {"date": _us_iso(r.us), "value": r.value} for r in rows
+                ]
             else:
+                rows = df.collect()
                 points = [
                     {
-                        "date": _dt.datetime.fromtimestamp(
-                            r.bin_ts, tz=_dt.timezone.utc
-                        ).isoformat(),
+                        "date": _us_iso(r.bin_ts * 1_000_000),
                         "min_value": r.min_value,
                         "mean_value": r.mean_value,
                         "max_value": r.max_value,
@@ -140,27 +162,39 @@ class TlmHandler(BaseHTTPRequestHandler):
                     return self._send(
                         400, {"message": "One or more data fields was missing 'points'"}
                     )
-            rows, count = [], 0
-            for ds in data:
-                for p in ds["points"]:
-                    rows.append(
-                        (
-                            str(ds["dataset_id"]),
-                            _dt.datetime.fromisoformat(p["date"]),
-                            float(p["value"]),
+            try:
+                rows, count = [], 0
+                for ds in data:
+                    for p in ds["points"]:
+                        rows.append(
+                            (
+                                str(ds["dataset_id"]),
+                                # naive ISO dates are UTC by engine
+                                # convention; createDataFrame would
+                                # otherwise read them as OS-local
+                                _as_utc(_dt.datetime.fromisoformat(p["date"])),
+                                float(p["value"]),
+                            )
                         )
-                    )
-                count += len(ds["points"])
-            self.store.put(self.store.spark.createDataFrame(rows, POINTS_SCHEMA))
+                    count += len(ds["points"])
+            except (KeyError, ValueError, TypeError) as e:
+                return self._send(400, {"message": f"invalid point: {e}"})
+            with self.write_lock:
+                self.store.put(
+                    self.store.spark.createDataFrame(rows, POINTS_SCHEMA)
+                )
             return self._send(200, {"message": f"{count} datapoints were posted"})
         if url.path == "/api/comment/new":
             body = self._body()
             c = body.get("comment")
             if c is None:
                 return self._send(400, {"message": "Missing required 'comment' key"})
-            cid = self.comments.create(
-                _dt.datetime.fromisoformat(c["date"]), c.get("text", ""), c.get("tags", [])
-            )
+            try:
+                ts = _dt.datetime.fromisoformat(c["date"])
+            except (KeyError, ValueError, TypeError) as e:
+                return self._send(400, {"message": f"invalid comment: {e}"})
+            with self.write_lock:
+                cid = self.comments.create(ts, c.get("text", ""), c.get("tags", []))
             return self._send(200, {"message": "Comment created", "id": cid})
         return self._send(404, {"message": "not found"})
 
@@ -170,17 +204,24 @@ class TlmHandler(BaseHTTPRequestHandler):
             c = body.get("comment")
             if c is None or "id" not in c:
                 return self._send(400, {"message": "Missing required 'comment' key"})
-            self.comments.update(int(c["id"]), c.get("text"), c.get("tags"))
-            return self._send(200, {"message": "Comment edited", "id": int(c["id"])})
+            try:
+                cid = int(c["id"])
+            except (ValueError, TypeError):
+                return self._send(400, {"message": "invalid id"})
+            with self.write_lock:
+                self.comments.update(cid, c.get("text"), c.get("tags"))
+            return self._send(200, {"message": "Comment edited", "id": cid})
         return self._send(404, {"message": "not found"})
 
     def do_DELETE(self):
         m = re.fullmatch(r"/api/comment/delete/([^/]+)", urlparse(self.path).path)
         if m:
             try:
-                self.comments.delete(int(m.group(1)))
+                cid = int(m.group(1))
             except ValueError:
                 return self._send(400, {"message": "invalid id"})
+            with self.write_lock:
+                self.comments.delete(cid)
             return self._send(200, {"comments": None})
         return self._send(404, {"message": "not found"})
 

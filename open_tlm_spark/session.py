@@ -111,6 +111,9 @@ def _normalize_nanos_table(spark: SparkSession, path: str, ns_cols: list[str]) -
     return cache
 
 
+_LOADED: dict[tuple[int, str], dict] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Load the driver's parquet tables and register temp views.
 
@@ -122,6 +125,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     see _normalize_nanos_table for why this beats an in-plan
     conversion.
     """
+    key = (id(spark), os.path.normpath(sf_dir))
+    if key in _LOADED:
+        return _LOADED[key]  # views already registered on this session
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Engine invariant (SURVEY.md §4): all time math is UTC. The
     # caller's session may default to a local JVM tz, which would
@@ -150,4 +156,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
         df = spark.read.parquet(path)
         df.createOrReplaceTempView(name)
         out[name] = df
+    _LOADED[key] = out
     return out

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from open_tlm_spark.schemas import COMMENTS_SCHEMA
+from open_tlm_spark.store.tsdb import _as_utc
 
 
 class CommentStore:
@@ -44,7 +45,7 @@ class CommentStore:
         time.time_ns() (src/marks.py:82)."""
         cid = time.time_ns()
         new = self.spark.createDataFrame(
-            [(cid, ts, text, tags)], COMMENTS_SCHEMA
+            [(cid, _as_utc(ts), text, tags)], COMMENTS_SCHEMA
         )
         self._write(self._read().unionByName(new))
         return cid
@@ -80,7 +81,9 @@ class CommentStore:
         size(query); Spark plans the ordered limit as
         TakeOrderedAndProject (the reference's early-exit, O9).
         """
-        df = self._read().filter(F.col("ts").between(F.lit(start), F.lit(end)))
+        df = self._read().filter(
+            F.col("ts").between(F.lit(_as_utc(start)), F.lit(_as_utc(end)))
+        )
         if tags:
             qt = F.array(*[F.lit(t) for t in tags])
             df = df.filter(F.size(F.array_intersect(F.col("tags"), qt)) == len(tags))

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from open_tlm_spark.operators.rollup import (
     aggregate_points,
+    cascade_from_finer,
     recommended_fidelity,
     with_mean,
 )
@@ -50,12 +51,19 @@ from open_tlm_spark.schemas import (
 )
 
 
+def _as_utc(d: _dt.datetime) -> _dt.datetime:
+    """Engine convention: naive datetimes ARE UTC. Attaching tzinfo
+    makes every downstream use agree — .timestamp() would otherwise
+    interpret a naive value in the OS zone while Spark literals use
+    the (UTC) session zone, silently shifting range bounds on
+    non-UTC hosts."""
+    return d.replace(tzinfo=_dt.timezone.utc) if d.tzinfo is None else d
+
+
 def _utc_date(d: _dt.datetime) -> _dt.date:
     """UTC calendar date of a datetime (partitions are UTC-dated; a
     tz-aware input's local .date() can be off by one)."""
-    if d.tzinfo is not None:
-        d = d.astimezone(_dt.timezone.utc)
-    return d.date()
+    return _as_utc(d).astimezone(_dt.timezone.utc).date()
 
 
 def _ds_bucket(dataset_id: str, n_buckets: int) -> int:
@@ -78,9 +86,6 @@ class TelemetryStore:
         self.base = base_path
         self.n_buckets = n_buckets
         self.points_path = os.path.join(base_path, "points")
-        # Dynamic partition overwrite: rollup upsert rewrites only the
-        # partitions the incoming batch touches.
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # ------------------------------------------------------------- paths
     def _rollup_path(self, duration_s: int) -> str:
@@ -159,8 +164,20 @@ class TelemetryStore:
             .partitionBy("ds_bucket", "ds_date")
             .parquet(self.points_path)
         )
+        # Rollup cascade (A3): only the finest level reads the raw
+        # batch; each coarser level re-aggregates the previous one
+        # (~1/10 the rows per step) — not six passes over raw.
+        level = None
         for d in FIDELITIES:
-            self._merge_rollup(aggregate_points(batch, d), d)
+            level = (
+                aggregate_points(batch, d)
+                if level is None
+                else cascade_from_finer(level, d)
+            )
+            # cut lineage so the next cascade step and the merge read
+            # the computed frame, not a re-expanded plan over raw
+            level = level.localCheckpoint(eager=False)
+            self._merge_rollup(level, d)
         self._merge_catalog(batch)
 
     def _merge_catalog(self, batch: DataFrame) -> None:
@@ -216,6 +233,9 @@ class TelemetryStore:
             merged = new_agg
         (
             merged.write.mode("overwrite")
+            # per-write dynamic overwrite: rewrite only the partitions
+            # this batch touches, without mutating session-global conf
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bin_date")
             .parquet(path)
         )
@@ -239,6 +259,7 @@ class TelemetryStore:
         """S1 + O2: exact time-range scan at an explicit or routed
         fidelity. FULL -> raw points; otherwise rollup rows with
         mean derived (A4)."""
+        start, end = _as_utc(start), _as_utc(end)
         if fidelity == "auto":
             fidelity = recommended_fidelity((end - start).total_seconds())
         if max_result_points is not None:

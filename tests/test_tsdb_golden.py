@@ -72,8 +72,10 @@ def test_put_get(spark, tmp_path):
     # FULL fidelity: exact round-trip (reference test_index.py:43-46)
     full = store.get("test_put", START, END, fidelity=None).collect()
     assert len(full) == 9
-    got = {(r.ts.isoformat(), r.value) for r in full}
-    want = {(_utc_naive(_dt(d)).isoformat(), v) for d, v in PUT_GET_POINTS}
+    # compare INSTANTS (epoch), not naive renderings: collect() yields
+    # OS-local naive datetimes, so string comparison is tz-fragile
+    got = {(r.ts.timestamp(), r.value) for r in full}
+    want = {(_dt(d).timestamp(), v) for d, v in PUT_GET_POINTS}
     assert got == want
 
     # 1 s fidelity: 6 bins; last bin aggregates the 4 trailing points
