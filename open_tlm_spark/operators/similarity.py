@@ -133,6 +133,95 @@ def brute_force_topk(
     )
 
 
+def hyperplane_signatures(
+    embeddings: DataFrame, hyperplanes: DataFrame, dim: int | None = None
+) -> DataFrame:
+    """Random-hyperplane LSH signature per vector: bit j of `sig` is
+    sign(dot(v, h_j)) — vectors on the same side of every hyperplane
+    share a bucket, and P[bits agree] = 1 - angle/pi (Charikar's
+    SimHash for vectors).
+
+    embeddings: (vec_id, embedding); hyperplanes: (h_id, hvec) with
+    h_id in [0, 63). Hyperplanes broadcast (tiny); signature is ONE
+    grouped sum of shifted bits, so the corpus-side cost is a single
+    narrow pass — the bucketing that replaces an all-pairs O(n^2)
+    cosine join with an equi-join on `sig` at corpus scale.
+
+    Dot products are rounded before the sign test so bucket membership
+    is reproducible across engines (a value within 1e-6 of the plane
+    would otherwise flip on summation-order differences).
+
+    Returns (vec_id, nvec, sig) — nvec kept for exact re-scoring of
+    co-bucketed candidates.
+    """
+    e = normalized(
+        embeddings.select("vec_id", as_double(F.col("embedding")).alias("vec")),
+        "vec", dim=dim,
+    ).select("vec_id", "nvec").localCheckpoint(eager=False)
+    h = (
+        normalized(
+            hyperplanes.select("h_id", as_double(F.col("hvec")).alias("vec")),
+            "vec", dim=dim,
+        )
+        .select("h_id", F.col("nvec").alias("hnvec"))
+        .localCheckpoint(eager=False)
+    )
+    bits = e.join(F.broadcast(h)).select(
+        "vec_id",
+        F.when(
+            F.round(dot(F.col("nvec"), F.col("hnvec"), dim), 6) >= 0,
+            # DataFrame-API shiftleft only takes a literal shift; the
+            # SQL form accepts a column expression
+            F.expr("shiftleft(1L, cast(h_id AS int))"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("bit"),
+    )
+    sig = bits.groupBy("vec_id").agg(F.sum("bit").alias("sig"))
+    return e.join(sig, "vec_id")
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame, query_ids: DataFrame, k: int = 10, dim: int | None = None
+) -> DataFrame:
+    """Approximate cosine top-k: candidates limited to the query's LSH
+    bucket (equal full signature), then exact-scored and ranked.
+
+    corpus: (vec_id, nvec, sig) from hyperplane_signatures;
+    query_ids: (query_id) — queries are corpus members.
+    The candidate join is an equi-join on `sig`: shuffle-partitioned
+    by bucket, no broadcast of the corpus, both sides arbitrarily
+    large. Recall is tuned by the hyperplane count (fewer bits ->
+    bigger buckets) or multi-probe; exactness within the bucket.
+    """
+    c = corpus.localCheckpoint(eager=False)
+    q = (
+        c.join(query_ids, c.vec_id == query_ids.query_id, "left_semi")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("nvec").alias("qvec"),
+            "sig",
+        )
+    )
+    scored = (
+        c.join(q, "sig")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dot(F.col("qvec"), F.col("nvec"), dim), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame, centroids: DataFrame, dim: int | None = None
 ) -> DataFrame:

@@ -174,3 +174,102 @@ def test_text_functions(spark):
 def test_language_id_und(spark):
     df = spark.createDataFrame([("xyzzy plugh foobar",)], "text string")
     assert df.select(language_id(F.col("text")).alias("l")).collect()[0].l == "und"
+
+
+# ---------------------------------------------------------- interval join
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_interval_join_boundaries(spark):
+    """[start, end) semantics: start inclusive, end exclusive; a probe
+    row can land in several overlapping windows; bucket width smaller
+    than the window must not drop matches (multi-bucket expansion)."""
+    from open_tlm_spark.operators.interval import interval_join
+
+    probe = spark.createDataFrame(
+        [(1, _ts(0)), (2, _ts(5)), (3, _ts(10)), (4, _ts(59))],
+        "id long, ts timestamp",
+    )
+    windows = spark.createDataFrame(
+        [(10, _ts(0), _ts(10)), (20, _ts(5), _ts(59))],
+        "wid long, w_start timestamp, w_end timestamp",
+    )
+    got = {
+        (r.id, r.wid)
+        for r in interval_join(
+            probe, windows, "ts", "w_start", "w_end", bucket_seconds=3
+        ).collect()
+    }
+    # id=1 at :00 -> window 10 only; id=2 at :05 -> both; id=3 at :10
+    # -> window 20 only (end-exclusive for 10); id=4 at :59 -> none
+    # (end-exclusive for 20)
+    assert got == {(1, 10), (2, 10), (2, 20), (3, 20)}
+
+    both = {
+        (r.id, r.wid)
+        for r in interval_join(
+            probe, windows, "ts", "w_start", "w_end",
+            bucket_seconds=3, closed="both",
+        ).collect()
+    }
+    assert both == {(1, 10), (2, 10), (2, 20), (3, 10), (3, 20), (4, 20)}
+
+
+def test_interval_join_is_equi_join(spark):
+    """The scale contract: the bucketed rewrite must plan as a hash /
+    sort-merge EQUI-join on the bucket key — never a
+    BroadcastNestedLoopJoin (the O(n*m) theta-join fallback)."""
+    from open_tlm_spark.operators.interval import interval_join
+
+    probe = spark.createDataFrame([(1, _ts(0))], "id long, ts timestamp")
+    windows = spark.createDataFrame(
+        [(10, _ts(0), _ts(10))], "wid long, w_start timestamp, w_end timestamp"
+    )
+    plan = interval_join(
+        probe, windows, "ts", "w_start", "w_end"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_bucket_topk_agrees_with_bruteforce(spark):
+    """Within one LSH bucket the scoring is exact: any pair the LSH
+    path returns must carry the same cosine the brute-force path
+    assigns it."""
+    from open_tlm_spark.operators.similarity import (
+        hyperplane_signatures,
+        lsh_bucket_topk,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    hp = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("h_id"), F.col("embedding").alias("hvec")
+    )
+    corpus = hyperplane_signatures(emb, hp)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id")
+    )
+    lsh = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in lsh_bucket_topk(corpus, queries, k=5).collect()
+    }
+    bf = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in brute_force_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            ),
+            k=40,
+        ).collect()
+    }
+    assert lsh, "LSH buckets unexpectedly empty"
+    for pair, score in lsh.items():
+        assert bf[pair] == pytest.approx(score, abs=1e-9)
