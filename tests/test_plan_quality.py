@@ -77,3 +77,27 @@ def test_agg_has_partial_aggregation(spark):
     the shuffle carries bins, not raw points."""
     plan = plan_of(spark, "ts_agg_1000s")
     assert "partial_" in plan.lower() or plan.count("HashAggregate") >= 2
+
+
+def test_q16_broadcasts_blacklist_and_dim(spark):
+    """Q16: the NOT-IN blacklist and the part dim both broadcast —
+    lineitem never shuffles for a join (only for the distinct agg)."""
+    plan = plan_of(spark, "tpch_q16_supplier_part_counts")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_gate_is_equi(spark):
+    """The interval-join gate query must keep the bucketed equi-join
+    rewrite (hash/merge join on the bucket key), not fall back to a
+    nested-loop theta join."""
+    plan = plan_of(spark, "interval_join_error_windows")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_counts_before_second_shuffle(spark):
+    """Q13: two HashAggregate pairs (per-customer, then histogram) —
+    the second shuffle carries one row per customer, not per order."""
+    plan = plan_of(spark, "tpch_q13_order_distribution")
+    assert plan.count("HashAggregate") >= 4
