@@ -110,6 +110,26 @@ def streaming_rollup(
     )
 
 
+def streaming_dedup(
+    points_stream: DataFrame,
+    watermark: str = "10 seconds",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """ST5 done natively in Structured Streaming: drop duplicate
+    (dataset_id, ts) points across micro-batches with BOUNDED state.
+
+    The reference double-counts duplicate puts (an acknowledged gap,
+    src/index.py:39-40); the batch path dedups inside `put`. This is
+    the streaming-correct form: dropDuplicatesWithinWatermark keeps a
+    key seen-set only until the watermark passes the event time, so
+    state is O(rate x watermark), not O(history) — the difference
+    between a pipeline that runs for a year and one that OOMs.
+    """
+    return points_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["dataset_id", "ts"]
+    )
+
+
 def streaming_sessions(
     points_stream: DataFrame,
     gap: str = "30 minutes",

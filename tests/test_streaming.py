@@ -127,3 +127,51 @@ def test_streaming_rollup_window(spark, tmp_path):
     base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
     assert got[base] == (1.0, 3.0, 4.0, 2)
     assert got[base + 60] == (5.0, 5.0, 5.0, 1)
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """ST5: dropDuplicatesWithinWatermark removes a same-key point
+    re-sent in a LATER micro-batch (bounded state, keys inside the
+    watermark horizon)."""
+    from open_tlm_spark.streaming.ingest import streaming_dedup
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("dataset_id string, date string, value double")
+        .json(str(src))
+        .select("dataset_id", F.to_timestamp("date").alias("ts"), "value")
+    )
+    q = (
+        streaming_dedup(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _write_landing(
+            str(src),
+            [
+                {"dataset_id": "a", "date": "2024-01-01T00:00:01", "value": 1.0},
+                {"dataset_id": "a", "date": "2024-01-01T00:00:01", "value": 1.0},
+                {"dataset_id": "a", "date": "2024-01-01T00:00:02", "value": 2.0},
+            ],
+            "b1",
+        )
+        q.processAllAvailable()
+        # batch 2: one duplicate of batch 1 (cross-batch state) + one new
+        _write_landing(
+            str(src),
+            [
+                {"dataset_id": "a", "date": "2024-01-01T00:00:01", "value": 1.0},
+                {"dataset_id": "b", "date": "2024-01-01T00:00:01", "value": 9.0},
+            ],
+            "b2",
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT dataset_id, ts, value FROM dedup_test").collect()
+    finally:
+        q.stop()
+    got = sorted((r.dataset_id, r.value) for r in rows)
+    assert got == [("a", 1.0), ("a", 2.0), ("b", 9.0)]
