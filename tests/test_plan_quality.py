@@ -101,3 +101,22 @@ def test_q13_counts_before_second_shuffle(spark):
     the second shuffle carries one row per customer, not per order."""
     plan = plan_of(spark, "tpch_q13_order_distribution")
     assert plan.count("HashAggregate") >= 4
+
+
+def test_q21_self_joins_stay_equi(spark):
+    """Q21's double-correlated EXISTS / NOT EXISTS carry inequality
+    predicates (suppkey <>, shipdate >) — they must ride the orderkey
+    equi-join as join-side filters, never degrade to a nested loop."""
+    plan = plan_of(spark, "tpch_q21_waiting_suppliers")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q7_nation_pair_no_nested_loop(spark):
+    """Q7's disjunctive nation-pair predicate spans both join sides;
+    it must apply as a post-join filter over hash joins, not force a
+    nested loop."""
+    plan = plan_of(spark, "tpch_q7_volume_shipping")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
