@@ -115,6 +115,13 @@ def run_ours(series: int, points: int, batches: int, day0: dt.datetime):
         t_ingest += time.perf_counter() - t0
 
     sid = "h2h.series.7" if series > 7 else "h2h.series.0"
+    # Warm file listing / codegen once (same policy as bench.py) so the
+    # timed reads measure the plans, not first-touch metadata IO.
+    store.get(
+        sid,
+        dt.datetime.fromtimestamp(day0.timestamp(), dt.timezone.utc),
+        dt.datetime.fromtimestamp(day0.timestamp() + 1, dt.timezone.utc),
+    ).collect()
     t0 = time.perf_counter()
     narrow = store.get(
         sid,
