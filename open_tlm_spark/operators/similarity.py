@@ -255,3 +255,63 @@ def ivf_assign(
         .filter(F.col("rn") == 1)
         .select("vec_id", "vec", "centroid_id")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int | None = None,
+) -> DataFrame:
+    """Full IVF search: exact cosine top-k per query, scanning ONLY the
+    query's IVF cell (nprobe=1) instead of the corpus.
+
+    embeddings: (vec_id, embedding); centroids: (centroid_id, cvec);
+    queries: (query_id, query_vec). Corpus cell assignment is the
+    persisted artifact at scale (here recomputed); the probe is a
+    broadcast of the tiny query frame against the cell-partitioned
+    corpus — per-query work is |cell| ≈ corpus/n_cells, and the
+    equi-join on centroid_id keeps the big side shuffle-partitioned
+    (same plan at 1000 executors). Candidates exclude the query row
+    itself; rank = row_number over (rounded cos desc, vec_id) so the
+    result is deterministic for the oracle.
+    """
+    corpus = normalized(
+        ivf_assign(embeddings, centroids, dim=dim), "vec", dim=dim
+    ).select("vec_id", "centroid_id", "nvec").localCheckpoint(eager=False)
+    q = (
+        normalized(
+            ivf_assign(
+                queries.select(
+                    F.col("query_id").alias("vec_id"),
+                    F.col("query_vec").alias("embedding"),
+                ),
+                centroids,
+                dim=dim,
+            ),
+            "vec",
+            dim=dim,
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("centroid_id").alias("qcell"),
+            F.col("nvec").alias("qvec"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    scored = corpus.join(
+        F.broadcast(q),
+        (F.col("centroid_id") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(dot(F.col("qvec"), F.col("nvec"), dim), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

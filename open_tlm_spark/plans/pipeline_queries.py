@@ -305,6 +305,54 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_assign(emb, centroids).select("vec_id", "centroid_id")
 
 
+@register(
+    "sim_ivf_topk",
+    oracle=f"""{NORMED_CTE},
+    c AS (SELECT vec_id AS centroid_id, nvec AS cnvec FROM normed WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, centroid_id
+      FROM (
+        SELECT a.vec_id, c.centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> a.nvec[i] * c.cnvec[i])), 6) AS cs
+        FROM normed a, c) s
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, centroid_id) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, centroid_id AS qcell
+          FROM assigned WHERE vec_id >= 8 AND vec_id < 12),
+    scored AS (
+      SELECT q.query_id, a.vec_id,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> qn.nvec[i] * an.nvec[i])), 6) AS cos_sim
+      FROM q
+      JOIN assigned a ON a.centroid_id = q.qcell AND a.vec_id <> q.query_id
+      JOIN normed qn ON qn.vec_id = q.query_id
+      JOIN normed an ON an.vec_id = a.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF search (the serving path sim_ivf_assign sets up):
+    4 query vectors each probe exactly their own cell (nprobe=1) and
+    take exact cosine top-5 within it — per-query cost is
+    |corpus|/n_cells, and the cell equi-join keeps the corpus
+    shuffle-partitioned at any scale."""
+    emb = spark.table("embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.ivf_topk(emb, centroids, queries, k=5)
+
+
 # ------------------------------------------------------------- text ops
 @register(
     "text_langid",
