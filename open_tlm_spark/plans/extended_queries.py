@@ -58,8 +58,10 @@ _GAP_S = 1800
     ),
     sess AS (
       SELECT user_id, event_id, ts,
-             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_no
+             -- CAST: DuckDB sum() OVER yields HUGEINT (int128); Spark yields
+             -- BIGINT. The driver hashes dtype-sensitively, so pin BIGINT.
+             CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM ordered
     )
     SELECT user_id, session_no,
@@ -192,12 +194,25 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch surface for 100 TB interactive queries: HLL++ distinct
     counts and approximate percentiles — single-pass, fixed memory,
     mergeable across partitions (this is what replaces exact
-    percentile/countDistinct at scale)."""
+    percentile/countDistinct at scale). Output is flat scalars (the
+    percentile array is projected to p50/p95/p99) so rows-only
+    canonicalizers can hash it."""
     ev = spark.table("events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.approx_count_distinct("value", rsd=0.01).alias("approx_values"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 1000).alias("approx_pcts"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct("value", rsd=0.01).alias("approx_values"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 1000).alias("_pcts"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            "approx_values",
+            F.col("_pcts")[0].alias("approx_p50"),
+            F.col("_pcts")[1].alias("approx_p95"),
+            F.col("_pcts")[2].alias("approx_p99"),
+        )
     )
 
 

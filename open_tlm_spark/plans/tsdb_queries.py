@@ -428,15 +428,40 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------- EWMA
-@register("ts_ewma", oracle=None)  # linear recurrence: not expressible
-# as non-recursive SQL -> driver records the weaker rows-only check
+@register(
+    "ts_ewma",
+    # The linear recurrence IS expressible in DuckDB via a per-series
+    # list() + per-row prefix list_reduce fold (O(n^2) per series —
+    # oracle-only cost, the engine path stays O(n)). Fold op order
+    # (acc*(1-a) + a*x) matches pandas ewm(adjust=False) bitwise;
+    # both sides round to 6dp.
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS dataset_id,
+             list(ts ORDER BY ts) AS tss,
+             list(value ORDER BY ts) AS vals
+      FROM events GROUP BY 1
+    ),
+    u AS (
+      SELECT dataset_id,
+             unnest(tss) AS ts,
+             unnest(vals) AS value,
+             unnest(range(1, len(vals) + 1)) AS i,
+             vals
+      FROM s
+    )
+    SELECT dataset_id, ts, value,
+           round(list_reduce(vals[1:i], (acc, x) -> acc * 0.7 + 0.3 * x), 6) AS ewma
+    FROM u
+    """,
+)
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA smoothing per series (alpha=0.3): inherently sequential,
     so it runs as an Arrow-batched grouped-map kernel (applyInPandas)
     — one shuffle on the series key, vectorized within each series."""
     from open_tlm_spark.operators.timeseries import ewma
 
-    return ewma(_points(spark), alpha=0.3)
+    return ewma(_points(spark), alpha=0.3).withColumn("ewma", F.round("ewma", 6))
 
 
 # ------------------------------------------------------- store round-trip
@@ -471,10 +496,10 @@ def store_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.put(_points(spark))
     lo = _dtm.datetime(2023, 12, 31, tzinfo=_dtm.timezone.utc)
     hi = _dtm.datetime(2024, 2, 2, tzinfo=_dtm.timezone.utc)
-    out = None
-    for r in [r.dataset_id for r in store.datasets().collect()]:
-        part = store.get(r, lo, hi, fidelity=1000)
-        out = part if out is None else out.unionByName(part)
+    # All-series read is ONE plan (dataset_id=None) — no driver-side
+    # per-series loop / N-branch union; the guard is routed around by
+    # passing the full-catalog intent explicitly.
+    out = store.get(None, lo, hi, fidelity=1000)
     return out.select(
         "dataset_id",
         "bin_ts",

@@ -28,17 +28,47 @@ class CommentStore:
         self.spark = spark
         self.path = os.path.join(base_path, "comments")
 
+    # Atomic swap protocol (single-writer Delta-lite): each rewrite
+    # lands in a fresh versioned directory, then a pointer file is
+    # flipped with os.replace (atomic on POSIX). A crash at ANY point
+    # leaves the pointer naming a complete older version — the table
+    # can never be lost, and each rewrite is ONE parquet write (the
+    # old write-tmp/re-read/overwrite did two and had a loss window).
+    _POINTER = "_CURRENT"
+
+    def _current_dir(self) -> str | None:
+        ptr = os.path.join(self.path, self._POINTER)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            version = f.read().strip()
+        d = os.path.join(self.path, version)
+        return d if os.path.exists(d) else None
+
     def _read(self) -> DataFrame:
-        if not os.path.exists(self.path):
+        d = self._current_dir()
+        if d is None:
             return self.spark.createDataFrame([], COMMENTS_SCHEMA)
-        return self.spark.read.parquet(self.path)
+        return self.spark.read.parquet(d)
 
     def _write(self, df: DataFrame) -> None:
         # Small-table rewrite; storage order is irrelevant (query-time
         # orderBy replaces the reference's sorted-file invariant, T2).
-        df.coalesce(1).write.mode("overwrite").parquet(self.path + ".tmp")
-        tmp = self.spark.read.parquet(self.path + ".tmp")
-        tmp.coalesce(1).write.mode("overwrite").parquet(self.path)
+        os.makedirs(self.path, exist_ok=True)
+        old = self._current_dir()
+        version = f"v{time.time_ns()}"
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.path, version)
+        )
+        ptr = os.path.join(self.path, self._POINTER)
+        tmp = ptr + f".{version}.tmp"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, ptr)  # atomic flip — commit point
+        if old is not None:  # best-effort GC of the superseded version
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
 
     def create(self, ts: _dt.datetime, text: str, tags: list[str]) -> int:
         """C3 create; id generation mirrors the reference's

@@ -250,7 +250,7 @@ class TelemetryStore:
 
     def get(
         self,
-        dataset_id: str,
+        dataset_id: str | list[str] | None,
         start: _dt.datetime,
         end: _dt.datetime,
         fidelity: int | str | None = "auto",
@@ -258,12 +258,22 @@ class TelemetryStore:
     ) -> DataFrame:
         """S1 + O2: exact time-range scan at an explicit or routed
         fidelity. FULL -> raw points; otherwise rollup rows with
-        mean derived (A4)."""
+        mean derived (A4).
+
+        dataset_id may be one id, a list of ids, or None (all series)
+        — multi-series reads are ONE Spark plan (isin predicate +
+        bucket-set pruning), never a driver-side per-series loop.
+        """
+        ids = (
+            None
+            if dataset_id is None
+            else [dataset_id] if isinstance(dataset_id, str) else list(dataset_id)
+        )
         start, end = _as_utc(start), _as_utc(end)
         if fidelity == "auto":
             fidelity = recommended_fidelity((end - start).total_seconds())
-        if max_result_points is not None:
-            span = (end - start).total_seconds()
+        if max_result_points is not None and ids is not None:
+            span = (end - start).total_seconds() * len(ids)
             # FULL estimated at the reference's 10 Hz design point
             est = span * 10 if fidelity is None else span / int(fidelity)
             if est > max_result_points:
@@ -274,9 +284,9 @@ class TelemetryStore:
                 )
         if fidelity is None:
             df = self._read(self.points_path, POINTS_SCHEMA)
-            cond = (F.col("dataset_id") == dataset_id) & F.col("ts").between(
-                F.lit(start), F.lit(end)
-            )
+            cond = F.col("ts").between(F.lit(start), F.lit(end))
+            if ids is not None:
+                cond = cond & F.col("dataset_id").isin(ids)
             # Explicit bound on the PARTITION column: Catalyst cannot
             # derive ds_date limits from the ts predicate, and without
             # them a narrow scan lists every day partition
@@ -285,15 +295,15 @@ class TelemetryStore:
                 cond = cond & F.col("ds_date").between(
                     F.lit(_utc_date(start)), F.lit(_utc_date(end))
                 )
-            if "ds_bucket" in df.columns:
-                # driver-side crc32 == Spark's -> prune to one bucket
-                cond = cond & (
-                    F.col("ds_bucket") == _ds_bucket(dataset_id, self.n_buckets)
+            if "ds_bucket" in df.columns and ids is not None:
+                # driver-side crc32 == Spark's -> prune to the id set's buckets
+                cond = cond & F.col("ds_bucket").isin(
+                    sorted({_ds_bucket(i, self.n_buckets) for i in ids})
                 )
             return (
                 df.filter(cond)
                 .select("dataset_id", "ts", "value")
-                .orderBy("ts")
+                .orderBy("dataset_id", "ts")
             )
         d = int(fidelity)
         df = self._read(self._rollup_path(d), ROLLUP_SCHEMA)
@@ -301,11 +311,9 @@ class TelemetryStore:
         # bin whose window overlaps [start, end] — floor the lower
         # bound to the bin grid (the bin containing `start` counts).
         lo = int(start.timestamp()) // d * d
-        cond = (
-            (F.col("dataset_id") == dataset_id)
-            & (F.col("bin_ts") >= lo)
-            & (F.col("bin_ts") <= int(end.timestamp()))
-        )
+        cond = (F.col("bin_ts") >= lo) & (F.col("bin_ts") <= int(end.timestamp()))
+        if ids is not None:
+            cond = cond & F.col("dataset_id").isin(ids)
         if "bin_date" in df.columns:  # partition pruning (see FULL path)
             cond = cond & F.col("bin_date").between(
                 F.lit(
@@ -325,7 +333,7 @@ class TelemetryStore:
                 "sum_values",
                 "count",
             )
-            .orderBy("bin_ts")
+            .orderBy("dataset_id", "bin_ts")
         )
 
     # --------------------------------------------------------- maintenance

@@ -266,3 +266,61 @@ def test_compact_preserves_data(spark, tmp_path):
 
     rows = store.get("compact.s", start, end, 1000).collect()
     assert sum(r["count"] for r in rows) == 32
+
+
+def test_multi_series_single_plan(spark, tmp_path):
+    """get() with a list of ids / None (all series) is ONE Spark plan:
+    isin predicate, no driver-side per-series union loop."""
+    store = TelemetryStore(spark, str(tmp_path))
+    from open_tlm_spark.schemas import POINTS_SCHEMA as _PS
+
+    rows = []
+    for ds in ("m.a", "m.b", "m.c"):
+        rows += [(ds, _dt(d), v) for d, v in PUT_GET_POINTS]
+    store.put(spark.createDataFrame(rows, _PS))
+
+    two = store.get(["m.a", "m.c"], START, END, fidelity=None)
+    assert "Union" not in two._jdf.queryExecution().executedPlan().toString()
+    got = {(r.dataset_id, r.ts, r.value) for r in two.collect()}
+    assert {d for d, _, _ in got} == {"m.a", "m.c"}
+    assert len(got) == 2 * len(PUT_GET_POINTS)
+
+    everything = store.get(None, START, END, fidelity=1)
+    per_series = everything.groupBy("dataset_id").count().collect()
+    assert {r.dataset_id for r in per_series} == {"m.a", "m.b", "m.c"}
+    # within-series ordering preserved (dataset_id, ts)
+    ordered = two.collect()
+    assert ordered == sorted(ordered, key=lambda r: (r.dataset_id, r.ts))
+
+
+def test_comment_write_is_atomic(spark, tmp_path, monkeypatch):
+    """A crash at ANY point during a comment rewrite leaves the table
+    readable at its previous state (versioned dir + pointer flip)."""
+    import os as _os
+
+    from open_tlm_spark.store.comments import CommentStore
+
+    cs = CommentStore(spark, str(tmp_path))
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    cid = cs.create(t0, "first", ["keep"])
+    assert cs.get(t0, t0, ["keep"]).count() == 1
+
+    # crash-inject: the atomic pointer flip never happens
+    real_replace = _os.replace
+
+    def boom(src, dst):
+        raise OSError("simulated crash before commit point")
+
+    monkeypatch.setattr(_os, "replace", boom)
+    with pytest.raises(OSError):
+        cs.create(t0, "second", ["keep"])
+    monkeypatch.setattr(_os, "replace", real_replace)
+
+    # table intact at the pre-crash version, not lost / half-written
+    rows = cs.get(t0, t0, ["keep"]).collect()
+    assert [r.id for r in rows] == [cid]
+    assert rows[0].text == "first"
+
+    # and a subsequent healthy write commits both rows
+    cs.create(t0, "third", ["keep"])
+    assert cs.get(t0, t0, ["keep"]).count() == 2
