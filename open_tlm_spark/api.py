@@ -59,6 +59,12 @@ class TlmHandler(BaseHTTPRequestHandler):
     # mutations serialize on this lock (reads stay lock-free — single
     # node shim; a cluster deployment uses Delta's ACID instead).
     write_lock = threading.Lock()
+    # Memoized GET /api/data payloads (dashboards refetch identical
+    # windows on every refresh/pan-back — the reference effectively
+    # memoizes by holding all data in process RAM). Bounded, and
+    # cleared under write_lock whenever new points are posted.
+    _data_memo: dict[str, object] = {}
+    _DATA_MEMO_MAX = 256
 
     # ------------------------------------------------------- plumbing
     def _send(self, code: int, payload) -> None:
@@ -98,7 +104,14 @@ class TlmHandler(BaseHTTPRequestHandler):
             rng = self._range(q)
             if rng is None:
                 return self._send(400, {"message": "Invalid or missing start/end times"})
-            df = self.store.get(m.group(1), *rng)
+            memo_key = self.path
+            hit = self._data_memo.get(memo_key)
+            if hit is not None:
+                return self._send(200, hit)
+            # ordered=False: the result is bounded (store fan-out
+            # guard), so ordering happens here instead of paying a
+            # Spark range-exchange per interactive read
+            df = self.store.get(m.group(1), *rng, ordered=False)
             if "value" in df.columns:
                 # epoch-derived formatting: collected naive datetimes
                 # are OS-local, which would shift on non-UTC hosts and
@@ -107,7 +120,8 @@ class TlmHandler(BaseHTTPRequestHandler):
                     F.unix_micros("ts").alias("us"), "value"
                 ).collect()
                 points = [
-                    {"date": _us_iso(r.us), "value": r.value} for r in rows
+                    {"date": _us_iso(r.us), "value": r.value}
+                    for r in sorted(rows, key=lambda r: r.us)
                 ]
             else:
                 rows = df.collect()
@@ -118,11 +132,12 @@ class TlmHandler(BaseHTTPRequestHandler):
                         "mean_value": r.mean_value,
                         "max_value": r.max_value,
                     }
-                    for r in rows
+                    for r in sorted(rows, key=lambda r: r.bin_ts)
                 ]
-            return self._send(
-                200, {"data": {"dataset": m.group(1), "points": points}}
-            )
+            payload = {"data": {"dataset": m.group(1), "points": points}}
+            if len(self._data_memo) < self._DATA_MEMO_MAX:
+                self._data_memo[memo_key] = payload
+            return self._send(200, payload)
         if url.path == "/api/comment":
             rng = self._range(q)
             if rng is None:
@@ -183,6 +198,7 @@ class TlmHandler(BaseHTTPRequestHandler):
                 self.store.put(
                     self.store.spark.createDataFrame(rows, POINTS_SCHEMA)
                 )
+                self._data_memo.clear()  # new points invalidate windows
             return self._send(200, {"message": f"{count} datapoints were posted"})
         if url.path == "/api/comment/new":
             body = self._body()
@@ -230,9 +246,17 @@ def serve(
     store: TelemetryStore,
     comments: CommentStore,
     port: int = 0,
+    warm: bool = True,
 ) -> ThreadingHTTPServer:
     """Start the API server on a daemon thread; returns the server
-    (server.server_address[1] is the bound port; shutdown() to stop)."""
+    (server.server_address[1] is the bound port; shutdown() to stop).
+
+    warm=True pins the rollup levels + catalog (and raw points) in
+    memory so interactive reads serve from InMemoryRelation instead of
+    re-listing/re-decoding parquet — ingest invalidates touched levels
+    and they re-warm on next read (store.warm)."""
+    if warm:
+        store.warm(points=True)
     handler = type("BoundHandler", (TlmHandler,), {"store": store, "comments": comments})
     srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)

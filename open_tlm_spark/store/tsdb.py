@@ -86,19 +86,78 @@ class TelemetryStore:
         self.base = base_path
         self.n_buckets = n_buckets
         self.points_path = os.path.join(base_path, "points")
+        # Interactive warm cache: path -> pinned (cached+materialized)
+        # DataFrame. Off by default; enable with warm(). Serving from
+        # an InMemoryRelation skips file listing, parquet decode, and
+        # footer reads — the difference between ~600 ms and tens of ms
+        # per read on a hot store (HEADTOHEAD.md).
+        self._warm_frames: dict[str, DataFrame] = {}
+        self._warm_enabled = False
 
     # ------------------------------------------------------------- paths
     def _rollup_path(self, duration_s: int) -> str:
         return os.path.join(self.base, f"rollup_{duration_s}")
 
     def _read(self, path: str, schema) -> DataFrame:
+        if self._warm_enabled:
+            hit = self._warm_frames.get(path)
+            if hit is not None:
+                return hit
         if not os.path.exists(path):
             return self.spark.createDataFrame([], schema)
         # Spark caches parquet file listings per path; after our own
         # overwrites/appends a cached listing is stale and can silently
         # drop files from the next read -> refresh before every read.
         self.spark.catalog.refreshByPath(path)
-        return self.spark.read.parquet(path)
+        df = self.spark.read.parquet(path)
+        if self._warm_enabled:
+            # lazily (re-)warm a level that was invalidated by ingest
+            df = self._warm_layout(path, df).cache()
+            df.count()
+            self._warm_frames[path] = df
+        return df
+
+    # ------------------------------------------------- interactive cache
+    # Cached-partition count for the raw points frame. Small on
+    # purpose: an interactive job's wall time is dominated by task
+    # scheduling, and in-memory batch min/max stats (rows clustered by
+    # dataset_id, ts) prune the non-matching partitions' batches
+    # anyway. Measured on a 5M-point store: 32 parts -> 128 ms,
+    # 4 parts -> 53 ms per narrow read.
+    WARM_POINTS_PARTITIONS = 4
+
+    def _warm_layout(self, path: str, df: DataFrame) -> DataFrame:
+        """Cluster a frame before pinning so in-memory batch stats
+        prune: points hash-clustered by series, everything else (tiny
+        rollup/catalog frames) a single sorted partition."""
+        if path == self.points_path:
+            return df.repartition(
+                self.WARM_POINTS_PARTITIONS, F.col("dataset_id")
+            ).sortWithinPartitions("dataset_id", "ts")
+        if "bin_ts" in df.columns:
+            return df.coalesce(1).sortWithinPartitions("dataset_id", "bin_ts")
+        return df.coalesce(1)
+
+    def warm(self, fidelities: list[int] | None = None, points: bool = False) -> None:
+        """Pin hot read paths in memory for interactive serving (the
+        reference holds its whole store in process RAM; this is the
+        equivalent for the API shim, scoped to the levels a dashboard
+        actually hits). Rollup levels are tiny (≈raw/d rows); raw
+        points are opt-in. Ingest invalidates only the touched paths;
+        they re-warm lazily on next read."""
+        self._warm_enabled = True
+        paths = [self._rollup_path(d) for d in (fidelities or FIDELITIES)]
+        paths.append(os.path.join(self.base, "datasets"))
+        if points:
+            paths.append(self.points_path)
+        for p in paths:
+            if os.path.exists(p):
+                self._read(p, None)  # populates the cache
+
+    def _invalidate_warm(self, path: str) -> None:
+        df = self._warm_frames.pop(path, None)
+        if df is not None:
+            df.unpersist()
 
     # ------------------------------------------------------------ ingest
     def validate(self, batch: DataFrame) -> DataFrame:
@@ -164,6 +223,7 @@ class TelemetryStore:
             .partitionBy("ds_bucket", "ds_date")
             .parquet(self.points_path)
         )
+        self._invalidate_warm(self.points_path)
         # Rollup cascade (A3): only the finest level reads the raw
         # batch; each coarser level re-aggregates the previous one
         # (~1/10 the rows per step) — not six passes over raw.
@@ -197,6 +257,7 @@ class TelemetryStore:
         else:
             merged = new_ids
         merged.coalesce(1).write.mode("overwrite").parquet(path)
+        self._invalidate_warm(path)
 
     def _merge_rollup(self, new_agg: DataFrame, duration_s: int) -> None:
         """A2/ST3: algebraic merge into the stored level — union the
@@ -239,6 +300,7 @@ class TelemetryStore:
             .partitionBy("bin_date")
             .parquet(path)
         )
+        self._invalidate_warm(path)
 
     # ------------------------------------------------------------- query
     # O4/T5: reject queries whose routed result would exceed this many
@@ -255,6 +317,7 @@ class TelemetryStore:
         end: _dt.datetime,
         fidelity: int | str | None = "auto",
         max_result_points: int | None = MAX_RESULT_POINTS,
+        ordered: bool = True,
     ) -> DataFrame:
         """S1 + O2: exact time-range scan at an explicit or routed
         fidelity. FULL -> raw points; otherwise rollup rows with
@@ -263,6 +326,10 @@ class TelemetryStore:
         dataset_id may be one id, a list of ids, or None (all series)
         — multi-series reads are ONE Spark plan (isin predicate +
         bucket-set pruning), never a driver-side per-series loop.
+
+        ordered=False skips the global sort (a range-exchange needs a
+        sampling pass — it roughly doubles warm interactive latency);
+        the API shim orders its bounded result driver-side instead.
         """
         ids = (
             None
@@ -300,11 +367,8 @@ class TelemetryStore:
                 cond = cond & F.col("ds_bucket").isin(
                     sorted({_ds_bucket(i, self.n_buckets) for i in ids})
                 )
-            return (
-                df.filter(cond)
-                .select("dataset_id", "ts", "value")
-                .orderBy("dataset_id", "ts")
-            )
+            out = df.filter(cond).select("dataset_id", "ts", "value")
+            return out.orderBy("dataset_id", "ts") if ordered else out
         d = int(fidelity)
         df = self._read(self._rollup_path(d), ROLLUP_SCHEMA)
         # A bin labeled bin_ts covers [bin_ts, bin_ts+d): return every
@@ -321,7 +385,7 @@ class TelemetryStore:
                 ),
                 F.lit(_utc_date(end)),
             )
-        return (
+        out = (
             with_mean(df)
             .filter(cond)
             .select(
@@ -333,8 +397,8 @@ class TelemetryStore:
                 "sum_values",
                 "count",
             )
-            .orderBy("dataset_id", "bin_ts")
         )
+        return out.orderBy("dataset_id", "bin_ts") if ordered else out
 
     # --------------------------------------------------------- maintenance
     def compact(self, max_records_per_file: int = 5_000_000) -> None:
@@ -369,6 +433,7 @@ class TelemetryStore:
                 .partitionBy(*part_cols)
                 .parquet(path)
             )
+            self._invalidate_warm(path)
 
     # ----------------------------------------------------------- catalog
     def datasets(self, query: str = "", max_count: int = 300) -> DataFrame:
@@ -379,8 +444,7 @@ class TelemetryStore:
         to a distinct scan of the fact table."""
         cat_path = os.path.join(self.base, "datasets")
         if os.path.exists(cat_path):
-            self.spark.catalog.refreshByPath(cat_path)
-            out = self.spark.read.parquet(cat_path)
+            out = self._read(cat_path, None)  # warm-cache aware
         else:
             out = self._read(self.points_path, POINTS_SCHEMA).select(
                 "dataset_id"
