@@ -61,10 +61,21 @@ class TlmHandler(BaseHTTPRequestHandler):
     write_lock = threading.Lock()
     # Memoized GET /api/data payloads (dashboards refetch identical
     # windows on every refresh/pan-back — the reference effectively
-    # memoizes by holding all data in process RAM). Bounded, and
-    # cleared under write_lock whenever new points are posted.
+    # memoizes by holding all data in process RAM). Bounded, cleared
+    # under write_lock whenever new points are posted, and scoped
+    # PER SERVER: serve() installs a fresh dict + lock + generation
+    # counter in each BoundHandler, so two servers over different
+    # stores can never serve each other's cached payloads. These
+    # class-level defaults only back direct TlmHandler use.
     _data_memo: dict[str, object] = {}
     _DATA_MEMO_MAX = 256
+    # Ingest generation, bumped under write_lock by every data POST.
+    # A GET captures it before reading; a payload computed against a
+    # superseded generation is served but never memoized (otherwise a
+    # slow pre-ingest read could win the race with POST's clear() and
+    # pin a stale window forever). List, not int: handler instances
+    # are per-request, so mutation must hit shared state.
+    _gen: list[int] = [0]
 
     # ------------------------------------------------------- plumbing
     def _send(self, code: int, payload) -> None:
@@ -108,6 +119,7 @@ class TlmHandler(BaseHTTPRequestHandler):
             hit = self._data_memo.get(memo_key)
             if hit is not None:
                 return self._send(200, hit)
+            gen0 = self._gen[0]
             # ordered=False: the result is bounded (store fan-out
             # guard), so ordering happens here instead of paying a
             # Spark range-exchange per interactive read
@@ -135,8 +147,12 @@ class TlmHandler(BaseHTTPRequestHandler):
                     for r in sorted(rows, key=lambda r: r.bin_ts)
                 ]
             payload = {"data": {"dataset": m.group(1), "points": points}}
-            if len(self._data_memo) < self._DATA_MEMO_MAX:
-                self._data_memo[memo_key] = payload
+            with self.write_lock:
+                if (
+                    self._gen[0] == gen0
+                    and len(self._data_memo) < self._DATA_MEMO_MAX
+                ):
+                    self._data_memo[memo_key] = payload
             return self._send(200, payload)
         if url.path == "/api/comment":
             rng = self._range(q)
@@ -198,6 +214,7 @@ class TlmHandler(BaseHTTPRequestHandler):
                 self.store.put(
                     self.store.spark.createDataFrame(rows, POINTS_SCHEMA)
                 )
+                self._gen[0] += 1  # in-flight GETs must not memoize
                 self._data_memo.clear()  # new points invalidate windows
             return self._send(200, {"message": f"{count} datapoints were posted"})
         if url.path == "/api/comment/new":
@@ -257,7 +274,18 @@ def serve(
     and they re-warm on next read (store.warm)."""
     if warm:
         store.warm(points=True)
-    handler = type("BoundHandler", (TlmHandler,), {"store": store, "comments": comments})
+    handler = type(
+        "BoundHandler",
+        (TlmHandler,),
+        {
+            "store": store,
+            "comments": comments,
+            # per-server state — never shared across serve() calls
+            "_data_memo": {},
+            "_gen": [0],
+            "write_lock": threading.Lock(),
+        },
+    )
     srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()

@@ -364,7 +364,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(n_words) AS total_tokens,
+           CAST(sum(n_words) AS BIGINT) AS total_tokens,
            round(avg(n_words), 6) AS avg_tokens
     FROM deduped
     GROUP BY source

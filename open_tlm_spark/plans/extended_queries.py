@@ -216,6 +216,30 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "distinct_stats_exact",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT value) AS n_values
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated exact companion to approx_distinct_stats: same
+    grouping, same inputs, exact count(DISTINCT). Proves the sketch
+    query's plumbing (grouping keys, column reads, per-type rows)
+    against DuckDB even though HLL estimates themselves are
+    engine-specific; tests/test_operators.py pins the sketch values
+    within rsd bounds against this exact path."""
+    ev = spark.table("events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("value").alias("n_values"),
+    )
+
+
 # ----------------------------------------------------------- ranked window
 @register(
     "rank_parts_in_brand",
@@ -400,7 +424,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT media_type, codec,
            count(*) AS n_items,
-           sum(n_bytes) AS total_bytes,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            max(n_bytes) AS max_bytes
     FROM media
     GROUP BY media_type, codec

@@ -144,3 +144,41 @@ def test_comment_crud(api):
         f"{api}/api/comment?start=2024-01-01T00:00:00&end=2024-01-02T00:00:00"
     )
     assert body["comments"] == []
+
+
+def test_two_servers_do_not_share_memo(spark, tmp_path):
+    """Two serve() instances over distinct stores must keep separate
+    /api/data memo caches: the same path on server B must NOT return
+    server A's cached payload (per-server _data_memo/_gen/_lock are
+    installed by serve(); regression for the shared-class-attr bug)."""
+    urls, srvs = [], []
+    for sub, val in (("a", 1.0), ("b", 2.0)):
+        store = TelemetryStore(spark, str(tmp_path / sub))
+        comments = CommentStore(spark, str(tmp_path / sub))
+        srv = serve(store, comments, warm=False)
+        srvs.append(srv)
+        urls.append(f"http://127.0.0.1:{srv.server_address[1]}")
+        _req(
+            f"{urls[-1]}/api/data",
+            "POST",
+            {
+                "data": [
+                    {
+                        "dataset_id": "shared.name",
+                        "points": [{"date": "2024-01-01T00:00:00", "value": val}],
+                    }
+                ]
+            },
+        )
+    try:
+        path = "/api/data/shared.name?start=2024-01-01T00:00:00&end=2024-01-01T00:01:00"
+        # prime server A's memo, then read the SAME path from server B
+        _, body_a = _req(urls[0] + path)
+        _, body_a2 = _req(urls[0] + path)  # memo hit on A
+        _, body_b = _req(urls[1] + path)
+        assert [p["value"] for p in body_a["data"]["points"]] == [1.0]
+        assert body_a2 == body_a
+        assert [p["value"] for p in body_b["data"]["points"]] == [2.0]
+    finally:
+        for srv in srvs:
+            srv.shutdown()

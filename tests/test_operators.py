@@ -273,3 +273,42 @@ def test_lsh_bucket_topk_agrees_with_bruteforce(spark):
     assert lsh, "LSH buckets unexpectedly empty"
     for pair, score in lsh.items():
         assert bf[pair] == pytest.approx(score, abs=1e-9)
+
+
+def test_approx_sketches_within_rsd_bounds(spark):
+    """approx_distinct_stats can't be hash-gated (HLL/quantile
+    sketches are engine-specific), so pin it here: every HLL distinct
+    estimate within its configured rsd (x5 slack) of the exact
+    count, and every approx percentile within the neighboring exact
+    percentile band, on the real sf0.001 events table."""
+    sf_dir = "/root/testdata/sf0.001"
+    from open_tlm_spark.plans.extended_queries import (
+        approx_distinct_stats,
+        distinct_stats_exact,
+    )
+    from open_tlm_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    approx = {r["event_type"]: r for r in approx_distinct_stats(spark, sf_dir).collect()}
+    exact = {r["event_type"]: r for r in distinct_stats_exact(spark, sf_dir).collect()}
+    pcts = {
+        r["event_type"]: r
+        for r in spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, array(0.45, 0.5, 0.55))").alias("p50_band"),
+            F.expr("percentile(value, array(0.90, 0.95, 0.975))").alias("p95_band"),
+            F.expr("percentile(value, array(0.97, 0.99, 0.999))").alias("p99_band"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for et, a in approx.items():
+        e = exact[et]
+        # default rsd 0.05 for users, 0.01 for values; allow 5x slack
+        assert abs(a["approx_users"] - e["n_users"]) <= max(3, 0.25 * e["n_users"])
+        assert abs(a["approx_values"] - e["n_values"]) <= max(3, 0.05 * e["n_values"])
+        p = pcts[et]
+        for key, band in (("approx_p50", "p50_band"), ("approx_p95", "p95_band"), ("approx_p99", "p99_band")):
+            lo, _, hi = p[band]
+            assert lo - 1e-9 <= a[key] <= hi + 1e-9, f"{et} {key}={a[key]} outside [{lo},{hi}]"
