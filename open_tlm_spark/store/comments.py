@@ -65,10 +65,18 @@ class CommentStore:
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, ptr)  # atomic flip — commit point
-        if old is not None:  # best-effort GC of the superseded version
-            import shutil
+        # Lazy GC: keep the immediately-superseded version (a
+        # lock-free reader that resolved _current_dir() just before
+        # the flip may still be listing/opening its files) and delete
+        # only versions older than N-1. A reader is only broken if
+        # TWO full writes complete inside its single read — the
+        # accepted single-writer-shim grace window.
+        import shutil
 
-            shutil.rmtree(old, ignore_errors=True)
+        keep = {version, os.path.basename(old)} if old else {version}
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name not in keep:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
     def create(self, ts: _dt.datetime, text: str, tags: list[str]) -> int:
         """C3 create; id generation mirrors the reference's

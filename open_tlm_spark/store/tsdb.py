@@ -92,6 +92,9 @@ class TelemetryStore:
         # footer reads — the difference between ~600 ms and tens of ms
         # per read on a hot store (HEADTOHEAD.md).
         self._warm_frames: dict[str, DataFrame] = {}
+        # Superseded warm frames awaiting unpersist (grace GC — see
+        # _invalidate_warm).
+        self._retired_warm: dict[str, DataFrame] = {}
         self._warm_enabled = False
 
     # ------------------------------------------------------------- paths
@@ -155,9 +158,22 @@ class TelemetryStore:
                 self._read(p, None)  # populates the cache
 
     def _invalidate_warm(self, path: str) -> None:
+        """Retire the pinned frame for a rewritten path WITHOUT
+        unpersisting it immediately: a lock-free reader that already
+        resolved this frame would otherwise recompute from lineage
+        against files the overwrite just replaced (missing-file
+        errors / partial results). The superseded frame stays cached
+        until the NEXT invalidation of the same path — one full
+        ingest cycle of grace — then is unpersisted. Costs at most
+        one extra pinned copy per recently-rewritten path; readers
+        racing TWO complete ingests remain the documented
+        single-writer-shim limitation."""
+        prev = self._retired_warm.pop(path, None)
+        if prev is not None:
+            prev.unpersist()
         df = self._warm_frames.pop(path, None)
         if df is not None:
-            df.unpersist()
+            self._retired_warm[path] = df
 
     # ------------------------------------------------------------ ingest
     def validate(self, batch: DataFrame) -> DataFrame:

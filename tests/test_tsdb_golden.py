@@ -324,3 +324,30 @@ def test_comment_write_is_atomic(spark, tmp_path, monkeypatch):
     # and a subsequent healthy write commits both rows
     cs.create(t0, "third", ["keep"])
     assert cs.get(t0, t0, ["keep"]).count() == 2
+
+
+def test_comment_gc_keeps_previous_version(spark, tmp_path):
+    """Version GC is lazy: after each write the immediately-superseded
+    version directory must still exist (lock-free readers may hold
+    it), while versions older than N-1 are deleted."""
+    import datetime as dt
+    import os
+
+    from open_tlm_spark.store.comments import CommentStore
+
+    cs = CommentStore(spark, str(tmp_path))
+
+    def versions():
+        return sorted(
+            n for n in os.listdir(cs.path) if n.startswith("v")
+        )
+
+    cs.create(dt.datetime(2024, 1, 1), "one", [])
+    assert len(versions()) == 1
+    cs.create(dt.datetime(2024, 1, 2), "two", [])
+    v2 = versions()
+    assert len(v2) == 2  # current + superseded kept for readers
+    cs.create(dt.datetime(2024, 1, 3), "three", [])
+    v3 = versions()
+    assert len(v3) == 2 and v3[0] == v2[1]  # N-2 gone, N-1 kept
+    assert {r.text for r in cs._read().collect()} == {"one", "two", "three"}
