@@ -59,6 +59,7 @@ _CHECK_FIRST = [
     "docs_clean_pipeline",
     "approx_distinct_stats",
     "distinct_stats_exact",
+    "metrics_loop_series",
     "asof_align_series",
     "cube_order_stats",
     "percentiles_by_event_type",

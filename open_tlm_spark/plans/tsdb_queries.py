@@ -509,3 +509,57 @@ def store_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_values", 6).alias("sum_values"),
         "count",
     )
+
+
+# ----------------------------------------------------------------- A9/S12
+@register(
+    "metrics_loop_series",
+    bench=False,  # ingests state each run — correctness gate only
+    oracle="""
+    WITH n AS (
+      SELECT CAST(least(3, count(DISTINCT CAST(ts AS DATE))) AS BIGINT) AS d
+      FROM events
+    )
+    SELECT 'tlm.metrics.num_gets' AS dataset_id, d AS n_samples,
+           CAST(d AS DOUBLE) AS last_value
+    FROM n
+    UNION ALL
+    SELECT 'tlm.metrics.num_puts' AS dataset_id, d AS n_samples,
+           CAST(d AS DOUBLE) AS last_value
+    FROM n
+    """,
+)
+def metrics_loop_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/S12 end-to-end: drive the store with one put + one get per
+    day for the first 3 event days, flush_metrics() after each cycle
+    (the reference's poll/flush loop, src/metrics/loop.py:59-61), then
+    read num_puts/num_gets back FROM THE STORE as ordinary series.
+    Counter samples are 1,2,3 -> n_samples=3, last_value=3.0 per
+    series; the oracle derives the same from the events table alone,
+    so equality proves counters route through the full ingest path
+    (validate -> raw append -> rollup cascade) and back out get()."""
+    import datetime as _dtm
+    import tempfile
+
+    from open_tlm_spark.store import TelemetryStore
+
+    ev = spark.table("events")
+    days = sorted(
+        r[0] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()
+    )[:3]
+    store = TelemetryStore(spark, tempfile.mkdtemp(prefix="tlm_metrics_"))
+    pts = _points(spark)
+    for i, day in enumerate(days):
+        store.put(pts.filter(F.to_date("ts") == F.lit(day)))
+        lo = _dtm.datetime.combine(day, _dtm.time(), tzinfo=_dtm.timezone.utc)
+        store.get("purchase", lo, lo + _dtm.timedelta(days=1), fidelity=None)
+        store.flush_metrics(_dtm.datetime(2030, 1, 1, 0, 0, i, tzinfo=_dtm.timezone.utc))
+    lo = _dtm.datetime(2030, 1, 1, tzinfo=_dtm.timezone.utc)
+    hi = _dtm.datetime(2030, 1, 1, 0, 1, tzinfo=_dtm.timezone.utc)
+    out = store.get(
+        ["tlm.metrics.num_puts", "tlm.metrics.num_gets"], lo, hi, fidelity=None
+    )
+    return out.groupBy("dataset_id").agg(
+        F.count("value").alias("n_samples"),
+        F.max("value").alias("last_value"),
+    )

@@ -96,6 +96,11 @@ class TelemetryStore:
         # _invalidate_warm).
         self._retired_warm: dict[str, DataFrame] = {}
         self._warm_enabled = False
+        # A9/S12 self-telemetry counters (the reference's num_puts /
+        # num_gets, src/metrics/loop.py:59-61) — sampled into the
+        # store itself by flush_metrics().
+        self.num_puts = 0
+        self.num_gets = 0
 
     # ------------------------------------------------------------- paths
     def _rollup_path(self, duration_s: int) -> str:
@@ -191,13 +196,18 @@ class TelemetryStore:
             .dropDuplicates(["dataset_id", "ts"])
         )
 
-    def put(self, batch: DataFrame) -> None:
+    def put(self, batch: DataFrame, _count: bool = True) -> None:
         """S6: append raw + upsert every rollup level.
 
         One pass over the batch for the 1 s level; each coarser level
         re-aggregates the incoming batch (cheap — batch-local), then
         merges into the stored table partition-locally.
+
+        _count=False exempts internal writes (metric flushes) from the
+        num_puts counter, so the published series counts client puts.
         """
+        if _count:
+            self.num_puts += 1
         batch = self.validate(batch).select("dataset_id", "ts", "value")
         if batch.isEmpty():
             return  # nothing valid to ingest (also: empty micro-batches)
@@ -255,6 +265,23 @@ class TelemetryStore:
             level = level.localCheckpoint(eager=False)
             self._merge_rollup(level, d)
         self._merge_catalog(batch)
+
+    def flush_metrics(
+        self, ts: _dt.datetime, prefix: str = "tlm.metrics"
+    ) -> None:
+        """A9/S12: sample the store's own counters into the store as
+        first-class series (<prefix>.num_puts / <prefix>.num_gets) —
+        the reference's metrics loop snapshots its counters every
+        flush interval and posts them through the normal ingest path
+        (src/metrics/loop.py:59-61). The flush put itself is exempt
+        from num_puts (client-call semantics)."""
+        rows = [
+            (f"{prefix}.num_puts", _as_utc(ts), float(self.num_puts)),
+            (f"{prefix}.num_gets", _as_utc(ts), float(self.num_gets)),
+        ]
+        self.put(
+            self.spark.createDataFrame(rows, POINTS_SCHEMA), _count=False
+        )
 
     def _merge_catalog(self, batch: DataFrame) -> None:
         """C1: maintain the dataset catalog as a tiny dimension table
@@ -347,6 +374,7 @@ class TelemetryStore:
         sampling pass — it roughly doubles warm interactive latency);
         the API shim orders its bounded result driver-side instead.
         """
+        self.num_gets += 1
         ids = (
             None
             if dataset_id is None

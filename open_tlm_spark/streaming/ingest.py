@@ -169,24 +169,23 @@ def start_metrics_stream(
     flushed into the store every `flush_seconds` (the reference's
     poll-1s/flush-10s metrics loop, src/metrics/loop.py:59-61).
 
-    Emits one series per metric; here the rate stream's own
-    throughput stands in for the reference's num_puts/num_gets
-    counters (engine metrics come from StreamingQueryListener at
-    deployment time).
+    Each micro-batch snapshots the store's REAL num_puts/num_gets
+    counters (store.flush_metrics) — one point per metric series per
+    flush, stamped with the batch's latest tick time. The rate source
+    supplies the cadence; the counters supply the values — the same
+    split as the reference's sampler thread vs counter state.
     """
     spark = store.spark
     rate = spark.readStream.format("rate").option("rowsPerSecond", sample_hz).load()
-    points = rate.select(
-        F.concat(F.lit(dataset_prefix), F.lit(".rate_value")).alias("dataset_id"),
-        F.col("timestamp").alias("ts"),
-        F.col("value").cast("double").alias("value"),
-    )
+    ticks = rate.select(F.col("timestamp").alias("ts"))
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        store.put(batch)
+        last = batch.agg(F.max("ts").alias("ts")).collect()[0].ts
+        if last is not None:  # empty ticks -> nothing to stamp
+            store.flush_metrics(last, prefix=dataset_prefix)
 
     return (
-        points.writeStream.foreachBatch(_sink)
+        ticks.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{flush_seconds} seconds")
         .start()

@@ -175,3 +175,50 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
         q.stop()
     got = sorted((r.dataset_id, r.value) for r in rows)
     assert got == [("a", 1.0), ("a", 2.0), ("b", 9.0)]
+
+
+def test_metrics_stream_flushes_real_counters(spark, tmp_path):
+    """S12/A9: the self-telemetry stream must snapshot the store's
+    REAL num_puts/num_gets counters into the store as series — not a
+    stand-in value. Drive one put + one get, then wait for a flush
+    whose sampled values reflect them."""
+    import datetime as dt
+
+    from open_tlm_spark.schemas import POINTS_SCHEMA
+    from open_tlm_spark.streaming import start_metrics_stream
+
+    store = TelemetryStore(spark, str(tmp_path / "store"))
+    store.put(
+        spark.createDataFrame(
+            [("m1", dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc), 1.0)],
+            POINTS_SCHEMA,
+        )
+    )
+    store.get(
+        "m1",
+        dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc),
+        dt.datetime(2024, 1, 1, 0, 1, tzinfo=dt.timezone.utc),
+        fidelity=None,
+    )
+    q = start_metrics_stream(
+        store, str(tmp_path / "ckpt"), flush_seconds=1.0
+    )
+    try:
+        def _flushed():
+            df = spark.read.parquet(store.points_path).filter(
+                F.col("dataset_id").startswith("tlm.metrics.")
+            )
+            vals = {
+                r.dataset_id: r.value
+                for r in df.groupBy("dataset_id")
+                .agg(F.max("value").alias("value"))
+                .collect()
+            }
+            return (
+                vals.get("tlm.metrics.num_puts", 0) >= 1
+                and vals.get("tlm.metrics.num_gets", 0) >= 1
+            )
+
+        assert _wait(_flushed, timeout_s=90), "counters never flushed"
+    finally:
+        q.stop()
