@@ -130,8 +130,11 @@ class TelemetryStore:
     # purpose: an interactive job's wall time is dominated by task
     # scheduling, and in-memory batch min/max stats (rows clustered by
     # dataset_id, ts) prune the non-matching partitions' batches
-    # anyway. Measured on a 5M-point store: 32 parts -> 128 ms,
-    # 4 parts -> 53 ms per narrow read.
+    # anyway. Measured on a 5M-point warm store: re-collecting an
+    # already-built plan takes ~55 ms; a FRESH interactive request
+    # adds ~35-50 ms of DataFrame build + Catalyst compile on top
+    # (~90 ms median end-to-end with the slim warm predicate —
+    # HEADTOHEAD.md), a fixed cost independent of store size.
     WARM_POINTS_PARTITIONS = 4
 
     def _warm_layout(self, path: str, df: DataFrame) -> DataFrame:
@@ -394,6 +397,9 @@ class TelemetryStore:
                     "coarser fidelity or use auto-routing"
                 )
         if fidelity is None:
+            warm_hit = (
+                self._warm_enabled and self.points_path in self._warm_frames
+            )
             df = self._read(self.points_path, POINTS_SCHEMA)
             cond = F.col("ts").between(F.lit(start), F.lit(end))
             if ids is not None:
@@ -402,11 +408,16 @@ class TelemetryStore:
             # derive ds_date limits from the ts predicate, and without
             # them a narrow scan lists every day partition
             # (PartitionFilters: [] — caught by tools/scale_smoke.py).
-            if "ds_date" in df.columns:
+            # Skipped on a warm hit: the partition columns are exactly
+            # derived from ts/dataset_id (redundant on an in-memory
+            # frame whose batch stats prune on those directly), and a
+            # leaner tree cuts ~35 ms of per-request plan compile —
+            # the fixed cost that dominates interactive latency.
+            if "ds_date" in df.columns and not warm_hit:
                 cond = cond & F.col("ds_date").between(
                     F.lit(_utc_date(start)), F.lit(_utc_date(end))
                 )
-            if "ds_bucket" in df.columns and ids is not None:
+            if "ds_bucket" in df.columns and ids is not None and not warm_hit:
                 # driver-side crc32 == Spark's -> prune to the id set's buckets
                 cond = cond & F.col("ds_bucket").isin(
                     sorted({_ds_bucket(i, self.n_buckets) for i in ids})
@@ -414,7 +425,9 @@ class TelemetryStore:
             out = df.filter(cond).select("dataset_id", "ts", "value")
             return out.orderBy("dataset_id", "ts") if ordered else out
         d = int(fidelity)
-        df = self._read(self._rollup_path(d), ROLLUP_SCHEMA)
+        rollup_path = self._rollup_path(d)
+        warm_hit = self._warm_enabled and rollup_path in self._warm_frames
+        df = self._read(rollup_path, ROLLUP_SCHEMA)
         # A bin labeled bin_ts covers [bin_ts, bin_ts+d): return every
         # bin whose window overlaps [start, end] — floor the lower
         # bound to the bin grid (the bin containing `start` counts).
@@ -422,7 +435,8 @@ class TelemetryStore:
         cond = (F.col("bin_ts") >= lo) & (F.col("bin_ts") <= int(end.timestamp()))
         if ids is not None:
             cond = cond & F.col("dataset_id").isin(ids)
-        if "bin_date" in df.columns:  # partition pruning (see FULL path)
+        # partition pruning (see FULL path; skipped on warm hits)
+        if "bin_date" in df.columns and not warm_hit:
             cond = cond & F.col("bin_date").between(
                 F.lit(
                     _dt.datetime.fromtimestamp(lo, tz=_dt.timezone.utc).date()

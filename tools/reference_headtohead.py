@@ -57,25 +57,21 @@ def run_reference(series: int, points: int, batches: int, day0: dt.datetime):
             t_ingest += time.perf_counter() - t0
 
     sid = "h2h.series.7" if series > 7 else "h2h.series.0"
-    t0 = time.perf_counter()
-    narrow = index.get(
-        sid,
-        dt.datetime.fromtimestamp(day0.timestamp() + 60),
-        dt.datetime.fromtimestamp(day0.timestamp() + 360),
+    narrow, t_narrow = _median_timed(
+        lambda: index.get(
+            sid,
+            dt.datetime.fromtimestamp(day0.timestamp() + 60),
+            dt.datetime.fromtimestamp(day0.timestamp() + 360),
+        )
     )
-    t_narrow = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    wide = index.get(
-        sid,
-        dt.datetime.fromtimestamp(day0.timestamp() - 86400),
-        dt.datetime.fromtimestamp(day0.timestamp() + 86400 * (batches + 1)),
+    wide, t_wide = _median_timed(
+        lambda: index.get(
+            sid,
+            dt.datetime.fromtimestamp(day0.timestamp() - 86400),
+            dt.datetime.fromtimestamp(day0.timestamp() + 86400 * (batches + 1)),
+        )
     )
-    t_wide = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    found = index.datasets("series")
-    t_search = time.perf_counter() - t0
+    found, t_search = _median_timed(lambda: index.datasets("series"))
     return {
         "ingest_s": t_ingest,
         "narrow_s": t_narrow,
@@ -85,6 +81,21 @@ def run_reference(series: int, points: int, batches: int, day0: dt.datetime):
         "search_s": t_search,
         "search_hits": len(found),
     }
+
+
+def _median_timed(fn, reps: int = 5):
+    """Median-of-reps wall time for a read (one-shot timings on a
+    32-thread box swing 2x run-to-run; both engines get the same
+    treatment). Returns (last result, median seconds)."""
+    import statistics
+
+    times = []
+    result = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        result = fn()
+        times.append(time.perf_counter() - t0)
+    return result, statistics.median(times)
 
 
 def run_ours(series: int, points: int, batches: int, day0: dt.datetime):
@@ -122,36 +133,59 @@ def run_ours(series: int, points: int, batches: int, day0: dt.datetime):
         dt.datetime.fromtimestamp(day0.timestamp(), dt.timezone.utc),
         dt.datetime.fromtimestamp(day0.timestamp() + 1, dt.timezone.utc),
     ).collect()
-    t0 = time.perf_counter()
-    narrow = store.get(
-        sid,
-        dt.datetime.fromtimestamp(day0.timestamp() + 60, dt.timezone.utc),
-        dt.datetime.fromtimestamp(day0.timestamp() + 360, dt.timezone.utc),
-    ).collect()
-    t_narrow = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    wide = store.get(
-        sid,
-        dt.datetime.fromtimestamp(day0.timestamp() - 86400, dt.timezone.utc),
-        dt.datetime.fromtimestamp(
-            day0.timestamp() + 86400 * (batches + 1), dt.timezone.utc
-        ),
-    ).collect()
-    t_wide = time.perf_counter() - t0
+    def _reads(tag: str) -> dict:
+        # ordered=False + driver-side sort is the API serving path
+        # (api.py GET /api/data): the result is bounded by the store
+        # fan-out guard, so ordering in the driver beats paying a
+        # Spark range-exchange per interactive read. The reference's
+        # get() also returns sorted points — same contract. Each rep
+        # builds a FRESH plan (no DataFrame reuse): this measures the
+        # serving path for a new window, not a cached plan.
+        def _narrow():
+            rows = store.get(
+                sid,
+                dt.datetime.fromtimestamp(day0.timestamp() + 60, dt.timezone.utc),
+                dt.datetime.fromtimestamp(day0.timestamp() + 360, dt.timezone.utc),
+                ordered=False,
+            ).collect()
+            rows.sort(key=lambda r: r.ts)
+            return rows
 
+        def _wide():
+            rows = store.get(
+                sid,
+                dt.datetime.fromtimestamp(day0.timestamp() - 86400, dt.timezone.utc),
+                dt.datetime.fromtimestamp(
+                    day0.timestamp() + 86400 * (batches + 1), dt.timezone.utc
+                ),
+                ordered=False,
+            ).collect()
+            rows.sort(key=lambda r: r.bin_ts if "bin_ts" in r.__fields__ else r.ts)
+            return rows
+
+        narrow, t_narrow = _median_timed(_narrow)
+        wide, t_wide = _median_timed(_wide)
+        found, t_search = _median_timed(lambda: store.datasets("series").collect())
+        return {
+            f"narrow_s{tag}": t_narrow,
+            "narrow_rows": len(narrow),
+            f"wide_s{tag}": t_wide,
+            "wide_rows": len(wide),
+            f"search_s{tag}": t_search,
+            "search_hits": len(found),
+        }
+
+    out = {"ingest_s": t_ingest}
+    # cold: every read lists + decodes parquet from disk
+    out.update(_reads(""))
+    # warm: the API serving configuration (serve(warm=True)) — rollup
+    # levels, catalog, and raw points pinned as InMemoryRelations
     t0 = time.perf_counter()
-    found = store.datasets("series").collect()
-    t_search = time.perf_counter() - t0
-    return {
-        "ingest_s": t_ingest,
-        "narrow_s": t_narrow,
-        "narrow_rows": len(narrow),
-        "wide_s": t_wide,
-        "wide_rows": len(wide),
-        "search_s": t_search,
-        "search_hits": len(found),
-    }
+    store.warm(points=True)
+    out["warm_setup_s"] = time.perf_counter() - t0
+    out.update(_reads("_warm"))
+    return out
 
 
 def main() -> int:
@@ -179,28 +213,36 @@ def main() -> int:
     print("storage files (file-granular ranges, src/index.py:204-217) while this")
     print("engine returns exact ranges.")
     print()
-    print("| phase | reference | this engine | speedup |")
-    print("|---|---|---|---|")
+    print("| phase | reference | this engine (cold) | this engine (warm) | warm speedup |")
+    print("|---|---|---|---|---|")
     r_rate, o_rate = total / ref["ingest_s"], total / ours["ingest_s"]
     print(
         f"| ingest ({total:,} pts, raw + 6 rollups) | {ref['ingest_s']:.1f} s "
         f"({r_rate:,.0f} pts/s) | {ours['ingest_s']:.1f} s ({o_rate:,.0f} pts/s) "
-        f"| {o_rate / r_rate:.2f}x |"
+        f"| — | {o_rate / r_rate:.2f}x |"
     )
     for key, label in [
         ("narrow", "narrow read (5 min FULL)"),
         ("wide", "wide read (full range, routed)"),
+        ("search", "dataset search"),
     ]:
-        print(
-            f"| {label} | {ref[key + '_s'] * 1e3:.0f} ms "
-            f"({ref[key + '_rows']} rows) | {ours[key + '_s'] * 1e3:.0f} ms "
-            f"({ours[key + '_rows']} rows) | "
-            f"{ref[key + '_s'] / ours[key + '_s']:.2f}x |"
+        rows = (
+            f"{ref[key + '_rows']} rows" if key != "search"
+            else f"{ref['search_hits']} hits"
         )
+        print(
+            f"| {label} | {ref[key + '_s'] * 1e3:.0f} ms ({rows}) "
+            f"| {ours[key + '_s'] * 1e3:.0f} ms "
+            f"| {ours[key + '_s_warm'] * 1e3:.0f} ms "
+            f"| {ref[key + '_s'] / ours[key + '_s_warm']:.2f}x |"
+        )
+    print()
     print(
-        f"| dataset search | {ref['search_s'] * 1e3:.0f} ms "
-        f"({ref['search_hits']} hits) | {ours['search_s'] * 1e3:.0f} ms "
-        f"({ours['search_hits']} hits) | {ref['search_s'] / ours['search_s']:.2f}x |"
+        f"Warm = serve(warm=True): rollups + catalog + raw points pinned as "
+        f"InMemoryRelations (one-time setup {ours['warm_setup_s']:.1f} s after "
+        f"ingest; ingest invalidates touched levels, which re-warm on next "
+        f"read). Cold rows kept for honesty — they are what a fresh process "
+        f"pays on first read."
     )
     print()
     print(
