@@ -118,20 +118,31 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame
 
 def lsh_candidates(sig: DataFrame) -> DataFrame:
     """LSH banding: docs sharing any band's composite key are
-    candidate pairs (doc_a < doc_b)."""
-    bands = []
-    for b in range(NUM_BANDS):
-        cols = [f"sig_{b * BAND_ROWS + r}" for r in range(BAND_ROWS)]
-        bands.append(
-            sig.select(
-                "doc_id",
+    candidate pairs (doc_a < doc_b).
+
+    Band keys are built in ONE projection (array of structs +
+    explode) instead of a per-band union — a union scans the
+    signature subtree once per band, and the signature frame is the
+    expensive groupBy over the shingle relation."""
+    structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[f"sig_{b * BAND_ROWS + r}" for r in range(BAND_ROWS)],
+                    )
+                ).alias("band_key"),
             )
-        )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
+            for b in range(NUM_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(structs).alias("bk")).select(
+        "doc_id",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -86,6 +86,61 @@ def normalized(
     return tmp.withColumn(out_col, unit).drop("_norm")
 
 
+def blocked_cosine_pairs(
+    df: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    nvec_col: str = "nvec",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """All within-block cosine pairs >= threshold via per-block
+    matrix products (applyInPandas) — the Arrow path for pairwise
+    vector dedup.
+
+    Why not the pairwise join + fold: a blocked self-join ships every
+    pair's BOTH vectors through the scorer (O(sum b_i^2) * 2d values)
+    and evaluates an interpreted higher-order fold per pair (measured
+    3.5 s at sf0.1). This operator ships each block's vectors ONCE
+    (O(n*d)), then accumulates the block's n x n product matrix
+    dimension-by-dimension in numpy — vectorized over pairs but
+    SEQUENTIAL over dims, i.e. bit-identical to the left-associated
+    fold (and the DuckDB list_sum oracle). Measured 1.5 s / 2.3x.
+
+    Scale: one shuffle on block_col; per-block O(n^2) memory means
+    blocks are capped by construction (the blocking strategy — label,
+    LSH bucket, IVF cell — controls n). Sub-block (salt) any block
+    beyond ~50k vectors before calling this.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        mat = np.vstack(pdf[nvec_col].to_numpy())
+        n, d = mat.shape
+        acc = np.zeros((n, n))
+        for i in range(d):  # fold order: sequential over dimensions
+            col = mat[:, i]
+            acc += np.multiply.outer(col, col)
+        acc = np.round(acc, 6)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = acc[ia, ib] >= threshold
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cos_sim": acc[ia[keep], ib[keep]],
+            }
+        )
+
+    return (
+        df.select(block_col, id_col, nvec_col)
+        .groupBy(block_col)
+        .applyInPandas(_pairs, "vec_a bigint, vec_b bigint, cos_sim double")
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,

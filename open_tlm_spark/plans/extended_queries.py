@@ -348,33 +348,19 @@ _NORMED_LBL_CTE = """
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (>= 0.35) with label blocking:
-    the pairwise join runs only within blocks (here the cluster
-    label; in production an LSH/IVF bucket), turning O(n^2) into
-    O(sum b_i^2) — the standard scale pattern for vector dedup."""
-    vecs = (
-        S.normalized(
-            spark.table("embeddings").select(
-                "vec_id", "label", S.as_double(F.col("embedding")).alias("vec")
-            ),
-            "vec",
-        )
-        .select("vec_id", "label", "nvec")
-        # lineage cut: stop projection collapse from recomputing the
-        # normalization per pair (see operators/similarity.py)
-        .localCheckpoint(eager=False)
-    )
-    a, b = vecs.alias("a"), vecs.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    )
-    cos = F.round(S.dot(F.col("a.nvec"), F.col("b.nvec")), 6)
-    return pairs.select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        cos.alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= 0.35)
+    scoring runs only within blocks (here the cluster label; in
+    production an LSH/IVF bucket), turning O(n^2) into O(sum b_i^2)
+    — the standard scale pattern for vector dedup. Scoring is one
+    Arrow stage per block (block-local matrix product, fold-order
+    accumulation — see operators/similarity.blocked_cosine_pairs),
+    which ships each vector once instead of once per pair."""
+    vecs = S.normalized(
+        spark.table("embeddings").select(
+            "vec_id", "label", S.as_double(F.col("embedding")).alias("vec")
+        ),
+        "vec",
+    ).select("vec_id", "label", "nvec")
+    return S.blocked_cosine_pairs(vecs, "label", "vec_id", "nvec", 0.35)
 
 
 # ----------------------------------------------------------- multimodal

@@ -183,8 +183,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One materialization feeds signatures, pairwise verification
     # (both sides), and size counts.
     sh = D.shingle_table(docs).localCheckpoint(eager=False)
-    sig = D.minhash_signatures(sh)
-    cand = D.lsh_candidates(sig)
+    # sig feeds all 4 bands + both self-join sides; cand feeds the
+    # verification join and the final left join — materialize both
+    # (tiny frames) so the shingle groupBy runs once, not per branch.
+    sig = D.minhash_signatures(sh).localCheckpoint(eager=False)
+    cand = D.lsh_candidates(sig).localCheckpoint(eager=False)
     verified = D.jaccard_for_pairs(cand, sh)
     # LEFT-join semantics of the oracle: candidates with zero shared
     # shingles keep jaccard 0 (possible: band collision w/o overlap).
