@@ -305,9 +305,9 @@ def test_approx_sketches_within_rsd_bounds(spark):
     assert set(approx) == set(exact) and approx
     for et, a in approx.items():
         e = exact[et]
-        # default rsd 0.05 for users, 0.01 for values; allow 5x slack
+        # default rsd 0.05 for both counts; allow 5x slack
         assert abs(a["approx_users"] - e["n_users"]) <= max(3, 0.25 * e["n_users"])
-        assert abs(a["approx_values"] - e["n_values"]) <= max(3, 0.05 * e["n_values"])
+        assert abs(a["approx_values"] - e["n_values"]) <= max(3, 0.25 * e["n_values"])
         p = pcts[et]
         for key, band in (("approx_p50", "p50_band"), ("approx_p95", "p95_band"), ("approx_p99", "p99_band")):
             lo, _, hi = p[band]
