@@ -60,6 +60,12 @@ _CHECK_FIRST = [
     "approx_distinct_stats",
     "distinct_stats_exact",
     "metrics_loop_series",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q12_late_shipments",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_suppliers",
     "asof_align_series",
     "cube_order_stats",
     "percentiles_by_event_type",

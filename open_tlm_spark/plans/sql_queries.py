@@ -700,3 +700,326 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------- TPC-H Q8
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH flat AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(6,4))) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o    ON l.l_orderkey = o.o_orderkey
+      JOIN customer c  ON o.o_custkey = c.c_custkey
+      JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+      JOIN region r    ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+      JOIN part p      ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'PROMO'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 00:00:00'
+    )
+    SELECT o_year,
+           round(
+             CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                THEN volume ELSE 0 END) AS DECIMAL(38,6)) AS DOUBLE)
+             / CAST(CAST(sum(volume) AS DECIMAL(38,6)) AS DOUBLE),
+             6) AS mkt_share
+    FROM flat
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (Q8 adapted to the reduced schema):
+    NATION_3 suppliers' slice of PROMO-part revenue sold to REGION_0
+    customers, by order year.
+
+    Plan: every dimension (customer+nation+region, supplier+nation,
+    part) broadcasts into the two-fact lineitem<->orders join — ONE
+    fact shuffle on orderkey, then a 2-row aggregate. Numerator and
+    denominator are exact decimal sums; the single double division at
+    the end is deterministic in both engines."""
+    li = spark.table("lineitem")
+    o = spark.table("orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01 00:00:00").cast("timestamp"),
+            F.lit("1996-12-31 00:00:00").cast("timestamp"),
+        )
+    )
+    nc = spark.table("nation").alias("nc")
+    ns = spark.table("nation").alias("ns")
+    cust_in_region = (
+        spark.table("customer")
+        .join(broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))
+        .join(
+            broadcast(spark.table("region").filter(F.col("r_name") == "ASIA")),
+            F.col("nc.n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = (
+        spark.table("supplier")
+        .join(broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey"))
+        .select("s_suppkey", F.col("ns.n_name").alias("supp_nation"))
+    )
+    promo = spark.table("part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    volume = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+    flat = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return flat.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero))
+            .cast("decimal(38,6)")
+            .cast("double")
+            / F.sum("volume").cast("decimal(38,6)").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q9
+@register(
+    "tpch_q9_profit_by_nation_year",
+    oracle="""
+    SELECT ns.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%blue%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (Q9 without partsupp: profit = discounted
+    revenue) for parts named '%blue%', by supplier nation and order
+    year. Part + supplier+nation broadcast; the lineitem<->orders
+    join is the one fact shuffle."""
+    li = spark.table("lineitem")
+    green = spark.table("part").filter(F.col("p_name").contains("blue")).select("p_partkey")
+    sn = (
+        spark.table("supplier")
+        .join(broadcast(spark.table("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    profit = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+    return (
+        li.join(broadcast(green), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(spark.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("nation", F.year("o_orderdate").alias("o_year"), profit.alias("_p"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum("_p").cast("decimal(38,6)").cast("double").alias("sum_profit"))
+    )
+
+
+# --------------------------------------------------------------- TPC-H Q12
+@register(
+    "tpch_q12_late_shipments",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) FILTER (WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+             AS n_late,
+           count(*) FILTER (WHERE l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY)
+             AS n_ontime
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-lag report (Q12 adapted: no shipmode column, so the
+    two-bucket conditional count keys on order priority; late =
+    shipped more than 90 days after the order date). One fact-fact
+    shuffle on orderkey, then a 5-row aggregate — the conditional
+    counts are map-side partial."""
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(late, 1)).alias("n_late"),
+            F.count(F.when(~late, 1)).alias("n_ontime"),
+        )
+    )
+
+
+# --------------------------------------------------------------- TPC-H Q15
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6))
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (Q15). The correlated
+    max-subquery becomes a broadcast of the 1-row max frame joined on
+    EXACT DECIMAL equality (comparing doubles here would be an
+    engine-dependent coin flip; ties all survive, as in the spec).
+    Revenue aggregation is one shuffle on suppkey."""
+    rev = (
+        spark.table("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            F.col("l_suppkey").alias("supplier_no"),
+            (
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(6,4)"))
+            ).alias("_v"),
+        )
+        .groupBy("supplier_no")
+        .agg(F.sum("_v").cast("decimal(38,6)").alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        spark.table("supplier")
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------- TPC-H Q17
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE)
+               / count(*) AS part_avg
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p    ON l.l_partkey = p.p_partkey
+    JOIN avg_qty a ON l.l_partkey = a.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < 0.2 * a.part_avg
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (Q17). The correlated per-part
+    average is a groupBy + equi-join (the window form would range-
+    shuffle the whole fact); the average itself is an exact decimal
+    sum over a count, so the 0.2x threshold compare is deterministic
+    across engines. Brand filter broadcasts into both fact sides."""
+    li = spark.table("lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("part_avg")
+    )
+    brand = spark.table("part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    return (
+        li.join(broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("ak"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("part_avg"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                .cast("decimal(38,2)")
+                .cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# --------------------------------------------------------------- TPC-H Q20
+@register(
+    "tpch_q20_excess_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_suppkey,
+             CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE)
+               AS total_qty
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE 'red%'
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
+    WHERE n.n_name = 'NATION_1' AND sh.total_qty > 50
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-volume part suppliers (Q20 adapted: lineitem stands in
+    for partsupp availability): NATION_1 suppliers who shipped more
+    than 50 units of 'red%' parts. Semi-join chain: part filter
+    broadcasts into lineitem, one shuffle on suppkey for the
+    quantity total, then the tiny result joins supplier+nation."""
+    li = spark.table("lineitem")
+    red = spark.table("part").filter(F.col("p_name").startswith("red")).select("p_partkey")
+    shipped = (
+        li.join(broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 50)
+    )
+    n1 = spark.table("nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        spark.table("supplier")
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(shipped, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
