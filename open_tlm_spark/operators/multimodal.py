@@ -111,3 +111,93 @@ def media_metadata_stats(media: DataFrame) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.max("n_bytes").alias("max_bytes"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("out_w", IntegerType(), True),
+        StructField("out_h", IntegerType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, max_w: int, max_h: int) -> DataFrame:
+    """Fit-resize planning over Arrow batches (mapInPandas): compute
+    source dims (stub decode) and the bounding-box target size.
+
+    The scale factor is RATIONAL integer math — out = dim * num //
+    den with (num, den) the tighter of max_w/w, max_h/h — so the
+    result is bit-reproducible in any engine (float scale factors
+    round differently). A real deployment resizes the pixels in the
+    same batch loop (PIL.thumbnail); the plumbing — batch shapes,
+    schema, no shuffle — is identical and is what's tested."""
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n = pdf["content"].apply(len)
+            w = (n % 640 + 1).astype("int64")
+            h = (n % 480 + 1).astype("int64")
+            fits = (w <= max_w) & (h <= max_h)
+            # tighter bound: max_w/w vs max_h/h compared cross-wise
+            use_w = (w * max_h) >= (h * max_w)
+            num = use_w * max_w + (~use_w) * max_h
+            den = use_w * w + (~use_w) * h
+            out_w = (w * num // den).clip(lower=1)
+            out_h = (h * num // den).clip(lower=1)
+            out = pd.DataFrame()
+            out["media_id"] = pdf["media_id"]
+            out["width"] = w.astype("int32")
+            out["height"] = h.astype("int32")
+            out["out_w"] = out_w.where(~fits, w).astype("int32")
+            out["out_h"] = out_h.where(~fits, h).astype("int32")
+            yield out
+
+    return media.mapInPandas(gen, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_no", IntegerType(), False),
+        StructField("frame_feature", LongType(), False),
+    ]
+)
+
+FRAME_BYTES = 16
+
+
+def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
+    """Frame sampling over Arrow batches: treat the payload past the
+    4-byte header as fixed-size frames (FRAME_BYTES each, stub for a
+    real demuxer), emit every k-th frame with a per-frame feature
+    (byte sum). Row-expanding mapInPandas — output rows ~n_frames/k
+    per input row, still a narrow stage (no shuffle); downstream
+    aggregation sees ordinary (media_id, frame_no) rows."""
+
+    def gen(batches):
+        rows_id, rows_no, rows_feat = [], [], []
+        for pdf in batches:
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                body = bytes(content)[4:]
+                n_frames = (len(body) + FRAME_BYTES - 1) // FRAME_BYTES
+                for f in range(0, n_frames, every_k):
+                    chunk = body[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]
+                    rows_id.append(mid)
+                    rows_no.append(f)
+                    rows_feat.append(sum(chunk))
+            if rows_id:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series(rows_id, dtype="int64"),
+                        "frame_no": pd.Series(rows_no, dtype="int32"),
+                        "frame_feature": pd.Series(rows_feat, dtype="int64"),
+                    }
+                )
+                rows_id, rows_no, rows_feat = [], [], []
+
+    return media.mapInPandas(gen, FRAMES_SCHEMA)

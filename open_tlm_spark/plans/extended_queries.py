@@ -12,6 +12,8 @@ from open_tlm_spark.operators.asof import asof_join
 from open_tlm_spark.operators.multimodal import (
     decode_media,
     media_metadata_stats,
+    resize_media,
+    sample_frames,
     synth_media,
 )
 from open_tlm_spark.operators import similarity as S
@@ -428,3 +430,67 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     excludes `content` — asserted in tests)."""
     media = synth_media(spark.table("documents"), "doc_id", "text")
     return media_metadata_stats(media)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             4 + octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    dims AS (
+      SELECT media_id,
+             CAST(n % 640 + 1 AS BIGINT) AS w,
+             CAST(n % 480 + 1 AS BIGINT) AS h
+      FROM media
+    )
+    SELECT media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(CASE WHEN w <= 320 AND h <= 240 THEN w
+                ELSE greatest(1, w * (CASE WHEN w * 240 >= h * 320 THEN 320 ELSE 240 END)
+                               // (CASE WHEN w * 240 >= h * 320 THEN w ELSE h END))
+           END AS INTEGER) AS out_w,
+           CAST(CASE WHEN w <= 320 AND h <= 240 THEN h
+                ELSE greatest(1, h * (CASE WHEN w * 240 >= h * 320 THEN 320 ELSE 240 END)
+                               // (CASE WHEN w * 240 >= h * 320 THEN w ELSE h END))
+           END AS INTEGER) AS out_h
+    FROM dims
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box resize planning (320x240) over the media table —
+    Arrow batch stage, rational integer scaling (bit-reproducible;
+    see operators/multimodal.resize_media)."""
+    media = synth_media(spark.table("documents"), "doc_id", "text")
+    return resize_media(media, 320, 240)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) AS body_len
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(f AS INTEGER) AS frame_no,
+           CAST(list_sum(list_transform(
+                  range(CAST(f * 16 + 1 AS BIGINT),
+                        CAST(least((f + 1) * 16, body_len) + 1 AS BIGINT)),
+                  i -> ord(substr(text, CAST(i AS INTEGER), 1))))
+                AS BIGINT) AS frame_feature
+    FROM media,
+         UNNEST(range(0, CAST((body_len + 15) // 16 AS BIGINT), 4)) AS t(f)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th-frame sampling over fake 16-byte frames — the
+    row-expanding Arrow stage (media row -> ~n_frames/4 frame rows)
+    with a per-frame byte-sum feature; a real demuxer swaps into the
+    same batch loop (operators/multimodal.sample_frames)."""
+    media = synth_media(spark.table("documents"), "doc_id", "text")
+    return sample_frames(media, every_k=4)

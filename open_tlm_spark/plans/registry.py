@@ -66,6 +66,8 @@ _CHECK_FIRST = [
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
     "tpch_q20_excess_suppliers",
+    "multimodal_resize",
+    "multimodal_frame_sample",
     "asof_align_series",
     "cube_order_stats",
     "percentiles_by_event_type",

@@ -312,3 +312,40 @@ def test_approx_sketches_within_rsd_bounds(spark):
         for key, band in (("approx_p50", "p50_band"), ("approx_p95", "p95_band"), ("approx_p99", "p99_band")):
             lo, _, hi = p[band]
             assert lo - 1e-9 <= a[key] <= hi + 1e-9, f"{et} {key}={a[key]} outside [{lo},{hi}]"
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Resize keeps aspect via rational integer math; frame sampling
+    emits every k-th 16-byte frame with a byte-sum feature."""
+    from pyspark.sql import Row
+
+    from open_tlm_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+        synth_media,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a" * 1000), Row(doc_id=2, text="b" * 10)]
+    )
+    media = synth_media(docs, "doc_id", "text")
+
+    rs = {r.media_id: r for r in resize_media(media, 320, 240).collect()}
+    # doc 1: n=1004 -> w=365, h=45; width-bound scale 320/365
+    assert (rs[1].width, rs[1].height) == (365, 45)
+    assert rs[1].out_w == 365 * 320 // 365 and rs[1].out_h == 45 * 320 // 365
+    # doc 2: n=14 -> 15x15, fits -> unchanged
+    assert (rs[2].out_w, rs[2].out_h) == (15, 15)
+
+    fr = sample_frames(media, every_k=4).collect()
+    by_doc = {}
+    for r in fr:
+        by_doc.setdefault(r.media_id, []).append(r)
+    # doc 1: 1000 bytes -> 63 frames -> frames 0,4,...,60 -> 16 rows
+    assert [r.frame_no for r in sorted(by_doc[1], key=lambda r: r.frame_no)] == list(
+        range(0, 63, 4)
+    )
+    full = [r for r in by_doc[1] if r.frame_no < 60]
+    assert all(r.frame_feature == 16 * ord("a") for r in full)
+    # doc 2: 10 bytes -> 1 frame (frame 0), feature = 10 * 'b'
+    assert len(by_doc[2]) == 1 and by_doc[2][0].frame_feature == 10 * ord("b")
