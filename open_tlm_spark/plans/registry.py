@@ -68,6 +68,7 @@ _CHECK_FIRST = [
     "tpch_q20_excess_suppliers",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "text_rolling_fingerprint",
     "asof_align_series",
     "cube_order_stats",
     "percentiles_by_event_type",

@@ -349,3 +349,27 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert all(r.frame_feature == 16 * ord("a") for r in full)
     # doc 2: 10 bytes -> 1 frame (frame 0), feature = 10 * 'b'
     assert len(by_doc[2]) == 1 and by_doc[2][0].frame_feature == 10 * ord("b")
+
+
+def test_rolling_fingerprint(spark):
+    """Min Rabin-Karp 8-gram hash: equal for identical text, equal
+    under paragraph reordering when the k-gram set is preserved,
+    NULL below k chars; value pinned by direct Horner computation."""
+    from open_tlm_spark.operators.text import ROLL_BASE, ROLL_MOD, rolling_fingerprint
+
+    rows = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, "short"), (4, "zyxwvutsrq")],
+        "doc_id long, text string",
+    ).select("doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()
+    fp = {r.doc_id: r.fp for r in rows}
+    assert fp[1] == fp[2] and fp[1] != fp[4] and fp[3] is None
+
+    def gram_hash(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * ROLL_BASE + ord(ch)) % ROLL_MOD
+        return acc
+
+    t = "abcdefghij"
+    expect = min(gram_hash(t[i:i + 8]) for i in range(len(t) - 7))
+    assert fp[1] == expect
