@@ -69,6 +69,12 @@ _CHECK_FIRST = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "text_rolling_fingerprint",
+    # changed this round (LSH banding rewrite + checkpoints, Arrow
+    # block-GEMM scoring) -> must have an in-round row
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    # exercises the store code (counters, warm-path predicate split)
+    "store_roundtrip_rollup",
     "asof_align_series",
     "cube_order_stats",
     "percentiles_by_event_type",
