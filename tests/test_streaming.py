@@ -222,3 +222,46 @@ def test_metrics_stream_flushes_real_counters(spark, tmp_path):
         assert _wait(_flushed, timeout_s=90), "counters never flushed"
     finally:
         q.stop()
+
+
+def test_system_metrics_example_end_to_end(spark, tmp_path):
+    """S11: the system-metrics client samples real /proc (or psutil)
+    readings into landing files that the streaming ingest consumes
+    into the store — run the example for one flush cycle and ingest
+    its output."""
+    import subprocess
+    import sys as _sys
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    proc = subprocess.run(
+        [_sys.executable, "examples/monitor_system.py", str(landing), "3"],
+        cwd="/root/repo",
+        timeout=60,
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stderr
+    files = list(landing.glob("sys-*.json"))
+    assert files, "example produced no landing files"
+
+    store = TelemetryStore(spark, str(tmp_path / "store"))
+    q = start_file_ingest(store, str(landing), str(tmp_path / "ckpt"), trigger_seconds=1.0)
+    try:
+        assert _wait(
+            lambda: os.path.exists(store.points_path)
+            and spark.read.parquet(store.points_path)
+            .filter(F.col("dataset_id").startswith("system."))
+            .count()
+            > 0
+        ), "system metrics never ingested"
+        names = {
+            r.dataset_id
+            for r in spark.read.parquet(store.points_path)
+            .select("dataset_id")
+            .distinct()
+            .collect()
+        }
+        assert any(n.startswith("system.") for n in names)
+    finally:
+        q.stop()
