@@ -81,12 +81,17 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {SHINGLES_CTE},
+    shh AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+      FROM sh
+    ),
     df_counts AS (
-      SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+      SELECT shingle, count(*) AS df FROM shh GROUP BY shingle
     ),
     rare AS (
-      SELECT sh.doc_id, sh.shingle
-      FROM sh JOIN df_counts USING (shingle) WHERE df <= 100
+      SELECT shh.doc_id, shh.shingle
+      FROM shh JOIN df_counts USING (shingle) WHERE df <= 100
     ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -106,11 +111,25 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs 3-gram Jaccard >= 0.05 with stop-shingle removal
     (df > 100 dropped before the join — the hot-key cap that keeps the
-    pairwise join from going quadratic at corpus scale)."""
+    pairwise join from going quadratic at corpus scale).
+
+    Shingles are hashed to 60-bit longs BEFORE the self-join: the
+    shuffle then moves fixed 8-byte keys instead of variable strings
+    (standard hashed-shingle practice; a 2^-60 collision merges a
+    shingle pair identically in both engines)."""
     # Materialize the shingle relation once: it feeds df_counts,
     # the self-join (twice), and the size frame — without the cut each
     # use re-tokenizes the corpus. (At 100 TB: persist it to storage.)
-    sh = D.shingle_table(spark.table("documents")).localCheckpoint(eager=False)
+    sh = (
+        D.shingle_table(spark.table("documents"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("shingle"),
+        )
+        .localCheckpoint(eager=False)
+    )
     return D.ngram_jaccard_pairs(sh, min_jaccard=0.05, max_df=100)
 
 

@@ -73,6 +73,7 @@ _CHECK_FIRST = [
     # block-GEMM scoring) -> must have an in-round row
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
     # exercises the store code (counters, warm-path predicate split)
     "store_roundtrip_rollup",
     "asof_align_series",
