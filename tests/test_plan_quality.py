@@ -120,3 +120,47 @@ def test_q7_nation_pair_no_nested_loop(spark):
     plan = plan_of(spark, "tpch_q7_volume_shipping")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q8_q9_broadcast_dims_no_nested_loop(spark):
+    """Q8/Q9: all dimension joins broadcast; no BNLJ/cartesian; the
+    only shuffle joins are fact-fact on orderkey."""
+    for name in ("tpch_q8_market_share", "tpch_q9_profit_by_nation_year"):
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastHashJoin") >= 2, name
+
+
+def test_q15_max_join_is_broadcast_not_cartesian(spark):
+    """Q15: the 1-row max frame must broadcast into the revenue
+    frame on decimal equality — never a cartesian product."""
+    plan = plan_of(spark, "tpch_q15_top_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_brand_filter_broadcasts(spark):
+    """Q17: the brand-filtered part list broadcasts into lineitem;
+    the per-part average join is the only fact shuffle join."""
+    plan = plan_of(spark, "tpch_q17_small_quantity_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_frame_sample_is_narrow(spark):
+    """Frame sampling must stay a narrow Arrow stage: no exchange
+    between the scan and the mapInPandas operator."""
+    plan = plan_of(spark, "multimodal_frame_sample")
+    assert "MapInPandas" in plan
+    scan_to_udf = plan.split("MapInPandas")[-1]
+    assert "Exchange" not in scan_to_udf
+
+
+def test_embedding_dedup_single_block_shuffle(spark):
+    """Blocked cosine pairs: ONE shuffle (groupBy label) feeding one
+    Arrow stage — no pairwise join, no broadcast of the corpus."""
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    assert "FlatMapGroupsInPandas" in plan or "MapGroups" in plan
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
