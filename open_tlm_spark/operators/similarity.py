@@ -370,3 +370,69 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+def kmeans_train(
+    embeddings: DataFrame, k: int = 8, iters: int = 2, dim: int = 64
+) -> DataFrame:
+    """Lloyd's k-means on the unit sphere (spherical k-means) — the
+    IVF training step that produces the centroids ivf_assign/ivf_topk
+    consume. Deterministic by construction: init = the k lowest
+    vec_ids' normalized vectors; assignment = argmax of ROUNDED
+    cosine with centroid_id as tiebreak; update = element-wise mean
+    re-normalized.
+
+    The canonical Spark ITERATIVE pattern: a small driver loop where
+    each iteration broadcasts the tiny centroid frame into the
+    corpus (narrow pass, no corpus shuffle beyond the k-group mean),
+    and eagerly checkpoints the k-row result — WITHOUT the lineage
+    cut each iteration's plan embeds all previous iterations and
+    analysis time grows exponentially. Returns (centroid_id, cnvec,
+    n_members) after `iters` rounds; at 100 TB train on a sample
+    (centroid quality needs only ~k*1e3 points per cell).
+    """
+    e = normalized(
+        embeddings.select("vec_id", as_double(F.col("embedding")).alias("vec")),
+        "vec",
+    ).select("vec_id", "nvec").localCheckpoint(eager=False)
+
+    w_init = Window.orderBy("vec_id")
+    centroids = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w_init) - 1).alias("centroid_id"),
+            F.col("nvec").alias("cnvec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    n_members = None
+    for _ in range(iters):
+        scored = e.join(F.broadcast(centroids)).select(
+            "vec_id",
+            "nvec",
+            "centroid_id",
+            F.round(dot(F.col("nvec"), F.col("cnvec")), 6).alias("cs"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cs").desc(), F.col("centroid_id")
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "nvec", "centroid_id")
+        )
+        mean_vec = F.array(
+            *[F.avg(F.element_at("nvec", i + 1)) for i in range(dim)]
+        )
+        updated = assigned.groupBy("centroid_id").agg(
+            mean_vec.alias("mvec"), F.count(F.lit(1)).alias("n_members")
+        )
+        centroids = (
+            normalized(updated, "mvec", out_col="cnvec")
+            .select("centroid_id", "cnvec", "n_members")
+            .localCheckpoint(eager=True)  # lineage cut per iteration
+        )
+        n_members = True
+    return centroids

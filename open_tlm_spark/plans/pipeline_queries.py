@@ -505,3 +505,18 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("keeper_id"),
     )
+
+
+@register("sim_ivf_train", oracle=None)  # iterative algorithm: the
+# centroid means are float sums whose order differs across engines,
+# so no SQL oracle exists; determinism + quality are pinned by
+# tests/test_operators.py::test_kmeans_train_properties
+def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF training (spherical k-means, 2 Lloyd iterations): the
+    step that produces the centroids sim_ivf_assign/sim_ivf_topk
+    consume. Driver-loop iteration with an eager checkpoint per
+    round — the canonical Spark iterative-algorithm shape (without
+    the lineage cut, iteration N's plan contains every previous
+    iteration)."""
+    cents = S.kmeans_train(spark.table("embeddings"), k=8, iters=2)
+    return cents.select("centroid_id", "n_members").orderBy("centroid_id")

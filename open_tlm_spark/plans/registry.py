@@ -74,6 +74,7 @@ _CHECK_FIRST = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
+    "sim_ivf_train",
     # exercises the store code (counters, warm-path predicate split)
     "store_roundtrip_rollup",
     "asof_align_series",

@@ -373,3 +373,60 @@ def test_rolling_fingerprint(spark):
     t = "abcdefghij"
     expect = min(gram_hash(t[i:i + 8]) for i in range(len(t) - 7))
     assert fp[1] == expect
+
+
+def test_kmeans_train_properties(spark):
+    """sim_ivf_train has no SQL oracle (float mean order); pin it
+    here: deterministic across runs, cells partition the corpus, and
+    training IMPROVES the assignment objective (mean best-cosine)
+    over the deterministic init."""
+    from open_tlm_spark.operators.similarity import (
+        as_double,
+        dot,
+        kmeans_train,
+        normalized,
+    )
+    from open_tlm_spark.session import load_tables
+
+    load_tables(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings")
+    n_vecs = emb.count()
+
+    a = kmeans_train(emb, k=8, iters=2).collect()
+    b = kmeans_train(emb, k=8, iters=2).collect()
+    assert sorted((r.centroid_id, r.n_members) for r in a) == sorted(
+        (r.centroid_id, r.n_members) for r in b
+    )
+    assert sum(r.n_members for r in a) == n_vecs
+    assert len(a) <= 8
+
+    def objective(cent_rows):
+        cents = spark.createDataFrame(
+            [(r.centroid_id, list(r.cnvec)) for r in cent_rows],
+            "centroid_id int, cnvec array<double>",
+        )
+        e = normalized(
+            emb.select("vec_id", as_double(F.col("embedding")).alias("vec")), "vec"
+        ).select("vec_id", "nvec")
+        best = (
+            e.join(F.broadcast(cents))
+            .select("vec_id", dot(F.col("nvec"), F.col("cnvec")).alias("cs"))
+            .groupBy("vec_id")
+            .agg(F.max("cs").alias("best"))
+        )
+        return best.agg(F.avg("best")).collect()[0][0]
+
+    init = [
+        type("R", (), {"centroid_id": i, "cnvec": r.nvec})
+        for i, r in enumerate(
+            normalized(
+                emb.select("vec_id", as_double(F.col("embedding")).alias("vec")),
+                "vec",
+            )
+            .orderBy("vec_id")
+            .limit(8)
+            .collect()
+        )
+    ]
+    trained = kmeans_train(emb, k=8, iters=2).collect()
+    assert objective(trained) > objective(init)
