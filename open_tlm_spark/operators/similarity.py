@@ -304,11 +304,20 @@ def ivf_assign(
         "centroid_id",
         F.round(dot(F.col("nvec"), F.col("cnvec"), dim), 6).alias("cs"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("centroid_id"))
+    # argmax via max_by on a (cs, -centroid_id) struct: keys are
+    # unique within each vec_id group (one row per centroid), so the
+    # result is deterministic AND the aggregate partial-combines
+    # map-side — the window form sort-shuffles all corpus x k scored
+    # rows, this shuffles at most one row per vector per partition.
+    key = F.struct(F.col("cs"), (-F.col("centroid_id")).alias("nid"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", "centroid_id")
+        scored.groupBy("vec_id")
+        .agg(F.max_by(F.struct("centroid_id", "vec"), key).alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.vec").alias("vec"),
+            F.col("best.centroid_id").alias("centroid_id"),
+        )
     )
 
 
@@ -415,13 +424,16 @@ def kmeans_train(
             "centroid_id",
             F.round(dot(F.col("nvec"), F.col("cnvec")), 6).alias("cs"),
         )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("cs").desc(), F.col("centroid_id")
-        )
+        # deterministic argmax with map-side combine — see ivf_assign
+        key = F.struct(F.col("cs"), (-F.col("centroid_id")).alias("nid"))
         assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "nvec", "centroid_id")
+            scored.groupBy("vec_id")
+            .agg(F.max_by(F.struct("centroid_id", "nvec"), key).alias("best"))
+            .select(
+                "vec_id",
+                F.col("best.nvec").alias("nvec"),
+                F.col("best.centroid_id").alias("centroid_id"),
+            )
         )
         mean_vec = F.array(
             *[F.avg(F.element_at("nvec", i + 1)) for i in range(dim)]
