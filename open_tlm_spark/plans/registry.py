@@ -75,6 +75,7 @@ _CHECK_FIRST = [
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "sim_ivf_train",
+    "skew_salted_agg",
     # exercises the store code (counters, warm-path predicate split)
     "store_roundtrip_rollup",
     "asof_align_series",

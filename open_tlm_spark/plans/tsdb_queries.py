@@ -563,3 +563,38 @@ def metrics_loop_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").alias("n_samples"),
         F.max("value").alias("last_value"),
     )
+
+
+# ------------------------------------------------------------------- skew
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type AS dataset_id,
+           (epoch_us(ts) // (3600::BIGINT * 1000000)) * 3600 AS bin_ts,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           round(sum(value), 6) AS sum_values,
+           count(value) AS count
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage tumbling aggregate (operators/skew.py): the
+    hot-key remedy when one series dominates a bin — stage 1 fans
+    each (dataset_id, bin) over 16 salt reducers, stage 2 merges the
+    algebraic partials. Results are IDENTICAL to the plain aggregate
+    (the oracle is the unsalted SQL); only the shuffle balance
+    changes — which is the point."""
+    from open_tlm_spark.functions.time import floor_to
+    from open_tlm_spark.operators.skew import salted_rollup
+
+    out = salted_rollup(_points(spark), floor_to("ts", 3600))
+    return out.select(
+        "dataset_id",
+        "bin_ts",
+        "min_value",
+        "max_value",
+        F.round("sum_values", 6).alias("sum_values"),
+        "count",
+    )
