@@ -76,6 +76,8 @@ _CHECK_FIRST = [
     "dedup_ngram_jaccard",
     "sim_ivf_train",
     "skew_salted_agg",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
     # exercises the store code (counters, warm-path predicate split)
     "store_roundtrip_rollup",
     "asof_align_series",

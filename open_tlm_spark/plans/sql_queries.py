@@ -1023,3 +1023,119 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------- TPC-H Q2
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH shipped AS (
+      SELECT DISTINCT l.l_suppkey, p.p_type
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT p_type, s_suppkey, s_name, s_acctbal
+    FROM (
+      SELECT sh.p_type, e.s_suppkey, e.s_name, e.s_acctbal,
+             row_number() OVER (PARTITION BY sh.p_type
+                                ORDER BY e.s_acctbal, e.s_suppkey) AS rn
+      FROM shipped sh JOIN eu e ON sh.l_suppkey = e.s_suppkey
+    ) WHERE rn = 1
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost supplier per part type (Q2 adapted: no partsupp, so
+    account balance proxies supply cost and lineitem history proxies
+    the catalog). The correlated-min subquery becomes a per-type
+    row_number window over the distinct (supplier, type) relation;
+    dims broadcast, ties broken by suppkey."""
+    from pyspark.sql.window import Window
+
+    shipped = (
+        spark.table("lineitem")
+        .join(
+            broadcast(spark.table("part").select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_suppkey", "p_type")
+        .distinct()
+    )
+    eu = (
+        spark.table("supplier")
+        .join(broadcast(spark.table("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            broadcast(spark.table("region").filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    w = Window.partitionBy("p_type").orderBy("s_acctbal", "s_suppkey")
+    return (
+        shipped.join(broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_type", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+# --------------------------------------------------------------- TPC-H Q11
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH nation2 AS (
+      SELECT s.s_suppkey
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_2'
+    ),
+    pv AS (
+      SELECT l.l_partkey,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+               AS part_value
+      FROM lineitem l JOIN nation2 s2 ON l.l_suppkey = s2.s_suppkey
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM pv
+    WHERE part_value > (
+      SELECT sum(part_value) * CAST(0.001 AS DECIMAL(6,4)) FROM pv
+    )
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock (Q11 adapted: shipped value per part from
+    NATION_2 suppliers stands in for partsupp inventory value).
+    The HAVING-over-global-fraction is a broadcast of the 1-row
+    total; both the per-part sums and the 0.1% threshold stay exact
+    decimals until the final projection, so the comparison is
+    deterministic across engines."""
+    n2 = (
+        spark.table("supplier")
+        .join(
+            broadcast(spark.table("nation").filter(F.col("n_name") == "NATION_2")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    pv = (
+        spark.table("lineitem")
+        .join(broadcast(n2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .alias("part_value")
+        )
+    )
+    threshold = pv.agg(
+        (F.sum("part_value") * F.lit("0.001").cast("decimal(6,4)")).alias("thr")
+    )
+    return (
+        pv.join(broadcast(threshold), F.col("part_value") > F.col("thr"))
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+    )
