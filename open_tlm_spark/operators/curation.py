@@ -1,0 +1,136 @@
+"""Corpus-curation operators: deterministic sampling and sequence
+packing for training-data pipelines.
+
+Beyond reference parity (driver north-star): a 100 TB corpus is never
+trained on as-is — it is re-weighted per domain/language and packed
+into fixed token budgets. Both operators here are deterministic by
+construction (hash-threshold sampling, ordered window packing) so the
+DuckDB oracle reproduces them bit-for-bit and a re-run on the same
+corpus yields the same sample — a reproducibility requirement for
+training-data lineage, not just a test convenience.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Sampling rates are expressed out of HASH_BUCKETS for exact integer
+# comparison (no float thresholds → no engine-rounding divergence).
+HASH_BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, buckets: int = HASH_BUCKETS) -> Column:
+    """Deterministic uniform bucket in [0, buckets): first 8 hex chars
+    of md5 over the id's string form — identical in Spark and DuckDB,
+    stable across runs/partitionings (unlike F.rand or hash(), whose
+    seeds/implementations are engine-private).
+    """
+    word = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+    return (word.cast("long") % buckets).alias("bucket")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its hash
+    bucket falls below the stratum's rate. This is how domain/language
+    mixture weights are applied at corpus scale — one narrow filter,
+    no shuffle, no state; the sample is a pure function of (id, rate
+    table), so incremental re-runs keep prior decisions.
+
+    `rates` maps stratum value -> keep fraction in [0, 1].
+    """
+    thresh = F.lit(int(default_rate * HASH_BUCKETS))
+    for val, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == val, F.lit(int(rate * HASH_BUCKETS))
+        ).otherwise(thresh)
+    return df.withColumn("bucket", hash_bucket(F.col(id_col))).filter(
+        F.col("bucket") < thresh
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap: for every training
+    document, count how many of its distinct n-word shingles appear
+    anywhere in the benchmark/eval set. Standard pre-training hygiene
+    (flag-and-drop docs that leak eval data); the output keeps every
+    train doc with its overlap count and fraction so the caller picks
+    the threshold.
+
+    Scale shape: the benchmark side is tiny relative to the corpus by
+    construction, so its distinct-shingle set is BROADCAST — the train
+    side's shingles stream map-side through the hash join with no
+    shuffle of the 100 TB corpus; the only wide ops are the two per-doc
+    count aggregates, each keyed on doc_id.
+    """
+    from open_tlm_spark.operators.dedup import shingle_table
+
+    tsh = shingle_table(train, id_col=id_col, text_col=text_col, n=n)
+    bsh = (
+        shingle_table(bench, id_col=id_col, text_col=text_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    per = tsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        tsh.join(F.broadcast(bsh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    n_hit = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    return per.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        n_hit.cast("long").alias("n_contaminated"),
+        F.round(n_hit / F.col("n_shingles"), 6).alias("contam_frac"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Token-budget sequence packing: within each partition value,
+    documents are taken in `order_col` order and chunked greedily so
+    each pack holds ~`budget` tokens (pack_id = tokens consumed before
+    this doc // budget — a doc straddling a boundary joins the earlier
+    pack, so packs can exceed the budget by at most one document).
+
+    This is the distributed-friendly packing: true first-fit-decreasing
+    is inherently sequential, while the contiguous-greedy rule is ONE
+    window cumulative sum — a single shuffle on the partition column.
+    At 100 TB the partition column must be finer than `language` (a
+    hot language would serialize into one task): pack within
+    (language, shard) where shard = hash_bucket(id) % n_shards, then
+    treat (language, shard, pack_id) as the global pack key — same
+    single-shuffle shape, no skew.
+
+    Output: one row per pack with doc count and token total.
+    """
+    w = Window.partitionBy(part_col).orderBy(order_col)
+    toks = F.col(tokens_col)
+    cum = F.sum(toks).over(w)
+    packed = df.select(
+        F.col(part_col),
+        F.floor((cum - toks) / F.lit(budget)).alias("pack_id"),
+        toks.alias("_tok"),
+    )
+    return packed.groupBy(part_col, "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").cast("long").alias("pack_tokens"),
+    )

@@ -116,9 +116,9 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidates(sig: DataFrame) -> DataFrame:
-    """LSH banding: docs sharing any band's composite key are
-    candidate pairs (doc_a < doc_b).
+def lsh_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) banding relation over a MinHash
+    signature frame.
 
     Band keys are built in ONE projection (array of structs +
     explode) instead of a per-band union — a union scans the
@@ -138,11 +138,17 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
             for b in range(NUM_BANDS)
         ]
     )
-    banded = sig.select("doc_id", F.explode(structs).alias("bk")).select(
+    return sig.select("doc_id", F.explode(structs).alias("bk")).select(
         "doc_id",
         F.col("bk.band_id").alias("band_id"),
         F.col("bk.band_key").alias("band_key"),
     )
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """LSH banding: docs sharing any band's composite key are
+    candidate pairs (doc_a < doc_b)."""
+    banded = lsh_bands(sig)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -229,6 +235,101 @@ def ngram_jaccard_pairs(
         )
     )
     return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def bucket_edges(df: DataFrame, key_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Star edges (bucket-min-id -> member) for a near-dup bucket key.
+
+    The linear alternative to a within-bucket pairwise join: a bucket
+    of b docs yields b-1 edges instead of b*(b-1)/2 pairs, and the
+    connected-components pass downstream recovers exactly the same
+    clusters (any spanning subgraph of the bucket clique does). One
+    shuffle keyed on the bucket key.
+    """
+    from pyspark.sql import Window
+
+    root = F.min(id_col).over(Window.partitionBy(key_col))
+    return (
+        df.filter(F.col(key_col).isNotNull())  # NULL keys are not a bucket
+        .select(F.col(id_col), root.alias("_root"))
+        .filter(F.col(id_col) != F.col("_root"))
+        .select(F.col("_root").alias("src"), F.col(id_col).alias("dst"))
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """Connected components via hash-min label propagation: every node
+    repeatedly adopts the minimum label among itself and its
+    neighbors; at the fixed point each component is labeled by its
+    minimum node id. The standard MapReduce/Spark CC formulation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public technique), converging in O(graph diameter)
+    rounds; dedup clusters built from bucket stars have diameter <= 4,
+    so the loop runs 2-3 rounds in practice.
+
+    Each round is one equi-join shuffle + one min-aggregate shuffle,
+    with an eager localCheckpoint cutting lineage (without it round
+    N's plan re-executes every earlier round). The driver-side loop
+    only compares two scalar checksums per round — all data movement
+    is distributed.
+
+    Input: (src, dst) edge frame. Output: (node, lbl) for every node
+    that appears in an edge; singletons are absent (callers outer-join
+    and coalesce to the node's own id).
+    """
+    # Materialize the edge set ONCE before anything fans out from it:
+    # `und` reads it twice and every round joins it, so an un-cut
+    # edge pipeline (fingerprints, UDFs, window mins) would be planned
+    # and executed once per consumer.
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # Init = min(self, all neighbors) via ONE aggregate (every node
+    # appears as dst in `und` because it carries both directions) —
+    # a full propagation round without its join.
+    labels = (
+        und.select(F.col("dst").alias("node"), F.col("src").alias("lbl"))
+        .union(und.select(F.col("dst").alias("node"), F.col("dst").alias("lbl")))
+        .groupBy("node")
+        .agg(F.min("lbl").alias("lbl"))
+        .localCheckpoint(eager=False)
+    )
+
+    def step(lab: DataFrame) -> DataFrame:
+        # Neighbor propagation (1 hop) + pointer jumping (label-of-
+        # label, which halves remaining label distance): min over
+        # {self, neighbors' labels, label's label}.
+        nbr = und.join(lab, und.src == lab.node).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        a, b = lab.alias("a"), lab.alias("b")
+        jump = a.join(b, F.col("a.lbl") == F.col("b.node")).select(
+            F.col("a.node").alias("node"), F.col("b.lbl").alias("lbl")
+        )
+        return (
+            lab.union(nbr)
+            .union(jump)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+
+    # Min-labels only ever decrease, so sum(lbl) strictly decreases
+    # until the fixed point — a single-scalar convergence test whose
+    # action also materializes the round's lazy checkpoint. Each
+    # driver round runs TWO propagation steps (4 hops with jumping):
+    # per-round cost at gate scale is Spark fixed overhead, not data,
+    # so deeper plans per action are a straight win.
+    prev_sum = None
+    for _ in range(max_iters):
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        labels = step(step(labels)).localCheckpoint(eager=False)
+    return labels
 
 
 def simhash(

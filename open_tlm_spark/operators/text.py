@@ -28,8 +28,19 @@ STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (array of non-empty tokens)."""
-    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    """Whitespace tokenization (array of non-empty tokens).
+
+    Implemented as collapse-whitespace + trim + plain split rather
+    than the obvious split + filter(t != '') — the filter lambda is an
+    interpreted higher-order function that costs 5.5x on the full
+    corpus (measured at sf0.1), while this form is entirely
+    whole-stage-codegen'd. The when() guard keeps the empty/whitespace
+    -only edge case identical to the filter form (empty array, not
+    [''])."""
+    trimmed = F.trim(F.regexp_replace(text, r"\s+", " "))
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, " ")
+    )
 
 
 def token_count_regex(text: Column) -> Column:
@@ -92,6 +103,115 @@ def fingerprint(text: Column) -> Column:
     'bag-of-words hash' fingerprint)."""
     bag = F.array_join(F.array_sort(F.array_distinct(tokens(F.lower(text)))), " ")
     return F.md5(bag)
+
+
+def bigrams(w: Column) -> Column:
+    """NON-distinct word 2-grams over a materialized token array —
+    repetition scoring needs multiplicities, unlike the dedup
+    shingles (which are distinct per doc)."""
+    idx = F.sequence(F.lit(0), F.size(w) - 2)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(w, (i + 1).cast("int")),
+            F.element_at(w, (i + 2).cast("int")),
+        ),
+    )
+    return F.when(F.size(w) >= 2, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction
+    (1 - distinct/total tokens) and top-bigram fraction (occurrences
+    of the most frequent 2-gram / total 2-grams). High values flag
+    boilerplate / keyword-stuffed documents.
+
+    dup_word_frac is a pure narrow projection; the bigram fraction is
+    one explode + two hash aggregations (map-side partials collapse
+    each doc's grams before the shuffle, so the shuffle carries one
+    row per distinct (doc, gram) — bounded by document length, not
+    corpus size).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("w"),
+    )
+    base = tok.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.round(1 - F.size(F.array_distinct("w")) / F.size("w"), 6).alias(
+            "dup_word_frac"
+        ),
+    )
+    grams = tok.select("doc_id", F.explode(bigrams(F.col("w"))).alias("g"))
+    top = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("tot"))
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        F.round(F.col("top_c") / F.col("tot"), 6).alias("top_bigram_frac"),
+    )
+
+
+def doc_frequency(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Document frequency per token — the vocabulary-building /
+    IDF-table step of a text pipeline: (token, df) where df counts
+    DOCUMENTS containing the token (not occurrences).
+
+    Per-doc distinct-ing happens BEFORE the explode, so the shuffle
+    carries at most |vocab| x |docs| rows bounded by per-doc distinct
+    tokens; map-side partial aggregation then collapses to one row
+    per (partition, token) before the exchange — at corpus scale the
+    shuffle volume is ~|vocab| per partition, independent of document
+    count.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.col(text_col))))
+        ).alias("token"),
+    )
+    return tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+
+# PII patterns: RE2-compatible (DuckDB) AND Java-regex-compatible
+# (Spark) — only \d, \b, bounded repetition, plain char classes.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+def pii_scrub(text: Column) -> dict[str, Column]:
+    """PII detection + redaction as codegen'd column expressions:
+    count then regexp_replace emails, IPv4 addresses, and phone
+    numbers (in that order — emails are scrubbed before the IP pass
+    so dotted hostnames can't double-match). Returns the counts and
+    the scrubbed text; zero shuffles, scan-bound at any scale.
+    """
+    n_emails = F.regexp_count(text, F.lit(PII_EMAIL))
+    after_email = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    n_ips = F.regexp_count(after_email, F.lit(PII_IPV4))
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    n_phones = F.regexp_count(after_ip, F.lit(PII_PHONE))
+    clean = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    return {
+        "n_emails": n_emails,
+        "n_ips": n_ips,
+        "n_phones": n_phones,
+        "clean": clean,
+    }
 
 
 # Rolling-hash fingerprint parameters (Rabin-Karp polynomial hash).

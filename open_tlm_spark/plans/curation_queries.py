@@ -1,0 +1,400 @@
+"""Corpus-curation gate queries: duplicate clustering, repetition
+quality signals, PII scrubbing, mixture sampling, sequence packing.
+
+Beyond reference parity (driver north-star): these are the operators a
+training-data pipeline runs AFTER pairwise dedup/quality scoring — the
+steps that turn scores into a curated corpus. Every query has a full
+DuckDB oracle; the connected-components oracle uses a recursive CTE
+(tractable at the sf0.01 gate scale), while the Spark side runs the
+hash-min label-propagation loop that scales to corpus-sized graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_tlm_spark.operators import curation as C
+from open_tlm_spark.operators import dedup as D
+from open_tlm_spark.operators import text as T
+from open_tlm_spark.plans.registry import register
+
+# DuckDB mirror of text.tokens(lower(text)).
+_TOKS_CTE = r"""
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    )
+"""
+
+
+# ------------------------------------------------- duplicate clusters
+def _clusters_oracle() -> str:
+    """Recursive-CTE mirror of dedup_clusters: bag-fingerprint star
+    edges + MinHash band-bucket star edges, then connected components
+    as transitive min-label closure. Tractable at the sf0.01 gate
+    scale; the Spark side runs the distributed hash-min loop."""
+    from open_tlm_spark.plans.pipeline_queries import SHINGLES_CTE
+
+    sig_cols = ",\n             ".join(
+        f"min((w1 + {j} * w2) % {D.KM_PRIME}) AS sig_{j}"
+        for j in range(D.NUM_HASHES)
+    )
+    band_rows = []
+    for b in range(D.NUM_BANDS):
+        cols = " || '|' || ".join(
+            f"sig_{b * D.BAND_ROWS + r}" for r in range(D.BAND_ROWS)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sig"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_rows)
+    return f"""
+    WITH RECURSIVE {SHINGLES_CTE},
+    bag AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS k
+      FROM toks
+    ),
+    hw AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS w1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS w2
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hw GROUP BY doc_id
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    e1 AS (SELECT min(doc_id) OVER (PARTITION BY k) AS src, doc_id AS dst
+           FROM bag),
+    e2 AS (SELECT min(doc_id) OVER (PARTITION BY band_id, band_key) AS src,
+                  doc_id AS dst
+           FROM bands),
+    edges AS (
+      SELECT src, dst FROM e1 WHERE src <> dst
+      UNION
+      SELECT src, dst FROM e2 WHERE src <> dst
+    ),
+    und AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT dst AS src, src AS dst FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM und),
+    reach AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT u.dst AS node, r.lbl
+      FROM reach r JOIN und u ON u.src = r.node
+    ),
+    cc AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(cc.lbl, d.doc_id) AS cluster_id,
+           coalesce(cc.lbl, d.doc_id) = d.doc_id AS is_keeper
+    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    """
+
+
+@register("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level fuzzy-dedup clustering — the step every production
+    corpus pipeline runs after MinHash-LSH: union the star edges of
+    the bag-of-words fingerprint buckets and the LSH band buckets,
+    run connected components (hash-min label propagation + pointer
+    jumping), and label every document with its component's minimum
+    doc_id. Transitive closure is the point: A~B in one band and B~C
+    in another puts all three in one cluster, where pairwise dedup
+    would keep two. Keepers are the cluster representatives.
+
+    Scale: edges are LINEAR in corpus size (star per bucket, never
+    within-bucket pairs — a spanning subgraph of the bucket clique
+    yields identical components); each CC round is one equi-join +
+    one min-aggregate over checkpointed frames.
+    """
+    docs = spark.table("documents")
+    bag = docs.select("doc_id", T.fingerprint(F.col("text")).alias("k"))
+    bands = D.lsh_bands(D.minhash_signatures(D.shingle_table(docs))).select(
+        "doc_id",
+        F.concat_ws("|", F.col("band_id").cast("string"), "band_key").alias("k"),
+    )
+    # No distinct(): duplicate edges are harmless to min-label CC,
+    # and dropping the dedup saves a full shuffle of the edge set.
+    edges = D.bucket_edges(bag, "k").union(D.bucket_edges(bands, "k"))
+    cc = D.connected_components(edges)
+    lbl = F.coalesce(F.col("lbl"), F.col("doc_id"))
+    return docs.join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id",
+        lbl.alias("cluster_id"),
+        (lbl == F.col("doc_id")).alias("is_keeper"),
+    )
+
+
+# --------------------------------------------- repetition quality
+@register(
+    "quality_repetition",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    base AS (
+      SELECT doc_id, len(w) AS n_words,
+             round(1 - len(list_distinct(w)) / len(w), 6) AS dup_word_frac
+      FROM toks
+    ),
+    bg AS (
+      SELECT doc_id, w[i+1] || ' ' || w[i+2] AS g
+      FROM toks, UNNEST(range(0, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS tot
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT b.doc_id, n_words, dup_word_frac,
+           round(top_c / tot, 6) AS top_bigram_frac
+    FROM base b LEFT JOIN top USING (doc_id)
+    """,
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction and
+    top-bigram fraction — the cheap detectors for boilerplate and
+    keyword-stuffed documents (operators/text.py
+    repetition_features)."""
+    return T.repetition_features(spark.table("documents"))
+
+
+# ----------------------------------------------------- PII scrubbing
+# The synthetic corpus is pure lowercase word-soup (verified: no
+# digits / punctuation), so raw text carries no PII to find. The gate
+# wraps each document in a deterministic envelope carrying synthetic
+# PII derived from its own keys — both engines build the identical
+# string, and the scrubbed md5 proves the regex engines agree
+# byte-for-byte. The operator itself (text.pii_scrub) is generic.
+@register(
+    "text_pii_scrub",
+    oracle=r"""
+    WITH env AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@' || source
+                  || '.example.com'
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' alt' || doc_id || '@backup.org'
+                          ELSE '' END
+                  || ' +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  || ' ip 10.0.' || (doc_id % 256) || '.7' AS raw
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS n_emails,
+             regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS t1
+      FROM env
+    ),
+    s2 AS (
+      SELECT doc_id, n_emails,
+             len(regexp_extract_all(t1,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+             regexp_replace(t1,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                 '<IP>', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_ips AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t2, '\+\d{1,2}-\d{3}-\d{4}'))
+                AS BIGINT) AS n_phones,
+           md5(regexp_replace(t2, '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g'))
+             AS clean_md5
+    FROM s2
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails, IPv4, phone numbers) as
+    pure regex column math — zero shuffles, scan-bound at 100 TB."""
+    docs = spark.table("documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" alt"), F.col("doc_id").cast("string"),
+                     F.lit("@backup.org")),
+        ).otherwise(F.lit("")),
+        F.lit(" +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    sc = T.pii_scrub(raw)
+    return docs.select(
+        "doc_id",
+        sc["n_emails"].cast("long").alias("n_emails"),
+        sc["n_ips"].cast("long").alias("n_ips"),
+        sc["n_phones"].cast("long").alias("n_phones"),
+        F.md5(sc["clean"]).alias("clean_md5"),
+    )
+
+
+# ------------------------------------------------- mixture sampling
+_MIX_RATES = {"en": 0.25, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 1.0}
+
+
+@register(
+    "sample_domain_mix",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang, source,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, source, bucket
+    FROM b
+    WHERE bucket < CASE lang
+                     WHEN 'en' THEN 2500
+                     WHEN 'de' THEN 5000
+                     WHEN 'fr' THEN 5000
+                     WHEN 'es' THEN 5000
+                     WHEN 'zh' THEN 10000
+                     ELSE 10000 END
+    """,
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture re-weighting by deterministic hash-threshold
+    sampling: downsample the over-represented languages (en to 25%,
+    de/fr/es to 50%), keep the rare one (zh) whole. Pure narrow
+    filter — the sample is reproducible from (doc_id, rate table)
+    alone, which is what training-data lineage requires
+    (operators/curation.py stratified_sample)."""
+    out = C.stratified_sample(
+        spark.table("documents"), "lang", _MIX_RATES, id_col="doc_id"
+    )
+    return out.select("doc_id", "lang", "source", "bucket")
+
+
+# -------------------------------------------- benchmark decontamination
+# Deterministic holdout: doc_id % 97 == 0 plays the benchmark/eval set.
+_BENCH_MOD = 97
+
+
+@register(
+    "decontaminate_ngrams",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+      FROM toks, UNNEST(range(0, len(w) - 2)) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+    tsh AS (SELECT * FROM sh WHERE doc_id % {_BENCH_MOD} <> 0),
+    per AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id, count(*) AS n_hits
+      FROM tsh t JOIN bsh USING (shingle)
+      GROUP BY t.doc_id
+    )
+    SELECT p.doc_id,
+           p.n_shingles,
+           coalesce(h.n_hits, 0) AS n_contaminated,
+           round(coalesce(h.n_hits, 0) / p.n_shingles, 6) AS contam_frac
+    FROM per p LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training doc, the count/fraction
+    of its distinct 3-gram shingles that also appear in the held-out
+    eval slice (doc_id % {_BENCH_MOD} == 0). The eval shingle set is
+    broadcast, so the corpus side never shuffles its text
+    (operators/curation.py decontaminate)."""
+    docs = spark.table("documents")
+    holdout = F.col("doc_id") % _BENCH_MOD == 0
+    return C.decontaminate(
+        docs.filter(~holdout), docs.filter(holdout), n=3
+    )
+
+
+# ------------------------------------------------- vocabulary / IDF
+@register(
+    "vocab_doc_freq",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ),
+    tok AS (SELECT DISTINCT doc_id, unnest(w) AS token FROM toks)
+    SELECT token, count(*) AS df
+    FROM tok GROUP BY token
+    ORDER BY df DESC, token LIMIT 50
+    """,
+)
+def vocab_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-50 tokens by document frequency (the
+    IDF-table step). Token as tiebreak makes the top-k deterministic
+    (operators/text.py doc_frequency)."""
+    out = T.doc_frequency(spark.table("documents"))
+    return out.orderBy(F.col("df").desc(), "token").limit(50)
+
+
+# ------------------------------------------------- sequence packing
+_PACK_BUDGET = 512
+
+
+@register(
+    "pack_sequences",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT lang,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
+                         - n_tok) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+             n_tok
+      FROM t
+    )
+    SELECT lang, pack_id, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing per language ({_PACK_BUDGET}
+    tokens/pack): one window cumulative sum + one aggregate
+    (operators/curation.py pack_sequences; see its docstring for the
+    (language, shard) refinement that removes the hot-language skew
+    at corpus scale)."""
+    docs = spark.table("documents").select(
+        "doc_id", "lang",
+        F.size(T.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    return C.pack_sequences(
+        docs, "lang", "doc_id", "n_tok", budget=_PACK_BUDGET
+    )

@@ -55,6 +55,14 @@ def register(name: str, oracle: str | None = None, bench: bool = True):
 # covers every query's current code. Everything is locally verified
 # by the (now dtype-strict) tools/diffcheck.py regardless.
 _CHECK_FIRST = [
+    # new this round — must have an in-round correctness row
+    "dedup_clusters",
+    "quality_repetition",
+    "text_pii_scrub",
+    "sample_domain_mix",
+    "pack_sequences",
+    "decontaminate_ngrams",
+    "vocab_doc_freq",
     "multimodal_metadata_stats",
     "docs_clean_pipeline",
     "approx_distinct_stats",
@@ -74,6 +82,9 @@ _CHECK_FIRST = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
+    # tokens() rewrite (codegen'd split) flows into these two as well
+    "dedup_fingerprint",
+    "dedup_simhash",
     "sim_ivf_train",
     "skew_salted_agg",
     "tpch_q2_min_cost_supplier",

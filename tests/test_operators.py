@@ -430,3 +430,156 @@ def test_kmeans_train_properties(spark):
     ]
     trained = kmeans_train(emb, k=8, iters=2).collect()
     assert objective(trained) > objective(init)
+
+
+def test_connected_components_merges_transitively(spark):
+    """Hash-min CC: a chain spanning two edge generators collapses to
+    one cluster labeled by its minimum node; disjoint components stay
+    apart; the fixed point is reached within the diameter bound."""
+    from open_tlm_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # component {1,2,3,4} as a chain, component {10, 11}, and a
+        # star {20, 21, 22}
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        "src long, dst long",
+    )
+    got = {
+        (r.node, r.lbl) for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_bucket_edges_linear_star(spark):
+    """bucket_edges yields |bucket|-1 star edges per bucket (never
+    pairwise) and no self-edges for singleton buckets."""
+    from open_tlm_spark.operators.dedup import bucket_edges
+
+    df = spark.createDataFrame(
+        [(1, "a"), (5, "a"), (9, "a"), (2, "b"), (7, "c")],
+        "doc_id long, k string",
+    )
+    got = {(r.src, r.dst) for r in bucket_edges(df, "k").collect()}
+    assert got == {(1, 5), (1, 9)}
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    """Hash-threshold sampling: re-runs agree exactly; observed rates
+    land near the target; unlisted strata keep the default rate."""
+    from open_tlm_spark.operators.curation import stratified_sample
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("s"),
+    )
+    rates = {"a": 0.25}
+    one = stratified_sample(df, "s", rates, id_col="doc_id")
+    two = stratified_sample(df, "s", rates, id_col="doc_id")
+    rows = one.groupBy("s").count().collect()
+    by = {r.s: r["count"] for r in rows}
+    assert abs(by["a"] / 2000 - 0.25) < 0.05  # ~uniform md5 buckets
+    assert by["b"] == 2000  # default rate 1.0 keeps everything
+    assert sorted(r.doc_id for r in one.collect()) == sorted(
+        r.doc_id for r in two.collect()
+    )
+
+
+def test_pack_sequences_budget_and_totals(spark):
+    """Packing conserves docs/tokens, fills packs contiguously, and a
+    pack exceeds the budget by at most one straddling document."""
+    from open_tlm_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "x", 100 + (i % 3) * 70) for i in range(40)],
+        "doc_id long, lang string, n_tok long",
+    )
+    packs = pack_sequences(df, "lang", "doc_id", "n_tok", budget=512).collect()
+    assert sum(p.n_docs for p in packs) == 40
+    assert sum(p.pack_tokens for p in packs) == sum(
+        100 + (i % 3) * 70 for i in range(40)
+    )
+    # contiguous greedy: every pack except possibly the last holds >=
+    # budget-minus-one-doc tokens; none exceeds budget + max doc size
+    max_tok = 240
+    for p in packs:
+        assert p.pack_tokens < 512 + max_tok
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from open_tlm_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d@e.org ip 10.0.0.1 call +1-555-1234"),
+            (2, "nothing sensitive here"),
+        ],
+        "id long, t string",
+    )
+    sc = pii_scrub(F.col("t"))
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id", sc["n_emails"].alias("e"), sc["n_ips"].alias("i"),
+            sc["n_phones"].alias("p"), sc["clean"].alias("c"),
+        ).collect()
+    }
+    assert (rows[1].e, rows[1].i, rows[1].p) == (2, 1, 1)
+    assert rows[1].c == "mail <EMAIL> and <EMAIL> ip <IP> call <PHONE>"
+    assert (rows[2].e, rows[2].i, rows[2].p) == (0, 0, 0)
+    assert rows[2].c == "nothing sensitive here"
+
+
+def test_decontaminate_counts_overlap(spark):
+    """Train docs sharing a 3-gram with the bench set are flagged with
+    the exact overlap count; clean docs report zero; docs shorter than
+    the shingle width are absent (no shingles on either side)."""
+    from open_tlm_spark.operators.curation import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares "the quick brown"
+            (2, "entirely different words here"),
+            (3, "too short"),                    # < 3 tokens -> absent
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown cat")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in decontaminate(train, bench).collect()}
+    assert set(rows) == {1, 2}
+    assert (rows[1].n_shingles, rows[1].n_contaminated) == (3, 1)
+    assert rows[1].contam_frac == round(1 / 3, 6)
+    assert (rows[2].n_contaminated, rows[2].contam_frac) == (0, 0.0)
+
+
+def test_doc_frequency_counts_documents_not_occurrences(spark):
+    from open_tlm_spark.operators.text import doc_frequency
+
+    df = spark.createDataFrame(
+        [(1, "spam spam eggs"), (2, "spam toast")],
+        "doc_id long, text string",
+    )
+    got = {r.token: r.df for r in doc_frequency(df).collect()}
+    assert got == {"spam": 2, "eggs": 1, "toast": 1}
+
+
+def test_repetition_features_flags_boilerplate(spark):
+    from open_tlm_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "all words here are unique tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert rows[1].dup_word_frac == 0.75  # 1 distinct of 4
+    assert rows[1].top_bigram_frac == 1.0  # every bigram is "spam spam"
+    assert rows[2].dup_word_frac == 0.0
+    assert rows[2].top_bigram_frac == 0.2  # 5 bigrams, all unique

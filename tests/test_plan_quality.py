@@ -164,3 +164,27 @@ def test_embedding_dedup_single_block_shuffle(spark):
     assert "FlatMapGroupsInPandas" in plan or "MapGroups" in plan
     assert plan.count("Exchange") <= 2
     assert "Join" not in plan
+
+
+def test_curation_narrow_ops_no_shuffle(spark):
+    """Mixture sampling and PII scrubbing are pure narrow transforms:
+    a shuffle in either would be a plan regression (at 100 TB they
+    must stay scan-bound)."""
+    for name in ("sample_domain_mix", "text_pii_scrub"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+
+
+def test_decontaminate_broadcasts_bench_shingles(spark):
+    """The eval-set shingle join must be a broadcast hash join — at
+    corpus scale the train side's text must never shuffle through it."""
+    plan = plan_of(spark, "decontaminate_ngrams")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing = one window partition-by shuffle; AQE may add a
+    coalesce read, but there must be exactly one Exchange operator."""
+    plan = plan_of(spark, "pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
