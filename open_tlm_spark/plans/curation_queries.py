@@ -124,9 +124,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat_ws("|", F.col("band_id").cast("string"), "band_key").alias("k"),
     )
-    # No distinct(): duplicate edges are harmless to min-label CC,
-    # and dropping the dedup saves a full shuffle of the edge set.
-    edges = D.bucket_edges(bag, "k").union(D.bucket_edges(bands, "k"))
+    # Union the two key families (disjoint formats: bare md5 vs
+    # "band|md5") BEFORE the star-edge window, so the bucket-min pass
+    # is ONE shuffle over both instead of one per family. No
+    # distinct(): duplicate edges are harmless to min-label CC, and
+    # dropping the dedup saves a full shuffle of the edge set.
+    edges = D.bucket_edges(bag.unionByName(bands), "k")
     cc = D.connected_components(edges)
     lbl = F.coalesce(F.col("lbl"), F.col("doc_id"))
     return docs.join(cc, docs.doc_id == cc.node, "left").select(
