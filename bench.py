@@ -47,17 +47,30 @@ def main() -> int:
         print(f"# {name}: {per_query[name]:.3f}s rows={n}", file=sys.stderr)
     total = round(time.perf_counter() - t_total, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
+    # The driver records only the LAST ~2000 chars of stdout and
+    # json-parses the final line; with 80+ registered queries the full
+    # per-query dict overflows that window (round 3 recorded
+    # parsed=null). Keep the line under budget: report the slowest
+    # queries (the informative ones) inline, count the rest, and write
+    # the complete map to BENCH_FULL_LOCAL.json beside this script.
+    payload = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": dict(per_query),
+        "sf": sf,
+    }
+    full = {**payload, "queries": dict(per_query)}
+    by_speed = sorted(per_query, key=per_query.get)  # fastest first
+    while len(json.dumps(payload)) > 1800 and by_speed:
+        payload["queries"].pop(by_speed.pop(0))
+        payload["queries_omitted"] = len(per_query) - len(payload["queries"])
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LOCAL.json"),
+        "w",
+    ) as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(payload))
     return 0
 
 

@@ -79,7 +79,13 @@ def shingle_table(
 
     Two-step projection: tokenize into a real column first, THEN
     build grams over the column reference (see _grams_over note).
+    Input is fanned out first — the tokenize/gram/md5 chain downstream
+    is the expensive narrow stage, and a single-split source would
+    serialize it (see session.fan_out).
     """
+    from open_tlm_spark.session import fan_out
+
+    df = fan_out(df)
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.lower(F.col(text_col))).alias("w"),

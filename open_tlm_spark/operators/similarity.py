@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from open_tlm_spark.session import fan_out
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -159,7 +161,9 @@ def brute_force_topk(
     # (vector, query) pair — measured 2-3x slower.
     e = (
         normalized(
-            embeddings.select("vec_id", as_double(F.col("embedding")).alias("vec")),
+            fan_out(embeddings).select(
+                "vec_id", as_double(F.col("embedding")).alias("vec")
+            ),
             "vec", dim=dim,
         )
         .select("vec_id", "nvec")
@@ -210,7 +214,9 @@ def hyperplane_signatures(
     co-bucketed candidates.
     """
     e = normalized(
-        embeddings.select("vec_id", as_double(F.col("embedding")).alias("vec")),
+        fan_out(embeddings).select(
+            "vec_id", as_double(F.col("embedding")).alias("vec")
+        ),
         "vec", dim=dim,
     ).select("vec_id", "nvec").localCheckpoint(eager=False)
     h = (
@@ -287,7 +293,9 @@ def ivf_assign(
     """
     # Lineage cut — see brute_force_topk.
     e = normalized(
-        embeddings.select("vec_id", as_double(F.col("embedding")).alias("vec")),
+        fan_out(embeddings).select(
+            "vec_id", as_double(F.col("embedding")).alias("vec")
+        ),
         "vec", dim=dim,
     ).localCheckpoint(eager=False)
     c = (
@@ -401,7 +409,9 @@ def kmeans_train(
     (centroid quality needs only ~k*1e3 points per cell).
     """
     e = normalized(
-        embeddings.select("vec_id", as_double(F.col("embedding")).alias("vec")),
+        fan_out(embeddings).select(
+            "vec_id", as_double(F.col("embedding")).alias("vec")
+        ),
         "vec",
     ).select("vec_id", "nvec").localCheckpoint(eager=False)
 

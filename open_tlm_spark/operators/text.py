@@ -137,7 +137,9 @@ def repetition_features(
     row per distinct (doc, gram) — bounded by document length, not
     corpus size).
     """
-    tok = df.select(
+    from open_tlm_spark.session import fan_out
+
+    tok = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         tokens(F.lower(F.col(text_col))).alias("w"),
     )
@@ -177,7 +179,9 @@ def doc_frequency(
     shuffle volume is ~|vocab| per partition, independent of document
     count.
     """
-    tok = df.select(
+    from open_tlm_spark.session import fan_out
+
+    tok = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.array_distinct(tokens(F.lower(F.col(text_col))))

@@ -1,0 +1,369 @@
+"""Visualization + statistics analytics queries.
+
+Extends the engine's query surface with the standard time-series
+analytics a graphing TSDB front-end needs beyond raw rollups
+(reference scope: public/graph.js renders from rollup reads; these
+push the remaining render-side math into the engine):
+
+  * M4 downsampling (min/max/first/last per pixel bucket) — the
+    lossless-for-line-charts downsample (Jugel et al., "M4: A
+    Visualization-Oriented Time Series Data Aggregation", VLDB 2014
+    — public technique).
+  * Global z-score anomaly flagging per series.
+  * Pairwise Pearson correlation between series on aligned bins.
+  * Deterministic hash split + conversion funnel for the pipeline
+    side.
+
+Float-determinism conventions (registry docstring): every mean/std/
+correlation is computed from DECIMAL-cast exact sums (order-
+independent, identical in Spark and DuckDB), with the identical
+double-arithmetic formula applied to those sums on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_tlm_spark.plans.registry import register
+
+# --------------------------------------------------------------- M4
+_M4_BUCKET_S = 3600  # one "pixel" per hour
+
+
+@register(
+    "ts_downsample_m4",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT event_type AS dataset_id,
+             CAST(floor(epoch_us(ts) / ({_M4_BUCKET_S} * 1000000.0)) AS BIGINT)
+               * {_M4_BUCKET_S} AS bucket_ts,
+             value,
+             printf('%020d%012d', epoch_us(ts), event_id) AS ord
+      FROM events
+    )
+    SELECT dataset_id, bucket_ts,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           arg_min(value, ord) AS first_value,
+           arg_max(value, ord) AS last_value,
+           count(*) AS n_points
+    FROM keyed
+    GROUP BY dataset_id, bucket_ts
+    """,
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling: per (series, time bucket) keep
+    min, max, first and last value — the four points that make a
+    line-chart render of the bucket pixel-identical to the full data
+    (M4, VLDB 2014). ONE hash aggregation with map-side partials; at
+    100 TB this is the canonical first-pass render query, shuffling
+    four doubles per pixel instead of the raw points.
+
+    First/last ordering key is a zero-padded (epoch_us, event_id)
+    string — total order, identical in both engines (min_by/arg_min
+    take only scalar keys in DuckDB)."""
+    ev = spark.table("events")
+    ord_key = F.format_string(
+        "%020d%012d", F.unix_micros("ts"), F.col("event_id")
+    )
+    keyed = ev.select(
+        F.col("event_type").alias("dataset_id"),
+        (
+            F.floor(F.unix_micros("ts") / F.lit(_M4_BUCKET_S * 1_000_000.0))
+            .cast("long")
+            * _M4_BUCKET_S
+        ).alias("bucket_ts"),
+        "value",
+        ord_key.alias("ord"),
+    )
+    return keyed.groupBy("dataset_id", "bucket_ts").agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.min_by("value", F.col("ord")).alias("first_value"),
+        F.max_by("value", F.col("ord")).alias("last_value"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+# ----------------------------------------------------------- z-score
+@register(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS s1,
+             sum(CAST(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS s2
+      FROM events
+      GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_id, e.event_type AS dataset_id, e.value,
+             round((e.value - CAST(s.s1 AS DOUBLE) / s.n)
+                   / sqrt((CAST(s.s2 AS DOUBLE)
+                           - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)
+                          / (s.n - 1)), 6) AS zscore
+      FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_id, dataset_id, value, zscore
+    FROM z WHERE abs(zscore) >= 3.0
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global z-score anomaly flagging: points more than 3 sigma from
+    their series mean. Mean/std come from DECIMAL-cast exact sums
+    (order-independent across partitions — double summation order
+    would differ between engines and runs), then one broadcast join
+    of the tiny per-series stats frame back onto the fact scan: two
+    narrow passes, one shuffle (the 5-row stats aggregate), scales
+    linearly."""
+    ev = spark.table("events")
+    dec = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("s1"),
+        F.sum((dec * dec).cast("decimal(38,12)")).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    mean = s1d / F.col("n")
+    std = F.sqrt((s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1))
+    z = ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        F.col("event_type").alias("dataset_id"),
+        "value",
+        F.round((F.col("value") - mean) / std, 6).alias("zscore"),
+    )
+    return z.filter(F.abs(F.col("zscore")) >= 3.0)
+
+
+# ------------------------------------------------------- correlation
+_CORR_BIN_S = 1000
+
+
+@register(
+    "ts_pairwise_corr",
+    oracle=f"""
+    WITH binned AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / ({_CORR_BIN_S} * 1000000.0)) AS BIGINT)
+               * {_CORR_BIN_S} AS bin_ts,
+             CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                        / count(*), 6) AS DECIMAL(18,6)) AS v
+      FROM events
+      GROUP BY event_type, bin_ts
+    ),
+    paired AS (
+      SELECT a.event_type AS series_a, b.event_type AS series_b,
+             count(*) AS n_bins,
+             sum(a.v) AS sx, sum(b.v) AS sy,
+             sum(CAST(a.v * b.v AS DECIMAL(38,12))) AS sxy,
+             sum(CAST(a.v * a.v AS DECIMAL(38,12))) AS sxx,
+             sum(CAST(b.v * b.v AS DECIMAL(38,12))) AS syy
+      FROM binned a JOIN binned b
+        ON a.bin_ts = b.bin_ts AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT series_a, series_b, n_bins,
+           round((n_bins * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((n_bins * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n_bins * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS pearson_r
+    FROM paired
+    """,
+)
+def ts_pairwise_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between all series, aligned on
+    1000-second bins (J2 overlay alignment taken to its analytic
+    conclusion). Bin means use DECIMAL exact sums rounded to 6 dp and
+    re-cast to DECIMAL, so the pairwise products and their sums are
+    exact integers-scaled values in both engines; the final r formula
+    runs on those exact sums. Plan: one bin aggregate (shuffle on
+    (series, bin)), one equi-join on bin_ts across series pairs, one
+    pair aggregate — all map-side-combinable, no window, no
+    cartesian (bin join is an equi-join; 5 series -> 10 pairs)."""
+    ev = spark.table("events")
+    dec = F.col("value").cast("decimal(18,6)")
+    binned = (
+        ev.groupBy(
+            "event_type",
+            (
+                F.floor(
+                    F.unix_micros("ts") / F.lit(_CORR_BIN_S * 1_000_000.0)
+                ).cast("long")
+                * _CORR_BIN_S
+            ).alias("bin_ts"),
+        )
+        .agg(
+            F.round(
+                F.sum(dec).cast("double") / F.count(F.lit(1)), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("v")
+        )
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    paired = (
+        a.join(
+            b,
+            (F.col("a.bin_ts") == F.col("b.bin_ts"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("series_a"),
+            F.col("b.event_type").alias("series_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("a.v").alias("sx"),
+            F.sum("b.v").alias("sy"),
+            F.sum((F.col("a.v") * F.col("b.v")).cast("decimal(38,12)")).alias("sxy"),
+            F.sum((F.col("a.v") * F.col("a.v")).cast("decimal(38,12)")).alias("sxx"),
+            F.sum((F.col("b.v") * F.col("b.v")).cast("decimal(38,12)")).alias("syy"),
+        )
+    )
+    n = F.col("n_bins")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    return paired.select(
+        "series_a",
+        "series_b",
+        "n_bins",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("pearson_r"),
+    )
+
+
+# ------------------------------------------------------- hash split
+@register(
+    "stratified_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT source,
+             CASE
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 100 < 80 THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 100 < 90 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             n_chars
+      FROM documents
+    )
+    SELECT source, split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM assigned
+    GROUP BY source, split
+    """,
+)
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by hashing the
+    document id — the reproducible, coordination-free split every
+    training pipeline needs: no sampling state, no shuffle to assign
+    (pure narrow projection), any worker can recompute any doc's
+    split. Output audits the per-source composition, the check that
+    stratification didn't skew a domain. (Oracle CASTs sum() to
+    BIGINT — DuckDB integer sums yield HUGEINT.)"""
+    docs = spark.table("documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# ----------------------------------------------------------- funnel
+@register(
+    "event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.v_ts
+      WHERE e.event_type = 'click'
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.c_ts
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    )
+    SELECT count(*) AS n_view,
+           count(c.c_ts) AS n_click,
+           count(p.p_ts) AS n_purchase,
+           round(count(c.c_ts) / CAST(count(*) AS DOUBLE), 6) AS view_to_click,
+           round(count(p.p_ts) / CAST(count(c.c_ts) AS DOUBLE), 6)
+             AS click_to_purchase
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: per user,
+    the first click at-or-after the first view, then the first
+    purchase at-or-after that click; output stage counts and
+    conversion rates. Each stage is one groupBy(user_id) aggregate
+    joined on user_id — after the first stage's shuffle the join keys
+    are co-partitioned, so Catalyst reuses the exchange instead of
+    re-shuffling; no window functions, no range join (the time
+    predicate piggybacks on the user_id equi-join)."""
+    ev = spark.table("events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    joined = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.count("c_ts").alias("n_click"),
+        F.count("p_ts").alias("n_purchase"),
+        F.round(F.count("c_ts") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "view_to_click"
+        ),
+        F.round(F.count("p_ts") / F.count("c_ts").cast("double"), 6).alias(
+            "click_to_purchase"
+        ),
+    )

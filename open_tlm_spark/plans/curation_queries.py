@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from open_tlm_spark.session import fan_out
+
 from open_tlm_spark.operators import curation as C
 from open_tlm_spark.operators import dedup as D
 from open_tlm_spark.operators import text as T
@@ -119,7 +121,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     one min-aggregate over checkpointed frames.
     """
     docs = spark.table("documents")
-    bag = docs.select("doc_id", T.fingerprint(F.col("text")).alias("k"))
+    bag = fan_out(docs).select("doc_id", T.fingerprint(F.col("text")).alias("k"))
     bands = D.lsh_bands(D.minhash_signatures(D.shingle_table(docs))).select(
         "doc_id",
         F.concat_ws("|", F.col("band_id").cast("string"), "band_key").alias("k"),

@@ -362,8 +362,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow stage per block (block-local matrix product, fold-order
     accumulation — see operators/similarity.blocked_cosine_pairs),
     which ships each vector once instead of once per pair."""
+    from open_tlm_spark.session import fan_out
+
     vecs = S.normalized(
-        spark.table("embeddings").select(
+        fan_out(spark.table("embeddings")).select(
             "vec_id", "label", S.as_double(F.col("embedding")).alias("vec")
         ),
         "vec",

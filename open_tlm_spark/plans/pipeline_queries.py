@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from open_tlm_spark.operators import dedup as D
+from open_tlm_spark.session import fan_out
 from open_tlm_spark.operators import similarity as S
 from open_tlm_spark.operators import text as T
 from open_tlm_spark.plans.registry import register
@@ -70,7 +71,7 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words fingerprint dedup: md5 of the sorted distinct
     token set — catches word-order shuffles exact dedup misses. The
     16-byte key (not the document) is what shuffles."""
-    docs = spark.table("documents").select(
+    docs = fan_out(spark.table("documents")).select(
         "doc_id", T.fingerprint(F.col("text")).alias("fingerprint")
     )
     return D.exact_dedup(docs, ["fingerprint"], "doc_id")
@@ -497,7 +498,7 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling_fingerprint)."""
     from open_tlm_spark.operators.text import rolling_fingerprint
 
-    docs = spark.table("documents").filter(F.length("text") >= 8)
+    docs = fan_out(spark.table("documents").filter(F.length("text") >= 8))
     fp = docs.select(
         "doc_id", rolling_fingerprint(F.col("text"), k=8).alias("roll_fp")
     )

@@ -47,61 +47,55 @@ def register(name: str, oracle: str | None = None, bench: bool = True):
     return deco
 
 
-# The driver checks ~50 queries per round in dict order, so with 60+
+# The driver checks ~50 queries per round in dict order, so with 80+
 # registered the head of this list chooses what gets an in-round
-# correctness row. Round-3 head: the two r2 hash-FAILs (oracles fixed
-# this round), the newly-oracled sketch queries, and the 11 r1-green
-# queries that the r2 window rotated out — so the union of r2+r3 rows
-# covers every query's current code. Everything is locally verified
-# by the (now dtype-strict) tools/diffcheck.py regardless.
+# correctness row. Round-4 head: every query the r3 window rotated
+# out (all green in r1/r2 on code unchanged since), plus anything
+# added or changed this round — so the union of r3+r4 rows covers
+# every query's current code. Everything is locally verified by the
+# dtype-strict tools/diffcheck.py regardless.
 _CHECK_FIRST = [
-    # new this round — must have an in-round correctness row
-    "dedup_clusters",
-    "quality_repetition",
-    "text_pii_scrub",
-    "sample_domain_mix",
-    "pack_sequences",
-    "decontaminate_ngrams",
-    "vocab_doc_freq",
-    "multimodal_metadata_stats",
-    "docs_clean_pipeline",
-    "approx_distinct_stats",
-    "distinct_stats_exact",
-    "metrics_loop_series",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation_year",
-    "tpch_q12_late_shipments",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_excess_suppliers",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "text_rolling_fingerprint",
-    # changed this round (LSH banding rewrite + checkpoints, Arrow
-    # block-GEMM scoring) -> must have an in-round row
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    # tokens() rewrite (codegen'd split) flows into these two as well
-    "dedup_fingerprint",
-    "dedup_simhash",
-    "sim_ivf_train",
-    "skew_salted_agg",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    # exercises the store code (counters, warm-path predicate split)
-    "store_roundtrip_rollup",
-    "asof_align_series",
-    "cube_order_stats",
-    "percentiles_by_event_type",
-    "rank_parts_in_brand",
-    "sim_ivf_assign",
-    "sim_ivf_topk",
-    "text_langid",
-    "text_quality_score",
-    "text_token_stats",
-    "ts_value_projection",
-    "unpivot_part_metrics",
+    # new or changed in round 4 — must have an in-round row
+    "ts_downsample_m4",
+    "ts_anomaly_zscore",
+    "ts_pairwise_corr",
+    "stratified_split",
+    "event_funnel",
+    # rotated out of the r03 window; code unchanged since their last
+    # green row, re-pointed so every query gets a fresh in-round check
+    "ts_comment_tag_filter",
+    "ts_incremental_merge",
+    "ts_histogram_per_series",
+    "ts_derivative",
+    "ts_gap_fill",
+    "ts_ewma",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "top_customers_by_revenue",
+    "window_user_running_stats",
+    "set_ops_purchasers_vs_errors",
+    "pivot_event_type_daily",
+    "tpch_q4_order_priority",
+    "customers_without_orders",
+    "parts_above_brand_average",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q10_returned_items",
+    "tpch_q7_volume_shipping",
+    "tpch_q21_waiting_suppliers",
+    "dedup_exact",
+    "sim_topk_bruteforce",
+    "sessionize_events",
+    "multimodal_decode",
+    "tpch_q13_order_distribution",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
+    "events_json_props",
+    "interval_join_error_windows",
+    "sim_lsh_topk",
 ]
 
 

@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Naive (isAdjustedToUTC=false) parquet timestamps must read
+        # as TIMESTAMP_LTZ (session tz is pinned UTC), matching how
+        # the DuckDB oracle and the reference treat naive time. The
+        # Spark 4 default infers TIMESTAMP_NTZ, which breaks
+        # unix_micros()/epoch math and shifts window semantics.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
@@ -77,38 +83,102 @@ def _nanos_ts_columns(path: str) -> list[str]:
     ]
 
 
-def _normalize_nanos_table(spark: SparkSession, path: str, ns_cols: list[str]) -> str:
-    """One-time schema normalization: rewrite a TIMESTAMP(NANOS)
-    table as native µs timestamps into a local cache, atomically.
+# Natural cluster key per table: range-partitioning + within-file sort
+# on it gives the rewritten layout real min/max row-group statistics,
+# so time/date range predicates prune files AND row groups.
+_SORT_KEYS = {"events": "ts", "lineitem": "l_shipdate", "orders": "o_orderdate"}
 
-    WHY (the 100 TB reason): reading nanos as longs and wrapping them
-    in timestamp_micros(col div 1000) makes every time predicate a
-    function of the column — Catalyst cannot push it to the parquet
-    reader, so time-range scans lose row-group skipping entirely
-    (verified via PushedFilters). Normalizing once at the boundary —
-    exactly what a production ingest job does — restores native
-    TIMESTAMP columns with full pushdown + min/max statistics.
-    The conversion is lossless (integer ns->µs; the data has no
-    sub-µs precision).
+# Below this row count a single-split table is cheaper to scan as-is
+# than to re-lay-out (covers the tiny sf0.001/sf0.01 gate tables).
+_LAYOUT_MIN_ROWS = 50_000
+
+
+def _normalize_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    ns_cols: list[str],
+    n_parts: int,
+) -> str:
+    """One-time physical normalization into a local cache, atomically.
+
+    Two triggers, both ingest-boundary concerns a production pipeline
+    fixes once rather than per query:
+
+    * TIMESTAMP(NANOS) columns — Spark reads them as raw longs, and
+      wrapping in timestamp_micros(col div 1000) makes every time
+      predicate a function of the column, killing parquet pushdown /
+      row-group skipping. Rewriting as native µs TIMESTAMP restores
+      both (lossless: the data has no sub-µs precision).
+    * Single-row-group files — one row group = ONE Spark input split
+      no matter the byte-range splitting, so every scan (and all
+      narrow compute above it, e.g. the TPC-H partial aggregates)
+      runs on one core. Re-laying-out into defaultParallelism files,
+      range-partitioned + sorted on the table's natural key
+      (_SORT_KEYS), is the standard compaction/file-sizing step; at
+      warehouse scale inputs already have thousands of row groups and
+      this path never triggers.
     """
     from pyspark.sql import functions as F
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sf_key = os.path.basename(os.path.normpath(os.path.dirname(path)))
     cache = os.path.join(repo_root, ".tlm_cache", sf_key, os.path.basename(path))
+    # Staleness guard: the driver regenerates testdata between rounds;
+    # a cache keyed only by path would silently serve the OLD data.
+    st = os.stat(path)
+    src_sig = f"{st.st_mtime_ns}:{st.st_size}"
+    marker = f"{cache}.src"
+    if os.path.exists(cache) and os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() != src_sig:
+                import shutil
+
+                shutil.rmtree(cache, ignore_errors=True)
+                os.unlink(marker)
+    elif os.path.exists(cache):  # pre-marker cache: rebuild once
+        import shutil
+
+        shutil.rmtree(cache, ignore_errors=True)
     if not os.path.exists(cache):
         df = spark.read.parquet(path)
         for c in ns_cols:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        key = _SORT_KEYS.get(name)
+        if key is not None:
+            df = df.repartitionByRange(n_parts, key).sortWithinPartitions(key)
+        else:
+            df = df.repartition(n_parts)
         tmp = f"{cache}.tmp.{os.getpid()}"
         df.write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, cache)  # atomic publish; loser of a race cleans up
+            with open(marker, "w") as fh:
+                fh.write(src_sig)
         except OSError:
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
     return cache
+
+
+def fan_out(df, min_parts: int | None = None):
+    """Ensure enough input splits ahead of expensive narrow compute
+    (tokenize/shingle/md5/vector math).
+
+    A small single-file, single-rowgroup parquet table arrives as ONE
+    split, so everything before the first shuffle runs on one core —
+    measured 3x slower on the shingle pipeline at sf0.1. At warehouse
+    scale inputs have thousands of splits and this is a no-op (the
+    partition count check short-circuits, no shuffle is added); it
+    only round-robins data when the scan itself can't provide
+    parallelism, which is exactly when the data is small enough for
+    that shuffle to be free.
+    """
+    n = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
 
 
 _LOADED: dict[tuple[int, str], dict] = {}
@@ -129,6 +199,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     if key in _LOADED:
         return _LOADED[key]  # views already registered on this session
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Caller sessions may carry the Spark 4 default (infer NTZ);
+    # engine invariant is naive parquet time == UTC instant (LTZ).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # Engine invariant (SURVEY.md §4): all time math is UTC. The
     # caller's session may default to a local JVM tz, which would
     # shift naive-datetime output vs the DuckDB oracle.
@@ -145,14 +218,22 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
         "documents",
         "embeddings",
     ]
+    import pyarrow.parquet as pq
+
+    n_parts = spark.sparkContext.defaultParallelism
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
         ns_cols = _nanos_ts_columns(path)
-        if ns_cols:
-            path = _normalize_nanos_table(spark, path, ns_cols)
+        meta = pq.ParquetFile(path).metadata
+        needs_layout = (
+            meta.num_rows >= _LAYOUT_MIN_ROWS
+            and meta.num_row_groups < n_parts
+        )
+        if ns_cols or needs_layout:
+            path = _normalize_table(spark, name, path, ns_cols, n_parts)
         df = spark.read.parquet(path)
         df.createOrReplaceTempView(name)
         out[name] = df

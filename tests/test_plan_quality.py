@@ -188,3 +188,38 @@ def test_pack_sequences_single_shuffle(spark):
     coalesce read, but there must be exactly one Exchange operator."""
     plan = plan_of(spark, "pack_sequences")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_m4_single_aggregation(spark):
+    """M4 downsample: ONE hash-aggregate pair (partial + final) over
+    the scan — a second shuffle or a window sort would break the
+    'four doubles per pixel' scale contract."""
+    plan = plan_of(spark, "ts_downsample_m4")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_anomaly_zscore_broadcasts_stats(spark):
+    """z-score: the 5-row per-series stats frame must broadcast back
+    onto the fact scan (shuffling the fact table to join 5 rows is
+    the classic scale bug)."""
+    plan = plan_of(spark, "ts_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pairwise_corr_no_cartesian(spark):
+    """Correlation: the cross-series pairing must ride the bin_ts
+    equi-join; a nested-loop/cartesian over binned frames would be
+    quadratic in series count x bins."""
+    plan = plan_of(spark, "ts_pairwise_corr")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_no_nested_loop(spark):
+    """Funnel: every stage join is a user_id equi-join (time predicate
+    as post-join filter) — no range-join blow-up."""
+    plan = plan_of(spark, "event_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
