@@ -31,9 +31,9 @@ def main() -> int:
 
     # Warm the session (JVM/codegen) and the OS page cache once so
     # per-query numbers measure the plans, not first-touch overheads.
-    load_tables(spark, sf_dir)
-    spark.table("lineitem").count()
-    spark.table("events").count()
+    tables = load_tables(spark, sf_dir)
+    for t in tables:
+        spark.table(t).count()
 
     per_query: dict[str, float] = {}
     t_total = time.perf_counter()

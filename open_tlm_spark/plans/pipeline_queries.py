@@ -498,7 +498,12 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling_fingerprint)."""
     from open_tlm_spark.operators.text import rolling_fingerprint
 
-    docs = fan_out(spark.table("documents").filter(F.length("text") >= 8))
+    # NOT fanned out: repartitioning ahead of the Arrow UDF spawns a
+    # python worker per partition, and the fresh workers' numpy/pandas
+    # imports cost 6x the whole query at gate scale (measured 0.5 s ->
+    # 3.8 s). At warehouse scale the scan has many splits and warm
+    # workers, so the single-split case is the only one this affects.
+    docs = spark.table("documents").filter(F.length("text") >= 8)
     fp = docs.select(
         "doc_id", rolling_fingerprint(F.col("text"), k=8).alias("roll_fp")
     )

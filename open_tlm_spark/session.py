@@ -61,6 +61,12 @@ def get_spark(
         # micro-batch planning) can blow the default 512k-1m thread
         # stack in a busy local JVM; give threads real headroom.
         .config("spark.driver.extraJavaOptions", "-Xss32m")
+        # ContextCleaner only learns references died on a JVM GC; with
+        # a 16g heap and many queries per session, localCheckpoint /
+        # broadcast blocks otherwise linger until memory pressure
+        # forces eviction mid-query. A periodic GC keeps cleanup off
+        # the query critical path (default is 30min).
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
@@ -90,7 +96,8 @@ _SORT_KEYS = {"events": "ts", "lineitem": "l_shipdate", "orders": "o_orderdate"}
 
 # Below this row count a single-split table is cheaper to scan as-is
 # than to re-lay-out (covers the tiny sf0.001/sf0.01 gate tables).
-_LAYOUT_MIN_ROWS = 50_000
+# Env-overridable so the layout's effect can be A/B-benched.
+_LAYOUT_MIN_ROWS = int(os.environ.get("SPARK_GRAFT_LAYOUT_MIN_ROWS", 50_000))
 
 
 def _normalize_table(
