@@ -367,3 +367,176 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_to_purchase"
         ),
     )
+
+
+# ------------------------------------------------- BPE pair counts
+@register(
+    "bpe_pair_counts",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT w[i+1] || ' ' || w[i+2] AS pair
+      FROM toks, UNNEST(range(0, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 2
+    )
+    SELECT pair, count(*) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 50
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of one BPE-training iteration: frequency of
+    every ADJACENT token pair (with multiplicity) across the corpus,
+    top-50 by count with the pair as tiebreak. One explode + one
+    hash aggregate with map-side partials, then TakeOrderedAndProject
+    — at corpus scale the shuffle carries one row per distinct pair
+    per partition, never the corpus. Reuses text.bigrams (the
+    NON-distinct 2-grams repetition scoring uses)."""
+    from open_tlm_spark.operators.text import bigrams, tokens
+    from open_tlm_spark.session import fan_out
+
+    docs = fan_out(spark.table("documents"))
+    tok = docs.select(tokens(F.lower(F.col("text"))).alias("w"))
+    pairs = tok.select(F.explode(bigrams(F.col("w"))).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(50)
+    )
+
+
+# ----------------------------------------- seasonal-naive residual
+_SEASON_BIN_S = 3600
+_SEASON_LAG_S = 86400
+
+
+@register(
+    "ts_seasonal_residual",
+    oracle=f"""
+    WITH binned AS (
+      SELECT event_type AS dataset_id,
+             CAST(floor(epoch_us(ts) / ({_SEASON_BIN_S} * 1000000.0)) AS BIGINT)
+               * {_SEASON_BIN_S} AS bin_ts,
+             CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                        / count(*), 6) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.dataset_id, a.bin_ts, a.v, b.v AS v_prev_day,
+           round(a.v - b.v, 6) AS residual
+    FROM binned a JOIN binned b
+      ON a.dataset_id = b.dataset_id
+     AND b.bin_ts = a.bin_ts - {_SEASON_LAG_S}
+    """,
+)
+def ts_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive residual: each series' hourly mean minus its
+    value 24h earlier — the standard first-cut seasonality check (and
+    the baseline any forecast must beat). Bin means from DECIMAL
+    exact sums; the day-lag lookup is a self equi-join on
+    (series, shifted bin) — both sides shuffle-partitioned the same
+    way, no window sort, no range join."""
+    ev = spark.table("events")
+    dec = F.col("value").cast("decimal(18,6)")
+    binned = (
+        ev.groupBy(
+            F.col("event_type").alias("dataset_id"),
+            (
+                F.floor(
+                    F.unix_micros("ts") / F.lit(_SEASON_BIN_S * 1_000_000.0)
+                ).cast("long")
+                * _SEASON_BIN_S
+            ).alias("bin_ts"),
+        )
+        .agg(
+            F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 6)
+            .cast("double")
+            .alias("v")
+        )
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    return a.join(
+        b,
+        (F.col("a.dataset_id") == F.col("b.dataset_id"))
+        & (F.col("b.bin_ts") == F.col("a.bin_ts") - _SEASON_LAG_S),
+    ).select(
+        F.col("a.dataset_id").alias("dataset_id"),
+        F.col("a.bin_ts").alias("bin_ts"),
+        F.col("a.v").alias("v"),
+        F.col("b.v").alias("v_prev_day"),
+        F.round(F.col("a.v") - F.col("b.v"), 6).alias("residual"),
+    )
+
+
+# --------------------------------------------- unigram LM quality
+@register(
+    "quality_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(w) AS token FROM toks),
+    freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             round(ln(CAST(f.c AS DOUBLE) / total.n), 6) AS logp
+      FROM tok t JOIN freq f USING (token), total
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(round(sum(CAST(logp AS DECIMAL(18,6))), 6) AS DOUBLE)
+             AS sum_logp,
+           round(CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring — the perplexity-proxy quality
+    filter: per doc, the sum/mean log-probability of its tokens under
+    the corpus unigram distribution (gibberish and boilerplate sit in
+    the tails). Two passes: token frequencies (one aggregate), then a
+    probe join back onto the token stream. The frequency table is
+    Zipf-bounded (|vocab| << corpus) -> broadcast; per-token logp is
+    rounded to 6 dp and summed as DECIMAL so the per-doc aggregate is
+    order-independent and engine-identical."""
+    from open_tlm_spark.operators.text import tokens
+    from open_tlm_spark.session import fan_out
+
+    docs = fan_out(spark.table("documents"))
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("long").alias("n"))
+    scored = (
+        tok.join(F.broadcast(freq), "token")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c").cast("double") / F.col("n")), 6).alias(
+                "logp"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum(F.col("logp").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("sum_logp"),
+        F.round(
+            F.sum(F.col("logp").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_logp"),
+    )

@@ -56,6 +56,9 @@ def register(name: str, oracle: str | None = None, bench: bool = True):
 # dtype-strict tools/diffcheck.py regardless.
 _CHECK_FIRST = [
     # new or changed in round 4 — must have an in-round row
+    "bpe_pair_counts",
+    "ts_seasonal_residual",
+    "quality_unigram_logprob",
     "ts_downsample_m4",
     "ts_anomaly_zscore",
     "ts_pairwise_corr",

@@ -223,3 +223,28 @@ def test_funnel_no_nested_loop(spark):
     plan = plan_of(spark, "event_funnel")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_pairs_topk_no_global_sort(spark):
+    """BPE pair counting: top-50 must be TakeOrderedAndProject (per-
+    partition top-k + merge), never a full sort of the pair table."""
+    plan = plan_of(spark, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_unigram_logprob_broadcasts_freq(spark):
+    """Unigram LM scoring: the Zipf-bounded frequency table must
+    broadcast onto the token stream — sort-merge-joining the corpus
+    token stream against its own vocabulary is the scale bug."""
+    plan = plan_of(spark, "quality_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_seasonal_residual_equi_join(spark):
+    """Seasonal residual: the day-lag lookup must stay an equi-join
+    on (series, shifted bin) — no range/nested-loop join."""
+    plan = plan_of(spark, "ts_seasonal_residual")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
