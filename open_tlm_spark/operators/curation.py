@@ -103,6 +103,66 @@ def decontaminate(
     )
 
 
+def chunk_by_tokens(
+    df: DataFrame,
+    size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token chunks with overlap
+    (stride < size ⇒ size - stride tokens shared between neighbors) —
+    the context-window chunking step that turns a curated corpus into
+    model-ready sequences. A doc with n tokens yields
+    1 + ceil(max(0, n - size) / stride) chunks; the last chunk may be
+    short (never re-padded here — packing is a separate op).
+
+    Pure narrow projection: tokenize, compute the chunk count from the
+    token count, explode a `sequence()` of chunk indices, and slice
+    the token array per index. No shuffle, no UDF — everything is
+    whole-stage-codegen'd, so at 100 TB this runs at scan speed and
+    the output partitioning inherits the input's.
+
+    Output: (id, chunk_id, chunk_tokens, chunk_md5) — the md5 of the
+    space-joined slice stands in for the chunk text so the result
+    stays narrow; callers wanting the text swap the md5 for the join.
+    """
+    from open_tlm_spark.operators.text import tokens
+
+    w = tokens(F.lower(F.col(text_col)))
+    t = df.select(F.col(id_col), w.alias("_w"), F.size(w).alias("_n")).filter(
+        F.col("_n") >= 1
+    )
+    n = F.col("_n")
+    n_chunks = (
+        F.when(n <= size, F.lit(1))
+        .otherwise(
+            F.floor((n - size + stride - 1) / F.lit(stride)).cast("long") + 1
+        )
+    )
+    i = F.col("chunk_id")
+    start = i * stride
+    return t.select(
+        id_col,
+        "_w",
+        "_n",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    ).select(
+        id_col,
+        i.alias("chunk_id"),
+        F.least(F.lit(size), F.col("_n") - start).cast("long").alias(
+            "chunk_tokens"
+        ),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("_w"), start + 1, F.lit(size))
+            )
+        ).alias("chunk_md5"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     part_col: str,

@@ -56,6 +56,12 @@ def register(name: str, oracle: str | None = None, bench: bool = True):
 # dtype-strict tools/diffcheck.py regardless.
 _CHECK_FIRST = [
     # new or changed in round 4 — must have an in-round row
+    "chunk_documents",
+    "events_retention_cohorts",
+    "orders_rfm_segments",
+    "ts_cusum_changepoints",
+    "cap_per_source",
+    "docs_tfidf_topk",
     "bpe_pair_counts",
     "ts_seasonal_residual",
     "quality_unigram_logprob",

@@ -1,0 +1,385 @@
+"""Training-pipeline and analytics queries, batch 2: context-window
+chunking, retention cohorts, RFM segmentation, CUSUM change
+detection, per-source capping, TF-IDF keyword extraction.
+
+Extends the §2 surface with the remaining steps a corpus-to-model
+pipeline runs between curation and the dataloader (chunking, caps,
+per-doc keywords) plus the product-analytics shapes a TSDB front-end
+is asked for next (cohorts, drift detection, customer segments).
+
+Float-determinism conventions follow the registry docstring: exact
+DECIMAL sums for anything order-dependent, round(…, 6) on both
+sides, unique tiebreaks in every window/top-k ordering, and integer
+outputs cast to BIGINT on both sides (DuckDB sum()/ntile()/
+row_number() dtypes differ from Spark's defaults).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from open_tlm_spark.operators import curation as C
+from open_tlm_spark.plans.registry import register
+
+_TOKS_CTE = r"""
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    )
+"""
+
+
+# ------------------------------------------------- document chunking
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "chunk_documents",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    t AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) >= 1),
+    ch AS (
+      SELECT doc_id, i AS chunk_id,
+             least({_CHUNK_SIZE}, n - i * {_CHUNK_STRIDE}) AS chunk_tokens,
+             md5(array_to_string(
+                 list_slice(w, i * {_CHUNK_STRIDE} + 1,
+                            least(i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n)),
+                 ' ')) AS chunk_md5
+      FROM t, UNNEST(range(0,
+             CASE WHEN n <= {_CHUNK_SIZE} THEN 1
+                  ELSE CAST(floor((n - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)
+                                  / {_CHUNK_STRIDE}) AS BIGINT) + 1
+             END)) AS u(i)
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_tokens AS BIGINT) AS chunk_tokens, chunk_md5
+    FROM ch
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into
+    {_CHUNK_SIZE}-token chunks with a {_CHUNK_STRIDE}-token stride
+    (16-token overlap) — the step that turns curated documents into
+    model-ready sequences (operators/curation.py chunk_by_tokens).
+    Pure narrow explode, zero shuffles; the chunk md5 keeps the
+    output narrow while still value-checking the exact slice."""
+    return C.chunk_by_tokens(
+        spark.table("documents"), _CHUNK_SIZE, _CHUNK_STRIDE
+    )
+
+
+# ------------------------------------------------- retention cohorts
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+      FROM events
+    ),
+    f AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY user_id)
+    SELECT f.cohort AS cohort_date,
+           date_diff('day', f.cohort, act.day) AS offset_days,
+           count(*) AS n_users
+    FROM act JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day,
+    counted on each later day-offset they return — the standard
+    retention triangle. Plan: one distinct on (user, day) (shuffle 1,
+    carries one row per user-day, not per event), a per-user min
+    reusing that exchange (same key prefix), an equi-join back on
+    user_id, and the final cohort aggregate. No window functions, so
+    nothing serializes on a hot cohort at scale."""
+    ev = spark.table("events")
+    act = ev.select(
+        "user_id", F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).distinct()
+    f = act.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (
+        act.join(f, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_date"),
+            F.datediff(F.col("day"), F.col("cohort"))
+            .cast("long")
+            .alias("offset_days"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ------------------------------------------------- RFM segmentation
+@register(
+    "orders_rfm_segments",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS r,
+             count(*) AS f,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           ntile(4) OVER (ORDER BY r DESC, o_custkey) AS r_quartile,
+           ntile(4) OVER (ORDER BY f DESC, o_custkey) AS f_quartile,
+           ntile(4) OVER (ORDER BY m DESC, o_custkey) AS m_quartile
+    FROM per
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, recency (last order
+    date), frequency (order count) and monetary (DECIMAL-exact spend),
+    each bucketed into global quartiles (1 = best). Quartiles are
+    ntile(4) with o_custkey as tiebreak — total order, identical in
+    both engines. The windows are global (no PARTITION BY) which is
+    correct-but-serial; it runs on the per-customer aggregate (a
+    dimension-sized frame, already reduced by the first shuffle), not
+    the fact table — at warehouse scale the same cut-points would come
+    from approx quantiles and a broadcast range lookup instead."""
+    per = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("r"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m"),
+        )
+    )
+    return per.select(
+        "o_custkey",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("r").desc(), "o_custkey"))
+        .cast("long")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("f").desc(), "o_custkey"))
+        .cast("long")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("m").desc(), "o_custkey"))
+        .cast("long")
+        .alias("m_quartile"),
+    )
+
+
+# ------------------------------------------------- CUSUM drift
+_CUSUM_BIN_S = 3600
+_CUSUM_K = "0.5"  # slack, in sigma units (string → exact DECIMAL literal)
+_CUSUM_H = "5.0"  # alarm threshold
+
+
+@register(
+    "ts_cusum_changepoints",
+    oracle=f"""
+    WITH binned AS (
+      SELECT event_type AS dataset_id,
+             CAST(floor(epoch_us(ts) / ({_CUSUM_BIN_S} * 1000000.0)) AS BIGINT)
+               * {_CUSUM_BIN_S} AS bin_ts,
+             CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                        / count(*), 6) AS DECIMAL(18,6)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT dataset_id, count(*) AS n,
+             sum(v) AS s1,
+             sum(CAST(v * v AS DECIMAL(38,12))) AS s2
+      FROM binned GROUP BY dataset_id
+    ),
+    z AS (
+      SELECT b.dataset_id, b.bin_ts,
+             CAST(round((CAST(b.v AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n)
+                   / sqrt((CAST(s.s2 AS DOUBLE)
+                           - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)
+                          / (s.n - 1)), 6) AS DECIMAL(18,6)) AS z
+      FROM binned b JOIN stats s USING (dataset_id)
+    ),
+    c AS (
+      SELECT dataset_id, bin_ts,
+             sum(z - {_CUSUM_K}) OVER (PARTITION BY dataset_id ORDER BY bin_ts
+                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM z
+    ),
+    s AS (
+      SELECT dataset_id, bin_ts,
+             cum - least(CAST(0 AS DECIMAL(18,6)),
+                         min(cum) OVER (PARTITION BY dataset_id ORDER BY bin_ts
+                             ROWS UNBOUNDED PRECEDING)) AS cusum
+      FROM c
+    )
+    SELECT dataset_id, bin_ts, round(CAST(cusum AS DOUBLE), 6) AS cusum
+    FROM s WHERE cusum > {_CUSUM_H}
+    """,
+)
+def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per series: hourly bin means
+    are standardized against the series' own mean/std (DECIMAL-exact
+    sums), then the classic recursion S_t = max(0, S_{{t-1}} + z_t - k)
+    is computed WITHOUT sequential state via the prefix identity
+    S_t = C_t - min(0, min_{{j<=t}} C_j) where C is the running sum of
+    (z_t - k) — two ordered windows (cumulative sum + running min)
+    instead of an inherently serial scan, both partitioned by series.
+    All window arithmetic stays in DECIMAL, so the prefix sums are
+    exact and engine-identical; flagged bins are where S exceeds h=5
+    sigma-units. Plan: one bin aggregate, one tiny stats broadcast,
+    one window sort per series — no UDF, no driver loop."""
+    ev = spark.table("events")
+    dec = F.col("value").cast("decimal(18,6)")
+    binned = (
+        ev.groupBy(
+            F.col("event_type").alias("dataset_id"),
+            (
+                F.floor(
+                    F.unix_micros("ts") / F.lit(_CUSUM_BIN_S * 1_000_000.0)
+                ).cast("long")
+                * _CUSUM_BIN_S
+            ).alias("bin_ts"),
+        )
+        .agg(
+            F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 6)
+            .cast("decimal(18,6)")
+            .alias("v")
+        )
+    )
+    stats = binned.groupBy("dataset_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    mean = s1d / F.col("n")
+    std = F.sqrt((s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1))
+    z = binned.join(F.broadcast(stats), "dataset_id").select(
+        "dataset_id",
+        "bin_ts",
+        F.round((F.col("v").cast("double") - mean) / std, 6)
+        .cast("decimal(18,6)")
+        .alias("z"),
+    )
+    w = (
+        Window.partitionBy("dataset_id")
+        .orderBy("bin_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    k = F.lit(_CUSUM_K).cast("decimal(18,6)")
+    c = z.select(
+        "dataset_id", "bin_ts", F.sum(F.col("z") - k).over(w).alias("cum")
+    )
+    cusum = F.col("cum") - F.least(
+        F.lit(0).cast("decimal(18,6)"), F.min("cum").over(w)
+    )
+    out = c.select("dataset_id", "bin_ts", cusum.alias("cusum"))
+    return out.filter(
+        F.col("cusum") > F.lit(_CUSUM_H).cast("decimal(18,6)")
+    ).select(
+        "dataset_id",
+        "bin_ts",
+        F.round(F.col("cusum").cast("double"), 6).alias("cusum"),
+    )
+
+
+# ------------------------------------------------- per-source caps
+_CAP_N = 75
+
+
+@register(
+    "cap_per_source",
+    oracle=f"""
+    WITH rk AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, rk FROM rk WHERE rk <= {_CAP_N}
+    """,
+)
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep at most {_CAP_N} docs per source,
+    chosen by deterministic hash order (md5 of doc_id, id tiebreak) —
+    the anti-domination guard that stops one crawl domain from
+    swamping the mixture, reproducible from ids alone. One window
+    shuffle on source; at warehouse scale the rank-then-filter form
+    pushes the limit into the sort (partial top-K per map task) since
+    only {_CAP_N} rows per key survive."""
+    docs = spark.table("documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= _CAP_N)
+    )
+
+
+# ------------------------------------------------- TF-IDF keywords
+_TFIDF_K = 3
+
+
+@register(
+    "docs_tfidf_topk",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(w) AS token FROM toks),
+    tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (token), n
+    ),
+    rk AS (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, token) AS rk
+      FROM scored
+    )
+    SELECT doc_id, token, tfidf, rk FROM rk WHERE rk <= {_TFIDF_K}
+    """,
+)
+def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{_TFIDF_K} TF-IDF keywords — the document-
+    fingerprinting / topic-tagging step. TF from one (doc, token)
+    aggregate; DF re-aggregated from TF's output (zero extra passes
+    over text — the TF frame is strictly smaller); the Zipf-bounded DF
+    table broadcasts back onto TF. Ranking orders by the ROUNDED score
+    (6 dp) with token tiebreak so cross-engine ulp noise in ln() can't
+    reorder ties. One text-side shuffle + one window on doc_id."""
+    from open_tlm_spark.operators.text import tokens
+    from open_tlm_spark.session import fan_out
+
+    docs = fan_out(spark.table("documents"))
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = spark.table("documents").count()
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.select(
+            "doc_id",
+            "token",
+            "tfidf",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= _TFIDF_K)
+    )

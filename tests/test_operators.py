@@ -583,3 +583,44 @@ def test_repetition_features_flags_boilerplate(spark):
     assert rows[1].top_bigram_frac == 1.0  # every bigram is "spam spam"
     assert rows[2].dup_word_frac == 0.0
     assert rows[2].top_bigram_frac == 0.2  # 5 bigrams, all unique
+
+
+def test_chunk_by_tokens_counts_and_overlap(spark):
+    from open_tlm_spark.operators.curation import chunk_by_tokens
+
+    # 10 tokens, size=4, stride=3 -> chunks at 0,3,6 cover 1-4,4-7,7-10
+    # then 1 + ceil((10-4)/3) = 3 chunks; last is full (9+4>10 clamps? no:
+    # start 6 -> tokens 7..10 = 4 tokens exactly).
+    text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    out = chunk_by_tokens(df, size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 3
+    assert [r.chunk_tokens for r in sorted(by_doc[1], key=lambda r: r.chunk_id)] == [4, 4, 4]
+    # short docs yield exactly one (short) chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_tokens == 2
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_tokens == 1
+    # neighboring chunks overlap by size - stride tokens: chunk1 of doc 1
+    # starts at t3, i.e. md5 of "t3 t4 t5 t6"
+    import hashlib
+
+    mid = [r for r in by_doc[1] if r.chunk_id == 1][0]
+    assert mid.chunk_md5 == hashlib.md5(b"t3 t4 t5 t6").hexdigest()
+
+
+def test_chunk_last_chunk_is_short(spark):
+    from open_tlm_spark.operators.curation import chunk_by_tokens
+
+    # 6 tokens, size=4, stride=3 -> chunks at 0 (4 toks) and 3 (3 toks)
+    df = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_by_tokens(df, size=4, stride=3).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.chunk_tokens for r in rows] == [4, 3]

@@ -248,3 +248,33 @@ def test_seasonal_residual_equi_join(spark):
     plan = plan_of(spark, "ts_seasonal_residual")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunking_is_narrow(spark):
+    """Context-window chunking is a pure explode — any Exchange would
+    mean the 100 TB corpus shuffles before the dataloader step."""
+    plan = plan_of(spark, "chunk_documents")
+    assert "Exchange" not in plan
+
+
+def test_cusum_broadcasts_stats_and_partitions_by_series(spark):
+    """CUSUM: the per-series stats frame must broadcast back onto the
+    bins (5 rows — a SortMergeJoin would shuffle the bin table), and
+    the running windows must be partitioned (no global sort)."""
+    plan = plan_of(spark, "ts_cusum_changepoints")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_broadcasts_df_table(spark):
+    """TF-IDF: the Zipf-bounded document-frequency table broadcasts
+    onto the TF frame; the text side must not shuffle through a
+    SortMergeJoin to pick up idf."""
+    plan = plan_of(spark, "docs_tfidf_topk")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cap_per_source_single_window_shuffle(spark):
+    """Per-source capping is ONE window shuffle keyed on source."""
+    plan = plan_of(spark, "cap_per_source")
+    assert plan.count("Exchange hashpartitioning") == 1
