@@ -540,3 +540,185 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_logp"),
     )
+
+
+# ------------------------------------------------- counter rate
+_RATE_BIN_S = 3600
+
+
+@register(
+    "ts_counter_rate",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type AS dataset_id, ts,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             lag(CAST(value AS DECIMAL(18,6))) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id) AS pv
+      FROM events
+    ),
+    inc AS (
+      SELECT dataset_id,
+             CAST(floor(epoch_us(ts) / ({_RATE_BIN_S} * 1000000.0)) AS BIGINT)
+               * {_RATE_BIN_S} AS bucket_ts,
+             CASE WHEN pv IS NULL THEN NULL
+                  WHEN v >= pv THEN v - pv
+                  ELSE v END AS step
+      FROM d
+    )
+    SELECT dataset_id, bucket_ts,
+           count(step) AS n_steps,
+           round(CAST(sum(step) AS DOUBLE) / {_RATE_BIN_S}, 6) AS rate_per_s
+    FROM inc WHERE step IS NOT NULL
+    GROUP BY dataset_id, bucket_ts
+    """,
+)
+def ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-reset-aware rate (the Prometheus `rate()` semantic):
+    per-point increase = v - lag(v), except a decrease means the
+    counter reset and the increase is v itself; hourly rate = summed
+    increases / window seconds. One window (lag per series, event_id
+    tiebreak for equal timestamps) + one hash aggregate. All deltas
+    stay in DECIMAL so the per-bucket sum is order-independent and
+    engine-identical; only the final /3600 is double. At scale the lag
+    window partitions by series — no global sort — and the aggregate
+    is map-side combinable."""
+    from pyspark.sql import Window
+
+    ev = spark.table("events")
+    v = F.col("value").cast("decimal(18,6)")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.select(
+        F.col("event_type").alias("dataset_id"),
+        "ts",
+        v.alias("v"),
+        F.lag(v).over(w).alias("pv"),
+    )
+    step = (
+        F.when(F.col("pv").isNull(), F.lit(None).cast("decimal(18,6)"))
+        .when(F.col("v") >= F.col("pv"), F.col("v") - F.col("pv"))
+        .otherwise(F.col("v"))
+    )
+    inc = d.select(
+        "dataset_id",
+        (
+            F.floor(F.unix_micros("ts") / F.lit(_RATE_BIN_S * 1_000_000.0))
+            .cast("long")
+            * _RATE_BIN_S
+        ).alias("bucket_ts"),
+        step.alias("step"),
+    ).filter(F.col("step").isNotNull())
+    return inc.groupBy("dataset_id", "bucket_ts").agg(
+        F.count("step").alias("n_steps"),
+        F.round(F.sum("step").cast("double") / _RATE_BIN_S, 6).alias(
+            "rate_per_s"
+        ),
+    )
+
+
+# ------------------------------------------------- time-weighted avg
+@register(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS dataset_id,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             epoch_us(ts) AS t_us,
+             lead(epoch_us(ts)) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id) AS next_us
+      FROM events
+    )
+    SELECT dataset_id,
+           count(*) AS n_segments,
+           round(CAST(sum(v * (next_us - t_us)) AS DOUBLE)
+                 / CAST(sum(next_us - t_us) AS BIGINT), 6) AS twa
+    FROM d WHERE next_us IS NOT NULL
+    GROUP BY dataset_id
+    """,
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per series: each point holds its value
+    until the next point (zero-order hold), so the mean weights each
+    value by its holding duration — the correct average for unevenly
+    sampled series (a plain mean over-weights bursts). Weights are
+    exact integer microseconds from lead(); value×duration products
+    are DECIMAL-exact, so the aggregate is order-independent; one
+    per-series window + one aggregate, no data-dependent branching."""
+    from pyspark.sql import Window
+
+    ev = spark.table("events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.select(
+        F.col("event_type").alias("dataset_id"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dur = F.col("next_us") - F.col("t_us")
+    return d.groupBy("dataset_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.round(
+            F.sum(F.col("v") * dur).cast("double")
+            / F.sum(dur).cast("long"),
+            6,
+        ).alias("twa"),
+    )
+
+
+# ------------------------------------------------- 2-D heatmap
+_HEAT_BIN_S = 3600
+_HEAT_VBUCKETS = 10
+
+
+@register(
+    "ts_heatmap_2d",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type, min(value) AS vmin, max(value) AS vmax
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type AS dataset_id,
+           CAST(floor(epoch_us(e.ts) / ({_HEAT_BIN_S} * 1000000.0)) AS BIGINT)
+             * {_HEAT_BIN_S} AS bucket_ts,
+           least({_HEAT_VBUCKETS} - 1,
+                 CAST(floor((e.value - s.vmin) / (s.vmax - s.vmin)
+                            * {_HEAT_VBUCKETS}) AS BIGINT)) AS vbucket,
+           count(*) AS n_points
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY 1, 2, 3
+    """,
+)
+def ts_heatmap_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density heatmap: counts per (series, hour bucket, value decile)
+    — the 2-D render behind distribution-over-time charts (the
+    engine-side generalization of the reference's 1-D histogram,
+    public/histogram.js). Per-series min/max come from one tiny
+    aggregate broadcast back onto the scan; the bucket expression is a
+    single double formula evaluated identically in both engines; then
+    ONE count aggregate. Two narrow passes over the fact table, one
+    broadcast, one shuffle."""
+    ev = spark.table("events")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    vbucket = F.least(
+        F.lit(_HEAT_VBUCKETS - 1),
+        F.floor(
+            (F.col("value") - F.col("vmin"))
+            / (F.col("vmax") - F.col("vmin"))
+            * _HEAT_VBUCKETS
+        ).cast("long"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy(
+            F.col("event_type").alias("dataset_id"),
+            (
+                F.floor(
+                    F.unix_micros("ts") / F.lit(_HEAT_BIN_S * 1_000_000.0)
+                ).cast("long")
+                * _HEAT_BIN_S
+            ).alias("bucket_ts"),
+            vbucket.alias("vbucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )

@@ -47,15 +47,24 @@ def register(name: str, oracle: str | None = None, bench: bool = True):
     return deco
 
 
-# The driver checks ~50 queries per round in dict order, so with 80+
+# The driver checks ~50 queries per round in dict order, so with 100+
 # registered the head of this list chooses what gets an in-round
-# correctness row. Round-4 head: every query the r3 window rotated
-# out (all green in r1/r2 on code unchanged since), plus anything
-# added or changed this round — so the union of r3+r4 rows covers
-# every query's current code. Everything is locally verified by the
-# dtype-strict tools/diffcheck.py regardless.
+# correctness row. Round-4 head: the 14 queries added this round,
+# then every query the r3 window rotated out (all green in r1/r2 on
+# code unchanged since). With 103 registered, 3 head entries overflow
+# the 50-slot window this round (events_json_props,
+# interval_join_error_windows, sim_lsh_topk — all r2-green, code
+# unchanged); they move to the FRONT of the r5 head so the r3+r4+r5
+# union covers every query's current code. Everything is locally
+# verified by the dtype-strict tools/diffcheck.py regardless.
 _CHECK_FIRST = [
     # new or changed in round 4 — must have an in-round row
+    "ts_counter_rate",
+    "ts_time_weighted_avg",
+    "ts_heatmap_2d",
+    "quality_bigram_logprob",
+    "basket_part_pairs",
+    "embedding_label_cohesion",
     "chunk_documents",
     "events_retention_cohorts",
     "orders_rfm_segments",

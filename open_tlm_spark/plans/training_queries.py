@@ -383,3 +383,209 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _TFIDF_K)
     )
+
+
+# ------------------------------------------------- bigram LM quality
+@register(
+    "quality_bigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i+1] AS w1, w[i+1] || ' ' || w[i+2] AS pair
+      FROM toks, UNNEST(range(0, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT pair, count(*) AS c2 FROM bg GROUP BY pair),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    scored AS (
+      SELECT bg.doc_id,
+             round(ln(CAST(c2.c2 AS DOUBLE) / c1.c1), 6) AS logp
+      FROM bg JOIN c2 USING (pair) JOIN c1 USING (w1)
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring — the next step up from the unigram
+    perplexity proxy: per doc, the mean log conditional probability
+    ln(c(w1 w2)/c(w1·)) of its adjacent token pairs under corpus
+    counts. Pair counts come from ONE aggregate over the exploded
+    bigram stream; prefix counts re-aggregate the (much smaller) pair
+    table rather than re-scanning text; both broadcast back onto the
+    stream. Per-token logp is rounded then DECIMAL-summed —
+    order-independent, engine-identical."""
+    from open_tlm_spark.operators.text import bigrams, tokens
+    from open_tlm_spark.session import fan_out
+
+    docs = fan_out(spark.table("documents"))
+    tok = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("w"))
+    bg = tok.select(
+        "doc_id", F.explode(bigrams(F.col("w"))).alias("pair")
+    ).withColumn("w1", F.split(F.col("pair"), " ").getItem(0))
+    c2 = bg.groupBy("pair").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        c2.withColumn("w1", F.split(F.col("pair"), " ").getItem(0))
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    scored = (
+        bg.join(F.broadcast(c2), "pair")
+        .join(F.broadcast(c1), "w1")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("c2").cast("double") / F.col("c1")), 6
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("logp").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_logp"),
+    )
+
+
+# ------------------------------------------------- market basket
+_BASKET_TOP = 25
+
+
+@register(
+    "basket_part_pairs",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM b a JOIN b c
+      ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT {_BASKET_TOP}
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs appearing in
+    the same order — the counting core of association-rule mining.
+    Distinct (order, part) first (kills line-level duplicates), then a
+    self equi-join on the order key with part_a < part_b. The join is
+    per-order quadratic but TPC-H order width is bounded (≤7 lines),
+    so the pair stream is linear in orders; one aggregate then
+    TakeOrderedAndProject. Both sides of the join share one exchange
+    (same key), so the plan shuffles the basket table once."""
+    b = (
+        spark.table("lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("c.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(_BASKET_TOP)
+    )
+
+
+# ------------------------------------------------- embedding QA
+def _cohesion_oracle() -> str:
+    """Per-component DECIMAL centroid sums (order-independent), then
+    an unrolled 64-term dot product — the same left-associated
+    chain the Spark side builds, so float results are bit-identical."""
+    dim = 64
+    cols = ",\n             ".join(
+        f"round(CAST(sum(CAST(vec[{i + 1}] AS DECIMAL(28,12))) AS DOUBLE)"
+        f" / count(*), 6) AS c{i}"
+        for i in range(dim)
+    )
+    dot = " + ".join(f"v.vec[{i + 1}] * c.c{i}" for i in range(dim))
+    cn = " + ".join(f"c.c{i} * c.c{i}" for i in range(dim))
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    cent AS (
+      SELECT label,
+             {cols}
+      FROM vecs GROUP BY label
+    ),
+    cos AS (
+      SELECT v.label,
+             CAST(round(({dot}) / sqrt({cn}), 6) AS DECIMAL(18,6)) AS cc
+      FROM vecs v JOIN cent c USING (label)
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round(CAST(sum(cc) AS DOUBLE) / count(*), 6) AS mean_cos,
+           CAST(min(cc) AS DOUBLE) AS min_cos,
+           CAST(count(*) FILTER (WHERE cc < 0) AS BIGINT) AS n_anti
+    FROM cos GROUP BY label
+    """
+
+
+@register("embedding_label_cohesion", oracle=_cohesion_oracle())
+def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA: per label, the mean/min cosine of each
+    vector to its label centroid and the count of anti-aligned members
+    (cos < 0) — the mislabeled-vector / collapsed-class detector run
+    before trusting labels for blocking or ANN training. Centroids
+    are per-component DECIMAL-exact mean sums (64 agg expressions in
+    ONE aggregate — the minhash signature pattern); the 10-row
+    centroid frame broadcasts back and each cosine is an unrolled
+    codegen'd 64-term chain, identical in both engines. Two shuffles
+    total (centroid agg + final per-label agg), both map-side
+    combinable, linear at any corpus size."""
+    dim = 64
+    emb = spark.table("embeddings")
+    sums = [
+        F.round(
+            F.sum(
+                F.element_at("embedding", i + 1).cast("decimal(28,12)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias(f"c{i}")
+        for i in range(dim)
+    ]
+    cent = emb.groupBy("label").agg(*sums)
+    vterm = [
+        F.element_at("embedding", i + 1).cast("double") * F.col(f"c{i}")
+        for i in range(dim)
+    ]
+    dot = vterm[0]
+    for t in vterm[1:]:
+        dot = dot + t
+    cterm = [F.col(f"c{i}") * F.col(f"c{i}") for i in range(dim)]
+    cn = cterm[0]
+    for t in cterm[1:]:
+        cn = cn + t
+    cos = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        F.round(dot / F.sqrt(cn), 6).cast("decimal(18,6)").alias("cc"),
+    )
+    return cos.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("cc").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_cos"
+        ),
+        F.min("cc").cast("double").alias("min_cos"),
+        F.count(F.when(F.col("cc") < 0, 1)).alias("n_anti"),
+    )

@@ -278,3 +278,47 @@ def test_cap_per_source_single_window_shuffle(spark):
     """Per-source capping is ONE window shuffle keyed on source."""
     plan = plan_of(spark, "cap_per_source")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_counter_rate_partitioned_window(spark):
+    """Counter rate: the lag window partitions by series (a global
+    window would serialize the fact table through one task)."""
+    plan = plan_of(spark, "ts_counter_rate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # window partition key present in the exchange
+    assert "hashpartitioning(event_type" in plan
+
+
+def test_heatmap_broadcasts_minmax_stats(spark):
+    """2-D heatmap: per-series min/max stats broadcast back onto the
+    scan — the fact table must not shuffle to pick up 5 rows."""
+    plan = plan_of(spark, "ts_heatmap_2d")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_logprob_broadcasts_count_tables(spark):
+    """Bigram LM scoring: both count tables (pair, prefix) broadcast
+    onto the exploded bigram stream."""
+    plan = plan_of(spark, "quality_bigram_logprob")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_basket_pairs_topk_no_global_sort(spark):
+    """Market basket: top-k must be TakeOrderedAndProject, and the
+    self-join an equi-join on the order key (never a cross product)."""
+    plan = plan_of(spark, "basket_part_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cohesion_broadcasts_centroids(spark):
+    """Label cohesion: the 10-row centroid frame broadcasts; the
+    embedding table is scanned twice but shuffled only for the two
+    map-side-combinable aggregates."""
+    plan = plan_of(spark, "embedding_label_cohesion")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
