@@ -722,3 +722,101 @@ def ts_heatmap_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
+
+
+# ------------------------------------------------- Markov transitions
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+             AS p
+    FROM c
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type) — the
+    sequence-model statistic behind next-action prediction and funnel
+    anomaly detection. One lead() window per user (event_id tiebreak),
+    one aggregate, then a window normalization over the tiny
+    |types|² matrix. Counts are exact integers, the only double is the
+    final ratio — engine-identical."""
+    from pyspark.sql import Window
+
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wn = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wn).cast("double"), 6).alias(
+            "p"
+        ),
+    )
+
+
+# ------------------------------------------------- activity entropy
+@register(
+    "user_activity_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (
+      SELECT user_id, event_type, c,
+             CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      FROM c
+    )
+    SELECT user_id,
+           max(n) AS n_events,
+           count(*) AS n_types,
+           round(-CAST(sum(CAST(round((c / CAST(n AS DOUBLE))
+                 * ln(c / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)))
+                 AS DOUBLE), 6) AS entropy
+    FROM t GROUP BY user_id
+    """,
+)
+def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity score (bots and single-purpose scripts sit
+    near zero; exploratory users near ln(|types|)). One aggregate for
+    per-(user, type) counts, a window sum for the per-user total on
+    the already-reduced frame, then the entropy aggregate. Each
+    p·ln(p) term is rounded to 6 dp and DECIMAL-summed, so the
+    per-user sum is order-independent and engine-identical."""
+    from pyspark.sql import Window
+
+    ev = spark.table("events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wn = Window.partitionBy("user_id")
+    t = c.select(
+        "user_id", "c", F.sum("c").over(wn).cast("long").alias("n")
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    term = F.round(p * F.log(p), 6).cast("decimal(18,6)")
+    return t.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(-F.sum(term).cast("double"), 6).alias("entropy"),
+    )

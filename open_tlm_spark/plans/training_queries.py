@@ -589,3 +589,228 @@ def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cc").cast("double").alias("min_cos"),
         F.count(F.when(F.col("cc") < 0, 1)).alias("n_anti"),
     )
+
+
+# ------------------------------------------------- Zipf fit
+_ZIPF_TOP = 200
+
+
+@register(
+    "documents_zipf_fit",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ),
+    tok AS (SELECT unnest(w) AS token FROM toks),
+    freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r
+      FROM freq
+      QUALIFY r <= {_ZIPF_TOP}
+    ),
+    xy AS (
+      SELECT CAST(round(ln(r), 6) AS DECIMAL(18,6)) AS x,
+             CAST(round(ln(c), 6) AS DECIMAL(18,6)) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+             sum(CAST(x * x AS DECIMAL(38,12))) AS sxx
+      FROM xy
+    )
+    SELECT n AS n_top,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+    FROM s
+    """,
+)
+def documents_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope
+    of ln(freq) against ln(rank) for the top-{_ZIPF_TOP} tokens — the
+    one-number corpus health check (natural text sits near slope -1;
+    boilerplate-heavy or synthetic corpora deviate). Frequency counts
+    are one aggregate; ranking is a TakeOrdered top-k; the regression
+    runs on DECIMAL-exact sums of 6-dp-rounded log coordinates, so
+    both engines produce identical moments and the closed-form
+    slope/intercept agree bit-for-bit."""
+    from pyspark.sql import Window
+    from open_tlm_spark.operators.text import tokens
+    from open_tlm_spark.session import fan_out
+
+    docs = fan_out(spark.table("documents"))
+    tok = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    ranked = (
+        freq.select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "token"))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= _ZIPF_TOP)
+    )
+    xy = ranked.select(
+        F.round(F.log("r"), 6).cast("decimal(18,6)").alias("x"),
+        F.round(F.log("c"), 6).cast("decimal(18,6)").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("sxx"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_top"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+# ------------------------------------------------- length histogram
+@register(
+    "docs_length_histogram",
+    oracle=r"""
+    WITH t AS (
+      SELECT len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents
+    )
+    SELECT CAST(len(bin(n_tok)) - 1 AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(min(n_tok) AS BIGINT) AS min_tokens,
+           CAST(max(n_tok) AS BIGINT) AS max_tokens
+    FROM t WHERE n_tok >= 1
+    GROUP BY bucket
+    """,
+)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram (bucket k holds docs
+    with 2^k ≤ tokens < 2^(k+1)) — the length-distribution audit run
+    before choosing chunk sizes and packing budgets. The bucket is the
+    bit length of the integer token count (length of its binary
+    string, minus one) — pure integer math, immune to the float-
+    boundary hazard of floor(log2(n)) at exact powers of two. One
+    narrow projection + one aggregate."""
+    from open_tlm_spark.operators.text import tokens
+
+    docs = spark.table("documents")
+    n_tok = F.size(tokens(F.lower(F.col("text"))))
+    t = docs.select(n_tok.alias("n_tok")).filter(F.col("n_tok") >= 1)
+    bucket = (F.length(F.bin(F.col("n_tok"))) - 1).cast("long")
+    return t.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.min("n_tok").cast("long").alias("min_tokens"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+    )
+
+
+# ------------------------------------------------- ANN recall eval
+def _recall_oracle() -> str:
+    from open_tlm_spark.plans.pipeline_queries import NORMED_CTE
+
+    return f"""{NORMED_CTE},
+    hp AS (SELECT vec_id AS h_id, nvec AS hvec FROM normed WHERE vec_id < 8),
+    sig AS (
+      SELECT a.vec_id,
+             sum(CASE WHEN round(list_sum(list_transform(range(1, 65),
+                          i -> a.nvec[i] * hp.hvec[i])), 6) >= 0
+                      THEN 1 << h_id ELSE 0 END)::BIGINT AS sig
+      FROM normed a, hp
+      GROUP BY a.vec_id
+    ),
+    corpus AS (SELECT n.vec_id, n.nvec, s.sig
+               FROM normed n JOIN sig s USING (vec_id)),
+    q AS (SELECT vec_id AS query_id, nvec AS qvec, sig
+          FROM corpus WHERE vec_id < 5),
+    lsh_scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> q.qvec[i] * c.nvec[i])), 6) AS cos_sim
+      FROM corpus c JOIN q ON c.sig = q.sig AND c.vec_id <> q.query_id
+    ),
+    lsh AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM lsh_scored QUALIFY rank <= 10
+    ),
+    gt_scored AS (
+      SELECT q.query_id, a.vec_id,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> q.qvec[i] * a.nvec[i])), 6) AS cos_sim
+      FROM normed a, q
+      WHERE a.vec_id <> q.query_id
+    ),
+    gt AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM gt_scored QUALIFY rank <= 10
+    )
+    SELECT g.query_id,
+           count(*) AS n_gt,
+           CAST(count(l.vec_id) AS BIGINT) AS n_hit,
+           round(count(l.vec_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+    FROM gt g LEFT JOIN lsh l
+      ON g.query_id = l.query_id AND g.vec_id = l.vec_id
+    GROUP BY g.query_id
+    """
+
+
+@register("sim_lsh_recall_eval", oracle=_recall_oracle())
+def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of the LSH-bucketed search
+    against the exact brute-force ground truth, per query vector —
+    the measurement that justifies (or vetoes) shipping the
+    approximate path. Composes the two existing operators
+    (similarity.brute_force_topk, similarity.lsh_bucket_topk) and
+    joins their rankings; the oracle replays both pipelines in SQL.
+    Both rankings are deterministic (rounded cosines, vec_id
+    tiebreaks), so recall is exact — not a statistical estimate."""
+    from open_tlm_spark.operators import similarity as S
+
+    emb = spark.table("embeddings")
+    hp = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("h_id"), F.col("embedding").alias("hvec")
+    )
+    corpus = S.hyperplane_signatures(emb, hp)
+    q_ids = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id")
+    )
+    lsh = S.lsh_bucket_topk(corpus, q_ids, k=10).select(
+        "query_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    gt = S.brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    j = gt.join(lsh, ["query_id", "vec_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_gt"),
+        F.count("_hit").cast("long").alias("n_hit"),
+        F.round(
+            F.count("_hit") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("recall"),
+    )

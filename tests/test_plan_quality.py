@@ -322,3 +322,34 @@ def test_cohesion_broadcasts_centroids(spark):
     plan = plan_of(spark, "embedding_label_cohesion")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_zipf_topk_is_take_ordered(spark):
+    """Zipf fit: the top-200 ranking must be a TakeOrderedAndProject
+    over the frequency aggregate, never a full vocabulary sort."""
+    plan = plan_of(spark, "documents_zipf_fit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_markov_window_partitioned_by_user(spark):
+    """Markov transitions: the lead() window partitions by user — the
+    event table must never serialize through a global window sort."""
+    plan = plan_of(spark, "events_markov_transitions")
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_length_histogram_single_aggregation(spark):
+    """Length histogram: one narrow projection + one hash aggregate;
+    no joins, no windows."""
+    plan = plan_of(spark, "docs_length_histogram")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_recall_eval_no_cartesian(spark):
+    """Recall eval composes LSH (signature equi-join) with brute force
+    (broadcast queries): the only all-pairs path is the intentional
+    broadcast of 5 query vectors, never a CartesianProduct."""
+    plan = plan_of(spark, "sim_lsh_recall_eval")
+    assert "CartesianProduct" not in plan
