@@ -1,9 +1,11 @@
 """SparkSession bootstrap with scale-oriented defaults.
 
 Tuned for correctness parity with the DuckDB oracle (UTC session time
-zone, ANSI off to match permissive reference semantics) and for
-large-cluster behavior (AQE incl. skew-join handling, partial
-aggregation pushdown, Arrow for any pandas exchange).
+zone; ANSI mode stays at the Spark 4 default — enabled — so both this
+session and the driver's plain session fail loudly on div/0 and bad
+casts instead of silently NULLing) and for large-cluster behavior
+(AQE incl. skew-join handling, partial aggregation pushdown, Arrow
+for any pandas exchange).
 """
 
 from __future__ import annotations
