@@ -104,3 +104,52 @@ def ewma(points: DataFrame, alpha: float) -> DataFrame:
     return points.select("dataset_id", "ts", "value").groupBy(
         "dataset_id"
     ).applyInPandas(kernel, schema)
+
+
+def holt_linear(points: DataFrame, alpha: float, beta: float) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per series:
+
+        l_t = alpha * x_t + (1 - alpha) * (l_{t-1} + b_{t-1})
+        b_t = beta * (l_t - l_{t-1}) + (1 - beta) * b_{t-1}
+
+    with l_1 = x_1, b_1 = 0 (Holt 1957 / Hyndman & Athanasopoulos,
+    'Forecasting: Principles and Practice' — public technique). Like
+    EWMA this is a two-state linear recurrence, so it runs as an
+    Arrow-batched grouped-map kernel: one shuffle on the series key,
+    then a sequential per-series pass. The per-point Python loop is
+    the honest cost of a stateful recurrence — it is per-series local,
+    so a 1000-executor cluster runs every series' loop in parallel
+    and no state ever crosses a partition boundary.
+    """
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], ignore_index=True)
+        xs = pdf["value"].to_numpy()
+        levels = [0.0] * len(xs)
+        trends = [0.0] * len(xs)
+        if len(xs):
+            lvl, trd = float(xs[0]), 0.0
+            levels[0], trends[0] = lvl, trd
+            for i in range(1, len(xs)):
+                x = float(xs[i])
+                # Literal op order mirrored by the DuckDB fold oracle
+                # (plans/analytics_queries.ts_holt_linear) so doubles
+                # are bit-identical across engines.
+                new_lvl = alpha * x + (1.0 - alpha) * (lvl + trd)
+                trd = beta * (new_lvl - lvl) + (1.0 - beta) * trd
+                lvl = new_lvl
+                levels[i], trends[i] = lvl, trd
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        return pdf
+
+    schema = (
+        "dataset_id string, event_id bigint, ts timestamp, value double,"
+        " level double, trend double"
+    )
+    return (
+        points.select("dataset_id", "event_id", "ts", "value")
+        .groupBy("dataset_id")
+        .applyInPandas(kernel, schema)
+    )

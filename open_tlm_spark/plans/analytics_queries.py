@@ -820,3 +820,75 @@ def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_types"),
         F.round(-F.sum(term).cast("double"), 6).alias("entropy"),
     )
+
+
+# ------------------------------------------------- Holt linear trend
+_HOLT_A = 0.5  # alpha: level smoothing
+_HOLT_B = 0.3  # beta: trend smoothing
+
+
+@register(
+    "ts_holt_linear",
+    # Two-state recurrence folded per row over the series prefix:
+    # acc = [level, trend], seeded by the first element's [x1, 0.0]
+    # (list_reduce uses element 1 as init — list_transform wraps every
+    # x as [x, 0.0] so the seed is exactly [x1, 0]). The level
+    # expression is inlined twice in the trend term; both evaluate
+    # identically, matching the kernel's single-assignment order.
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type AS dataset_id,
+             list(event_id ORDER BY ts, event_id) AS ids,
+             list(ts ORDER BY ts, event_id) AS tss,
+             list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY 1
+    ),
+    u AS (
+      SELECT dataset_id,
+             unnest(ids) AS event_id,
+             unnest(tss) AS ts,
+             unnest(vals) AS value,
+             unnest(range(1, len(vals) + 1)) AS i,
+             vals
+      FROM s
+    ),
+    f AS (
+      SELECT dataset_id, event_id, ts, value,
+             list_reduce(
+               list_transform(vals[1:i], v -> [v, 0.0]),
+               (acc, x) -> [
+                 {_HOLT_A} * x[1] + {1.0 - _HOLT_A} * (acc[1] + acc[2]),
+                 {_HOLT_B} * (({_HOLT_A} * x[1]
+                               + {1.0 - _HOLT_A} * (acc[1] + acc[2]))
+                              - acc[1]) + {1.0 - _HOLT_B} * acc[2]
+               ]) AS st
+      FROM u
+    )
+    SELECT dataset_id, event_id, ts, value,
+           round(st[1], 6) AS level, round(st[2], 6) AS trend
+    FROM f
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) per series —
+    the forecasting-grade successor to EWMA: the trend state makes the
+    smoother track ramps without lag, and level+trend extrapolates a
+    one-step forecast. Inherently sequential (two-state recurrence),
+    so it runs as an Arrow-batched grouped-map kernel: ONE shuffle on
+    the series key, per-series state never crosses partitions
+    (operators/timeseries.holt_linear). The oracle re-derives the
+    recurrence as a per-row prefix fold — O(n^2) oracle-only cost."""
+    from open_tlm_spark.operators.timeseries import holt_linear
+
+    pts = spark.table("events").select(
+        F.col("event_type").alias("dataset_id"), "event_id", "ts", "value"
+    )
+    out = holt_linear(pts, _HOLT_A, _HOLT_B)
+    return out.select(
+        "dataset_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+    )

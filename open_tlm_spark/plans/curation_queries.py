@@ -403,3 +403,81 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.pack_sequences(
         docs, "lang", "doc_id", "n_tok", budget=_PACK_BUDGET
     )
+
+
+# ------------------------------------------- cross-source overlap
+def _overlap_oracle() -> str:
+    from open_tlm_spark.plans.pipeline_queries import SHINGLES_CTE
+
+    return f"""
+    WITH {SHINGLES_CTE},
+    ss AS (
+      SELECT DISTINCT d.source, s.shingle
+      FROM sh s JOIN documents d USING (doc_id)
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           round(i.n_common / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """
+
+
+@register("source_overlap_matrix", oracle=_overlap_oracle())
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-set Jaccard between corpus sources — the
+    cross-source contamination / mirror-site detector run before
+    fixing a sampling mixture (two crawls of the same site look like
+    two sources but contribute one source's diversity). Sets are
+    distinct (source, 3-gram shingle) pairs; the pairwise intersection
+    comes from a self equi-join on the shingle, which is LINEAR in
+    corpus size: a shingle shared by s sources yields C(s,2) pair
+    rows and s is bounded by the source count, never by corpus size.
+    Source set sizes broadcast back onto the pair counts (tiny dim).
+
+    Scale: at 100 TB the same plan holds with shingles pre-hashed to
+    64-bit keys (cuts shuffle bytes ~5x — the dedup_ngram_jaccard
+    pattern, operators/dedup.py) and an optional per-source MinHash
+    sample when estimates suffice; exact strings keep the gate oracle
+    byte-identical here.
+    """
+    docs = spark.table("documents")
+    sh = (
+        D.shingle_table(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

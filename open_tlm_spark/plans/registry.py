@@ -49,17 +49,23 @@ def register(name: str, oracle: str | None = None, bench: bool = True):
 
 # The driver checks ~50 queries per round in dict order, so with 100+
 # registered the head of this list chooses what gets an in-round
-# correctness row. Round-4 head: the 19 queries added this round,
+# correctness row. Round-4 head: the 29 queries added this round,
 # then every query the r3 window rotated out (all green in r1/r2 on
-# code unchanged since). With 108 registered, 8 head entries overflow
-# the 50-slot window this round (multimodal_decode, tpch_q13/q16/q19/
-# q22, events_json_props, interval_join_error_windows, sim_lsh_topk —
-# all r1/r2-green, code unchanged); they move to the FRONT of the r5
-# head so the r3+r4+r5 union covers every query's current code.
+# code unchanged since). With 112 registered, ~12 head entries
+# overflow the 50-slot window this round (dedup_exact onward:
+# sim_topk_bruteforce, sessionize_events, multimodal_decode,
+# tpch_q13/q16/q19/q22, events_json_props,
+# interval_join_error_windows, sim_lsh_topk — all r1/r2-green, code
+# unchanged); they move to the FRONT of the r5 head so the
+# r3+r4+r5 union covers every query's current code.
 # Everything is locally verified by the dtype-strict
 # tools/diffcheck.py regardless.
 _CHECK_FIRST = [
     # new or changed in round 4 — must have an in-round row
+    "ts_holt_linear",
+    "source_overlap_matrix",
+    "pq_quantize",
+    "sem_dedup_cells",
     "documents_zipf_fit",
     "docs_length_histogram",
     "events_markov_transitions",

@@ -1,0 +1,257 @@
+"""Vector-compression and semantic-dedup gate queries: product
+quantization (the IVF-PQ memory-side half of ANN at corpus scale) and
+SemDeDup-style cell-blocked embedding dedup.
+
+Both use DETERMINISTIC codebooks/centroids (the k lowest vec_ids) so
+the assignment step itself is oracle-gated end to end; production
+swaps in kmeans_train (operators/similarity.py — the sim_ivf_train
+query) without touching the assignment plans, which is the part that
+runs over the 100 TB side.
+
+Cross-engine float determinism (registry docstring conventions):
+distances/cosines are left-fold accumulations over double-cast
+elements, ROUNDED to 6 dp before any argmin/argmax, and arg-selection
+is an integer key  round(metric*1e6)*100 + id  so ties break on the
+id identically in both engines with pure integer min().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from open_tlm_spark.operators import similarity as S
+from open_tlm_spark.plans.registry import register
+from open_tlm_spark.session import fan_out
+
+_DIM = 64
+_PQ_M = 8  # subspaces
+_PQ_DSUB = _DIM // _PQ_M
+_PQ_K = 8  # codewords per subspace
+_SEM_K = 8  # semantic-dedup cells
+_SEM_TAU = 0.35
+
+
+# ---------------------------------------------------------------- PQ
+def _pq_oracle() -> str:
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, vec
+      FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    sc AS (
+      SELECT t.vec_id, s.sub, c.code_id,
+             CAST(round(round(list_sum(list_transform(
+                 range(1, {_PQ_DSUB} + 1),
+                 j -> (t.vec[s.sub * {_PQ_DSUB} + j]
+                       - c.vec[s.sub * {_PQ_DSUB} + j])
+                      * (t.vec[s.sub * {_PQ_DSUB} + j]
+                         - c.vec[s.sub * {_PQ_DSUB} + j]))), 6)
+               * 1000000) AS BIGINT) * 100 + c.code_id AS ikey
+      FROM v t, UNNEST(range(0, {_PQ_M})) s(sub), cb c
+    ),
+    best AS (
+      SELECT vec_id, sub, min(ikey) AS ik
+      FROM sc GROUP BY vec_id, sub
+    )
+    SELECT vec_id,
+           string_agg(CAST(ik % 100 AS VARCHAR), '-' ORDER BY sub)
+             AS pq_code,
+           round(CAST(sum(ik // 100) AS BIGINT) / 1000000.0, 6)
+             AS quant_err
+    FROM best GROUP BY vec_id
+    """
+
+
+@register("pq_quantize", oracle=_pq_oracle())
+def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al., 'Product Quantization for
+    Nearest Neighbor Search', TPAMI 2011 — public technique): split
+    each {_DIM}-dim vector into {_PQ_M} subvectors, snap each to its
+    nearest of {_PQ_K} subspace codewords, and emit the code plus the
+    total squared reconstruction error. PQ codes are what an IVF-PQ
+    index stores per vector ({_PQ_M} bytes instead of {_DIM * 4}) —
+    the memory-side half of corpus-scale ANN, next to the IVF routing
+    half (sim_ivf_assign/sim_ivf_topk).
+
+    Plan: codebook is a {_PQ_M * _PQ_K}-row broadcast; the corpus side
+    is ONE narrow explode into (vec, subspace) rows joined against it
+    (no shuffle until the per-vector reassembly aggregate, which is
+    map-side combinable). Distances are 6-dp-rounded and packed with
+    the codeword id into one integer key, so argmin is a plain min()
+    with deterministic id tiebreaks in both engines.
+    """
+    emb = fan_out(spark.table("embeddings")).select(
+        "vec_id", S.as_double(F.col("embedding")).alias("vec")
+    )
+    w = Window.orderBy("vec_id")
+    cb = (
+        emb.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select((F.row_number().over(w) - 1).alias("code_id"), "vec")
+    )
+
+    def subs(frame: DataFrame, out: str) -> DataFrame:
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("vec", s * _PQ_DSUB + 1, _PQ_DSUB).alias("sv"),
+                )
+                for s in range(_PQ_M)
+            ]
+        )
+        return frame.select(
+            *[c for c in frame.columns if c != "vec"],
+            F.explode(structs).alias("_e"),
+        ).select(
+            *[c for c in frame.columns if c != "vec"],
+            F.col("_e.sub").alias("sub"),
+            F.col("_e.sv").alias(out),
+        )
+
+    vsub = subs(emb, "sv")
+    csub = subs(cb, "cv")
+    terms = [
+        (F.element_at("sv", j + 1) - F.element_at("cv", j + 1))
+        * (F.element_at("sv", j + 1) - F.element_at("cv", j + 1))
+        for j in range(_PQ_DSUB)
+    ]
+    dist = terms[0]
+    for t in terms[1:]:
+        dist = dist + t
+    ikey = (
+        F.round(F.round(dist, 6) * 1_000_000).cast("long") * 100
+        + F.col("code_id")
+    )
+    best = (
+        vsub.join(F.broadcast(csub), "sub")
+        .select("vec_id", "sub", ikey.alias("ikey"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min("ikey").alias("ik"))
+    )
+    code = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("sub", (F.col("ik") % 100).alias("c")))
+            ),
+            lambda s: s["c"].cast("string"),
+        ),
+        "-",
+    )
+    return best.groupBy("vec_id").agg(
+        code.alias("pq_code"),
+        F.round(F.sum(F.expr("ik div 100")) / F.lit(1_000_000.0), 6).alias(
+            "quant_err"
+        ),
+    )
+
+
+# ------------------------------------------------------ SemDeDup
+_NORMED_CTE = f"""
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, list_transform(vec, x -> x / n) AS nvec
+      FROM (SELECT vec_id, vec,
+                   sqrt(list_sum(list_transform(range(1, {_DIM + 1}),
+                                 i -> vec[i] * vec[i]))) AS n
+            FROM v))
+"""
+
+_COS = (
+    f"round(list_sum(list_transform(range(1, {_DIM + 1}), "
+    "i -> {a}.nvec[i] * {b}.nvec[i])), 6)"
+)
+
+
+def _sem_oracle() -> str:
+    cos_nc = _COS.format(a="n", b="c")
+    cos_ab = _COS.format(a="a", b="b")
+    return f"""
+    WITH {_NORMED_CTE},
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             nvec
+      FROM (SELECT vec_id, nvec FROM normed ORDER BY vec_id
+            LIMIT {_SEM_K})
+    ),
+    sc AS (
+      SELECT n.vec_id,
+             CAST(round((1 - {cos_nc}) * 1000000) AS BIGINT) * 100
+               + c.cell AS skey
+      FROM normed n, cent c
+    ),
+    asg AS (
+      SELECT vec_id, CAST(min(skey) % 100 AS INTEGER) AS cell
+      FROM sc GROUP BY vec_id
+    ),
+    j AS (
+      SELECT a.vec_id, a.cell, n.nvec
+      FROM asg a JOIN normed n USING (vec_id)
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS vec_id
+      FROM j a JOIN j b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos_ab} >= {_SEM_TAU}
+    )
+    SELECT j.vec_id, j.cell, d.vec_id IS NULL AS is_kept
+    FROM j LEFT JOIN dropped d ON d.vec_id = j.vec_id
+    """
+
+
+@register("sem_dedup_cells", oracle=_sem_oracle())
+def sem_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al., 'SemDeDup', 2023
+    — public technique): cluster the embedding space, then drop any
+    vector with a higher-priority near-identical neighbor (cosine >=
+    {_SEM_TAU}) in ITS OWN cell — pairwise cost O(sum cell²), never
+    O(n²), and unlike label blocking the cells come from the data.
+    Centroids here are the {_SEM_K} lowest vec_ids (deterministic, so
+    assignment is oracle-gated); production swaps kmeans_train
+    centroids into the identical plan.
+
+    Plan: normalize once; assignment is a broadcast cross-join +
+    integer-key min (the pq_quantize argmin pattern); within-cell
+    scoring reuses the Arrow block kernel (blocked_cosine_pairs) that
+    ships each vector once per cell.
+    """
+    emb = fan_out(spark.table("embeddings")).select(
+        "vec_id", S.as_double(F.col("embedding")).alias("vec")
+    )
+    nv = S.normalized(emb, "vec").select("vec_id", "nvec").localCheckpoint(
+        eager=False
+    )
+    w = Window.orderBy("vec_id")
+    cent = (
+        nv.orderBy("vec_id")
+        .limit(_SEM_K)
+        .select(
+            (F.row_number().over(w) - 1).alias("cell"),
+            F.col("nvec").alias("cnvec"),
+        )
+    )
+    rcos = F.round(S.dot(F.col("nvec"), F.col("cnvec")), 6)
+    skey = (
+        F.round((F.lit(1) - rcos) * 1_000_000).cast("long") * 100
+        + F.col("cell")
+    )
+    asg = (
+        nv.join(F.broadcast(cent))
+        .select("vec_id", skey.alias("skey"))
+        .groupBy("vec_id")
+        .agg((F.min("skey") % 100).cast("int").alias("cell"))
+    )
+    j = asg.join(nv, "vec_id")
+    pairs = S.blocked_cosine_pairs(j, "cell", "vec_id", "nvec", _SEM_TAU)
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    d = dropped.withColumn("_hit", F.lit(1))
+    return (
+        j.join(d, "vec_id", "left")
+        .select("vec_id", "cell", F.col("_hit").isNull().alias("is_kept"))
+    )

@@ -353,3 +353,39 @@ def test_recall_eval_no_cartesian(spark):
     broadcast of 5 query vectors, never a CartesianProduct."""
     plan = plan_of(spark, "sim_lsh_recall_eval")
     assert "CartesianProduct" not in plan
+
+
+def test_pq_quantize_broadcasts_codebook(spark):
+    """PQ: the 64-row (sub, codeword) table must broadcast; the only
+    exchanges are the two map-side-combinable reassembly aggregates.
+    At 100 TB the corpus side stays a narrow explode+join pass."""
+    plan = plan_of(spark, "pq_quantize")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sem_dedup_broadcasts_centroids(spark):
+    """SemDeDup: centroid assignment is a broadcast nested-loop over
+    an 8-row frame (intended cross join); the corpus must never
+    shuffle for it, and no plain CartesianProduct may appear."""
+    plan = plan_of(spark, "sem_dedup_cells")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_holt_single_series_shuffle(spark):
+    """Holt smoothing: exactly one exchange — the series-key shuffle
+    feeding the Arrow grouped-map kernel (plus AQE reads)."""
+    plan = plan_of(spark, "ts_holt_linear")
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_source_overlap_broadcasts_sizes(spark):
+    """Source overlap: the 20-row size table broadcasts onto the pair
+    counts; the shingle self-join is an equi-join (never nested
+    loop) so a hot shingle costs C(s,2) rows, not a scan."""
+    plan = plan_of(spark, "source_overlap_matrix")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
