@@ -66,6 +66,9 @@ _CHECK_FIRST = [
     "source_overlap_matrix",
     "pq_quantize",
     "sem_dedup_cells",
+    "bucketed_colocated_join",
+    "quality_gopher_rules",
+    "embedding_dim_stats",
     "documents_zipf_fit",
     "docs_length_histogram",
     "events_markov_transitions",

@@ -1139,3 +1139,61 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         pv.join(broadcast(threshold), F.col("part_value") > F.col("thr"))
         .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
     )
+
+
+# ------------------------------------------ bucketed co-located join
+@register(
+    "bucketed_colocated_join",
+    bench=False,  # writes bucketed table state each run — gate only
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)))
+                AS DECIMAL(38,2)) AS DOUBLE) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via Hive-style bucketing: both fact
+    tables are written `bucketBy(8, orderkey)` (the shuffle paid ONCE
+    at ingest), then sort-merge joined with ZERO exchanges — the
+    standard answer for a 100 TB fact-fact join repeated across a
+    workload, where per-query shuffles dominate and neither side
+    broadcasts. The oracle is the plain join over the raw tables, so
+    equality proves the bucketed layout changes the plan, never the
+    result. Plan shape (no exchange before the join) is pinned by
+    tests/test_plan_quality.py::test_bucketed_join_no_shuffle.
+    """
+    import tempfile
+
+    from open_tlm_spark.sources.bucketed import colocated_join, write_bucketed
+
+    base = tempfile.mkdtemp(prefix="tlm_bucketed_")
+    write_bucketed(
+        spark.table("orders").select("o_orderkey", "o_orderpriority"),
+        "tlm_b_orders",
+        ["o_orderkey"],
+        8,
+        f"{base}/orders",
+    )
+    write_bucketed(
+        spark.table("lineitem").select("l_orderkey", "l_extendedprice"),
+        "tlm_b_lineitem",
+        ["l_orderkey"],
+        8,
+        f"{base}/lineitem",
+    )
+    joined = colocated_join(
+        spark,
+        "tlm_b_lineitem",
+        "tlm_b_orders",
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("total_price"),
+    )

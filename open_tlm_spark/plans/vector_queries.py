@@ -255,3 +255,70 @@ def sem_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.join(d, "vec_id", "left")
         .select("vec_id", "cell", F.col("_hit").isNull().alias("is_kept"))
     )
+
+
+# ------------------------------------------------- per-dim stats
+@register(
+    "embedding_dim_stats",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    e AS (
+      SELECT i.i AS dim, vec[i.i] AS x
+      FROM v, UNNEST(range(1, {_DIM + 1})) i(i)
+    ),
+    s AS (
+      SELECT dim,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS DECIMAL(18,6))) AS s1,
+             sum(CAST(CAST(x AS DECIMAL(18,6))
+                      * CAST(x AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS s2,
+             min(x) AS vmin,
+             max(x) AS vmax
+      FROM e GROUP BY dim
+    )
+    SELECT dim, n,
+           round(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+           round(sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                      / (n - 1)), 6) AS stddev,
+           vmin, vmax
+    FROM s
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding moments (mean / sample stddev / min /
+    max) — the whitening + collapsed-dimension diagnostic run before
+    trusting a vector column for ANN or dedup (a dimension with ~zero
+    variance is dead weight in every distance; a shifted mean breaks
+    cosine vs dot-product assumptions). One narrow posexplode and ONE
+    hash aggregate keyed by dimension — {_DIM} groups regardless of
+    corpus size, map-side combinable, so the shuffle carries {_DIM}
+    partial rows per task at any scale. Moments are DECIMAL-exact
+    sums (order-independent); the variance formula is applied to the
+    exact sums identically in both engines."""
+    emb = fan_out(spark.table("embeddings")).select(
+        "vec_id", S.as_double(F.col("embedding")).alias("vec")
+    )
+    e = emb.select(F.posexplode("vec").alias("pos", "x")).select(
+        (F.col("pos") + 1).cast("long").alias("dim"), "x"
+    )
+    xd = F.col("x").cast("decimal(18,6)")
+    s = e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("s1"),
+        F.sum((xd * xd).cast("decimal(38,12)")).alias("s2"),
+        F.min("x").alias("vmin"),
+        F.max("x").alias("vmax"),
+    )
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    n = F.col("n")
+    return s.select(
+        "dim",
+        "n",
+        F.round(s1d / n, 6).alias("mean"),
+        F.round(F.sqrt((s2d - s1d * s1d / n) / (n - 1)), 6).alias("stddev"),
+        "vmin",
+        "vmax",
+    )

@@ -389,3 +389,31 @@ def test_source_overlap_broadcasts_sizes(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Bucketed co-located join: both scans read Bucketed: true, the
+    sort-merge join gets its distribution from the bucket layout (no
+    exchange on either input), and the only shuffle in the whole
+    plan is the final aggregate's."""
+    plan = plan_of(spark, "bucketed_colocated_join")
+    assert plan.count("Bucketed: true") == 2
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gopher_rules_narrow_no_shuffle(spark):
+    """Gopher rules: all signals from one tokenize pass — no shuffle
+    beyond fan_out's round-robin split of the tiny single-split gate
+    input (a no-op at scale), zero Python UDFs in the plan."""
+    plan = plan_of(spark, "quality_gopher_rules")
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dim_stats_single_aggregation(spark):
+    """Per-dim moments: one partial+final hash aggregate pair over
+    the posexplode — the shuffle carries 64 dims, not vectors."""
+    plan = plan_of(spark, "embedding_dim_stats")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
