@@ -371,3 +371,52 @@ def simhash(
         term = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def ngram_containment_pairs(
+    sh: DataFrame, min_containment: float, max_df: int = 100
+) -> DataFrame:
+    """All-pairs n-gram CONTAINMENT >= threshold: |A∩B| / min(|A|,|B|)
+    — the asymmetric near-dup measure (Broder, 'On the resemblance and
+    containment of documents', 1997 — public technique). Catches
+    subset duplicates symmetric Jaccard misses: a short document
+    quoted whole inside a long one has high containment but low
+    Jaccard, and corpus pipelines drop exactly those quote-inclusion
+    dups. Same linear plan as ngram_jaccard_pairs: stop-shingle cap
+    before the self equi-join, broadcast size dims after."""
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(
+        df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    out = (
+        pairs.join(
+            F.broadcast(sizes).alias("za"), F.col("za.doc_id") == F.col("doc_a")
+        )
+        .join(
+            F.broadcast(sizes).alias("zb"), F.col("zb.doc_id") == F.col("doc_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / F.least(F.col("za.n_sh"), F.col("zb.n_sh")),
+                6,
+            ).alias("containment"),
+        )
+    )
+    return out.filter(F.col("containment") >= min_containment)

@@ -892,3 +892,75 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("level", 6).alias("level"),
         F.round("trend", 6).alias("trend"),
     )
+
+
+# ------------------------------------------------- MAD robust outliers
+@register(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type AS dataset_id,
+             round(quantile_cont(value, 0.5), 6) AS median
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT m.dataset_id, e.value, m.median,
+             abs(e.value - m.median) AS ad
+      FROM events e JOIN med m ON m.dataset_id = e.event_type
+    ),
+    mad AS (
+      SELECT dataset_id,
+             round(quantile_cont(ad, 0.5), 6) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.dataset_id,
+           CAST(count(*) AS BIGINT) AS n,
+           max(d.median) AS median,
+           max(m.mad) AS mad,
+           CAST(count(*) FILTER (WHERE
+             abs(round(0.6745 * (d.value - d.median) / m.mad, 6)) > 3.5)
+             AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (dataset_id)
+    GROUP BY 1
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via the modified z-score (Iglewicz &
+    Hoaglin, 'How to Detect and Handle Outliers', 1993 — public
+    technique): median + median-absolute-deviation replace mean/std,
+    so the detector's own baseline is immune to the outliers it
+    hunts (ts_anomaly_zscore's known failure mode under heavy tails).
+    Two grouped exact percentiles (Spark `percentile` == DuckDB
+    quantile_cont) with the tiny per-series stats broadcast back;
+    flags are counted on the 6-dp-rounded score so the |z| > 3.5
+    boundary is engine-identical. At 100 TB swap approx_percentile
+    into the identical plan (the sketch note on
+    percentiles_by_event_type applies)."""
+    ev = spark.table("events").select(
+        F.col("event_type").alias("dataset_id"), "value"
+    )
+    med = ev.groupBy("dataset_id").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median")
+    )
+    dev = ev.join(F.broadcast(med), "dataset_id").select(
+        "dataset_id",
+        "value",
+        "median",
+        F.abs(F.col("value") - F.col("median")).alias("ad"),
+    )
+    mad = dev.groupBy("dataset_id").agg(
+        F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad")
+    )
+    mz = F.round(
+        F.lit(0.6745) * (F.col("value") - F.col("median")) / F.col("mad"), 6
+    )
+    return (
+        dev.join(F.broadcast(mad), "dataset_id")
+        .groupBy("dataset_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("median").alias("median"),
+            F.max("mad").alias("mad"),
+            F.count(F.when(F.abs(mz) > 3.5, 1)).alias("n_outliers"),
+        )
+    )

@@ -526,3 +526,56 @@ def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration)."""
     cents = S.kmeans_train(spark.table("embeddings"), k=8, iters=2)
     return cents.select("centroid_id", "n_members").orderBy("centroid_id")
+
+
+# ------------------------------------------------------- containment
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {SHINGLES_CTE},
+    shh AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+      FROM sh
+    ),
+    df_counts AS (
+      SELECT shingle, count(*) AS df FROM shh GROUP BY shingle
+    ),
+    rare AS (
+      SELECT shh.doc_id, shh.shingle
+      FROM shh JOIN df_counts USING (shingle) WHERE df <= 100
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM rare a JOIN rare b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           round(n_inter / least(za.n_sh, zb.n_sh), 6) AS containment
+    FROM pairs
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    WHERE round(n_inter / least(za.n_sh, zb.n_sh), 6) >= 0.2
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (>= 0.2): |A∩B| over the
+    SMALLER shingle set, so a short document wholly quoted inside a
+    long one scores ~1.0 where Jaccard scores near zero — the measure
+    corpus pipelines use for quote-inclusion / subset dups next to
+    symmetric Jaccard (operators/dedup.ngram_containment_pairs).
+    Same scale shape as dedup_ngram_jaccard: hashed 60-bit shingles,
+    stop-shingle df-cap before the self equi-join, broadcast sizes."""
+    sh = (
+        D.shingle_table(spark.table("documents"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("shingle"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return D.ngram_containment_pairs(sh, min_containment=0.2, max_df=100)

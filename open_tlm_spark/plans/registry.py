@@ -69,6 +69,9 @@ _CHECK_FIRST = [
     "bucketed_colocated_join",
     "quality_gopher_rules",
     "embedding_dim_stats",
+    "dedup_containment",
+    "sim_pq_adc_topk",
+    "ts_anomaly_mad",
     "documents_zipf_fit",
     "docs_length_histogram",
     "events_markov_transitions",

@@ -34,9 +34,12 @@ _SEM_TAU = 0.35
 
 
 # ---------------------------------------------------------------- PQ
-def _pq_oracle() -> str:
-    return f"""
-    WITH v AS (
+# Shared oracle CTE chain: raw vectors -> deterministic codebook ->
+# per-(vector, subspace) integer-key argmin assignment (`best`).
+# Reused verbatim by the pq_quantize and sim_pq_adc_topk oracles so
+# both gates pin the SAME assignment semantics.
+_PQ_BEST_CTES = f"""
+    v AS (
       SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
     ),
     cb AS (
@@ -58,6 +61,77 @@ def _pq_oracle() -> str:
       SELECT vec_id, sub, min(ikey) AS ik
       FROM sc GROUP BY vec_id, sub
     )
+"""
+
+
+def _pq_subs(frame: DataFrame, out: str) -> DataFrame:
+    """Explode a (..., vec) frame into one row per subspace with the
+    sliced subvector as `out` — narrow, no shuffle."""
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice("vec", s * _PQ_DSUB + 1, _PQ_DSUB).alias("sv"),
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    return frame.select(
+        *[c for c in frame.columns if c != "vec"],
+        F.explode(structs).alias("_e"),
+    ).select(
+        *[c for c in frame.columns if c != "vec"],
+        F.col("_e.sub").alias("sub"),
+        F.col("_e.sv").alias(out),
+    )
+
+
+def _sq_dist(a: str, b: str) -> "F.Column":
+    """Left-associated squared-L2 chain over two subvector columns —
+    the same op order as the oracle's list_sum fold."""
+    terms = [
+        (F.element_at(a, j + 1) - F.element_at(b, j + 1))
+        * (F.element_at(a, j + 1) - F.element_at(b, j + 1))
+        for j in range(_PQ_DSUB)
+    ]
+    dist = terms[0]
+    for t in terms[1:]:
+        dist = dist + t
+    return dist
+
+
+def _pq_parts(spark: SparkSession):
+    """(vsub, csub, best): subvector relation, broadcastable codebook
+    subspaces, and the per-(vector, subspace) assignment — the Spark
+    mirror of _PQ_BEST_CTES."""
+    emb = fan_out(spark.table("embeddings")).select(
+        "vec_id", S.as_double(F.col("embedding")).alias("vec")
+    )
+    w = Window.orderBy("vec_id")
+    cb = (
+        emb.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select((F.row_number().over(w) - 1).alias("code_id"), "vec")
+    )
+    vsub = _pq_subs(emb, "sv")
+    csub = _pq_subs(cb, "cv")
+    ikey = (
+        F.round(F.round(_sq_dist("sv", "cv"), 6) * 1_000_000).cast("long")
+        * 100
+        + F.col("code_id")
+    )
+    best = (
+        vsub.join(F.broadcast(csub), "sub")
+        .select("vec_id", "sub", ikey.alias("ikey"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min("ikey").alias("ik"))
+    )
+    return vsub, csub, best
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH {_PQ_BEST_CTES}
     SELECT vec_id,
            string_agg(CAST(ik % 100 AS VARCHAR), '-' ORDER BY sub)
              AS pq_code,
@@ -85,55 +159,7 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the codeword id into one integer key, so argmin is a plain min()
     with deterministic id tiebreaks in both engines.
     """
-    emb = fan_out(spark.table("embeddings")).select(
-        "vec_id", S.as_double(F.col("embedding")).alias("vec")
-    )
-    w = Window.orderBy("vec_id")
-    cb = (
-        emb.orderBy("vec_id")
-        .limit(_PQ_K)
-        .select((F.row_number().over(w) - 1).alias("code_id"), "vec")
-    )
-
-    def subs(frame: DataFrame, out: str) -> DataFrame:
-        structs = F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    F.slice("vec", s * _PQ_DSUB + 1, _PQ_DSUB).alias("sv"),
-                )
-                for s in range(_PQ_M)
-            ]
-        )
-        return frame.select(
-            *[c for c in frame.columns if c != "vec"],
-            F.explode(structs).alias("_e"),
-        ).select(
-            *[c for c in frame.columns if c != "vec"],
-            F.col("_e.sub").alias("sub"),
-            F.col("_e.sv").alias(out),
-        )
-
-    vsub = subs(emb, "sv")
-    csub = subs(cb, "cv")
-    terms = [
-        (F.element_at("sv", j + 1) - F.element_at("cv", j + 1))
-        * (F.element_at("sv", j + 1) - F.element_at("cv", j + 1))
-        for j in range(_PQ_DSUB)
-    ]
-    dist = terms[0]
-    for t in terms[1:]:
-        dist = dist + t
-    ikey = (
-        F.round(F.round(dist, 6) * 1_000_000).cast("long") * 100
-        + F.col("code_id")
-    )
-    best = (
-        vsub.join(F.broadcast(csub), "sub")
-        .select("vec_id", "sub", ikey.alias("ikey"))
-        .groupBy("vec_id", "sub")
-        .agg(F.min("ikey").alias("ik"))
-    )
+    _, _, best = _pq_parts(spark)
     code = F.array_join(
         F.transform(
             F.array_sort(
@@ -321,4 +347,97 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt((s2d - s1d * s1d / n) / (n - 1)), 6).alias("stddev"),
         "vmin",
         "vmax",
+    )
+
+
+# ------------------------------------------------------ PQ ADC search
+_ADC_NQ = 5  # query set: lowest vec_ids (sim_* convention)
+_ADC_K = 5
+
+
+def _adc_oracle() -> str:
+    return f"""
+    WITH {_PQ_BEST_CTES},
+    codes AS (
+      SELECT vec_id, sub, CAST(ik % 100 AS BIGINT) AS code FROM best
+    ),
+    q AS (SELECT vec_id AS query_id, vec FROM v WHERE vec_id < {_ADC_NQ}),
+    lut AS (
+      SELECT q.query_id, s.sub, c.code_id,
+             CAST(round(list_sum(list_transform(
+                 range(1, {_PQ_DSUB} + 1),
+                 j -> (q.vec[s.sub * {_PQ_DSUB} + j]
+                       - c.vec[s.sub * {_PQ_DSUB} + j])
+                      * (q.vec[s.sub * {_PQ_DSUB} + j]
+                         - c.vec[s.sub * {_PQ_DSUB} + j]))), 6)
+               AS DECIMAL(18,6)) AS d
+      FROM q, UNNEST(range(0, {_PQ_M})) s(sub), cb c
+    ),
+    sc2 AS (
+      SELECT l.query_id, t.vec_id, sum(l.d) AS dist
+      FROM codes t JOIN lut l ON l.sub = t.sub AND l.code_id = t.code
+      WHERE t.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+      SELECT query_id, vec_id, CAST(dist AS DOUBLE) AS adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, vec_id) AS rank
+      FROM sc2
+    ) WHERE rank <= {_ADC_K}
+    """
+
+
+@register("sim_pq_adc_topk", oracle=_adc_oracle())
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k over PQ codes
+    (Jégou et al. 2011, §IV — public technique): per query, build the
+    m×k lookup table of exact query-subvector-to-codeword distances,
+    then score every corpus vector by summing the LUT entries its
+    code selects — the serving-side half of IVF-PQ, scanning
+    {_PQ_M}-byte codes instead of {_DIM * 4}-byte vectors (32x less
+    I/O at corpus scale).
+
+    Plan: codes come from the SAME assignment subtree pq_quantize
+    gates; the LUT (nq x m x k rows) broadcasts; scoring is one
+    map-side-combinable aggregate keyed (query, vector) over DECIMAL
+    distances (order-independent exact sums), then a per-query
+    top-{_ADC_K} window. At 100 TB the aggregate's shuffle carries at
+    most one partial row per (query, vector) per partition, and the
+    window input is already reduced to nq x corpus rows."""
+    vsub, csub, best = _pq_parts(spark)
+    codes = best.select("vec_id", "sub", (F.col("ik") % 100).alias("code"))
+    qsub = vsub.filter(F.col("vec_id") < _ADC_NQ).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qv")
+    )
+    lut = (
+        qsub.join(F.broadcast(csub.withColumnRenamed("cv", "cv2")), "sub")
+        .withColumnRenamed("cv2", "cv")
+        .select(
+            "query_id",
+            "sub",
+            "code_id",
+            F.round(_sq_dist("qv", "cv"), 6).cast("decimal(18,6)").alias("d"),
+        )
+    )
+    sc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.sub == lut.sub)
+            & (codes.code == lut.code_id)
+            & (codes.vec_id != lut.query_id),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ADC_K)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("dist").cast("double").alias("adc_dist"),
+            "rank",
+        )
     )

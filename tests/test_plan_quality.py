@@ -417,3 +417,31 @@ def test_dim_stats_single_aggregation(spark):
     plan = plan_of(spark, "embedding_dim_stats")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_containment_equi_join_only(spark):
+    """Containment dedup: same shape law as ngram Jaccard — the
+    pairwise step must be a hash equi-join on the hashed shingle,
+    sizes broadcast, no nested loop."""
+    plan = plan_of(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # size dims
+
+
+def test_adc_broadcasts_lut(spark):
+    """ADC search: the per-query lookup table broadcasts onto the
+    codes; ranking is a bounded per-query window, never a global
+    sort of the corpus."""
+    plan = plan_of(spark, "sim_pq_adc_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mad_broadcasts_stats(spark):
+    """MAD outliers: both per-series stats frames broadcast back onto
+    the fact side — the fact table shuffles only for its own
+    percentile aggregates."""
+    plan = plan_of(spark, "ts_anomaly_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
