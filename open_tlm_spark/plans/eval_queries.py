@@ -1,0 +1,554 @@
+"""Corpus/series diagnostics round 2: n-gram novelty, count-series
+autocorrelation, and PQ-ADC recall — the evaluation queries that
+tell you whether the cheaper paths (dedup keep-set, rollup cadence,
+compressed ANN) are safe to ship.
+
+Registry determinism conventions apply: integer-exact aggregates
+wherever the inputs are integers, 6-dp rounding before any ranking or
+final float output, explicit id tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from open_tlm_spark.plans.registry import register
+from open_tlm_spark.session import fan_out
+
+
+# ------------------------------------------------- n-gram novelty
+def _novelty_oracle() -> str:
+    from open_tlm_spark.plans.pipeline_queries import SHINGLES_CTE
+
+    return f"""
+    WITH {SHINGLES_CTE},
+    first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh
+              GROUP BY shingle),
+    per AS (
+      SELECT s.doc_id,
+             count(*) AS n_shingles,
+             CAST(count(*) FILTER (WHERE f.first_doc = s.doc_id) AS BIGINT)
+               AS n_novel
+      FROM sh s JOIN first f ON f.shingle = s.shingle
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_shingles, 0) AS n_shingles,
+           coalesce(p.n_novel, 0) AS n_novel,
+           round(p.n_novel / p.n_shingles, 6) AS novel_frac
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    """
+
+
+@register("docs_ngram_novelty", oracle=_novelty_oracle())
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-word shingles whose FIRST corpus occurrence (minimum doc_id) is
+    this document — the content-freshness signal behind dedup keep
+    ordering and curriculum mixes (a doc whose shingles all appeared
+    in earlier docs adds nothing even if no single document matches
+    it; the complement of the duplicated-passage view in
+    dedup_substring_spans).
+
+    Plan: reuses the exploded shingle relation; first-occurrence is
+    ONE min-aggregate keyed by shingle (map-side combinable), joined
+    back on the same key (AQE reuses the exchange partitioning), then
+    one per-doc aggregate. Linear in corpus size, no pairwise step."""
+    from open_tlm_spark.operators import dedup as D
+
+    docs = spark.table("documents")
+    sh = D.shingle_table(docs)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+                "novel_frac"
+            ),
+        )
+    )
+
+
+# ------------------------------------------- count autocorrelation
+_ACF_BIN_S = 3600
+_ACF_MAX_LAG = 3
+
+
+@register(
+    "ts_autocorr_lags",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / ({_ACF_BIN_S} * 1000000.0)) AS BIGINT)
+               AS h,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (SELECT CAST(unnest(range(1, {_ACF_MAX_LAG + 1})) AS BIGINT) AS lag),
+    p AS (
+      SELECT a.event_type, l.lag, a.cnt AS x, b.cnt AS y
+      FROM c a
+      JOIN l ON TRUE
+      JOIN c b ON b.event_type = a.event_type AND b.h = a.h + l.lag
+    ),
+    s AS (
+      SELECT event_type, lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM p GROUP BY 1, 2
+    )
+    SELECT event_type, lag, n_pairs,
+           round((n_pairs * sxy - sx * sy)
+                 / sqrt((n_pairs * sxx - sx * sx)
+                        * (n_pairs * syy - sy * sy)), 6) AS acf
+    FROM s
+    """,
+)
+def ts_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each series' hourly event-count signal at
+    lags 1..{_ACF_MAX_LAG} — the seasonality/burstiness fingerprint
+    that picks rollup cadences and validates the seasonal-naive model
+    (ts_seasonal_residual): a high lag-1 ACF says coarser rollups
+    lose little; near-zero says the series is noise at this bin size.
+
+    Determinism: the per-bin counts are integers, so every moment sum
+    is EXACT in both engines (cast to double only for the final
+    Pearson formula, identically associated). Plan: one count
+    aggregate keyed (series, hour); the lag table (3 rows) broadcasts
+    to form shifted keys; the self-join is an equi-join on
+    (series, hour+lag) against the same binned frame; one final
+    moment aggregate. No windows, no cartesian — the classic
+    map-side-combinable ACF at any scale."""
+    ev = spark.table("events")
+    c = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros("ts") / F.lit(_ACF_BIN_S * 1_000_000.0)
+        )
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = c.alias("a")
+    b = c.alias("b")
+    p = (
+        a.join(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.h") == F.col("a.h") + F.col("lag")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            "lag",
+            F.col("a.cnt").alias("x"),
+            F.col("b.cnt").alias("y"),
+        )
+    )
+    s = p.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n_pairs")
+    return s.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("acf"),
+    )
+
+
+# ------------------------------------------------- PQ recall eval
+_PQR_K = 5
+
+
+def _pq_recall_oracle() -> str:
+    from open_tlm_spark.plans.vector_queries import (
+        _ADC_TOPK_CTES,
+        _PQ_BEST_CTES,
+    )
+
+    # Ground truth: exact squared-L2 top-k for the same 5 queries the
+    # ADC query serves (vec_id < 5), same rounding and tiebreaks.
+    # (`q` is already defined inside _ADC_TOPK_CTES.)
+    return f"""
+    WITH {_PQ_BEST_CTES},
+    {_ADC_TOPK_CTES},
+    gt_scored AS (
+      SELECT q.query_id, a.vec_id,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> (q.vec[i] - a.vec[i]) * (q.vec[i] - a.vec[i]))), 6)
+               AS dist
+      FROM v a, q WHERE a.vec_id <> q.query_id
+    ),
+    gt AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, vec_id) AS rank
+      FROM gt_scored QUALIFY rank <= {_PQR_K}
+    )
+    SELECT g.query_id,
+           count(*) AS n_gt,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+           round(count(a.vec_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+    FROM gt g LEFT JOIN adc a
+      ON a.query_id = g.query_id AND a.vec_id = g.vec_id
+    GROUP BY g.query_id
+    """
+
+
+@register("sim_pq_recall_eval", oracle=_pq_recall_oracle())
+def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_PQR_K} of the PQ-ADC search against the exact
+    squared-L2 ground truth, per query — the compression-loss
+    measurement that decides whether {_PQ_M := 8}-byte codes are
+    enough or the codebook needs more bits (the IVF/LSH recall evals'
+    sibling, closing the eval suite over all three ANN paths). Both
+    rankings are deterministic (rounded distances, vec_id tiebreaks),
+    so recall is exact, not sampled.
+
+    Plan: composes the gated sim_pq_adc_topk subtree with a
+    brute-force pass over the 5 broadcast queries; the join of the
+    two rankings touches {_PQR_K} rows per query."""
+    from open_tlm_spark.operators import similarity as S
+    from open_tlm_spark.plans.vector_queries import sim_pq_adc_topk
+
+    adc = sim_pq_adc_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    emb = fan_out(spark.table("embeddings")).select(
+        "vec_id", S.as_double(F.col("embedding")).alias("vec")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    sq = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("vec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(sq, 6).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    gt = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQR_K)
+        .select("query_id", "vec_id")
+    )
+    j = gt.join(adc, ["query_id", "vec_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_gt"),
+        F.count("_hit").cast("long").alias("n_hit"),
+        F.round(F.count("_hit") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "recall"
+        ),
+    )
+
+
+# ------------------------------------------- langid confusion matrix
+_LANGID_CTE = """
+    hits AS (
+      SELECT doc_id, lang,
+        len(regexp_extract_all(lower(text), '\\b(der|die|und|von|das)\\b')) AS h_de,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b'))    AS h_en,
+        len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los)\\b'))    AS h_es,
+        len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b'))    AS h_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, lang,
+        CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+             WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+             WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+             WHEN h_en >= h_de THEN 'en'
+             ELSE 'de' END AS lang_pred
+      FROM hits
+    )
+"""
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH {_LANGID_CTE}
+    SELECT lang, lang_pred, count(*) AS n_docs
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the heuristic classifier's
+    predictions (text_langid) crossed against the table's labeled
+    lang column — the eval that tells you which language pairs the
+    marker lexicons confuse before trusting lang_pred for filtering
+    or mixture weights. One narrow regex projection + one aggregate
+    over at most |langs|² groups; scan-bound at any corpus size."""
+    from open_tlm_spark.operators import text as T
+
+    docs = spark.table("documents")
+    return (
+        docs.select(
+            "lang", T.language_id(F.col("text")).alias("lang_pred")
+        )
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ------------------------------- MinHash estimator vs exact Jaccard
+def _est_oracle() -> str:
+    from open_tlm_spark.operators import dedup as D
+    from open_tlm_spark.plans.pipeline_queries import SHINGLES_CTE
+
+    sig_cols = ",\n             ".join(
+        f"min((w1 + {j} * w2) % {D.KM_PRIME}) AS sig_{j}"
+        for j in range(D.NUM_HASHES)
+    )
+    band_rows = []
+    for b in range(D.NUM_BANDS):
+        cols = " || '|' || ".join(
+            f"sig_{b * D.BAND_ROWS + r}" for r in range(D.BAND_ROWS)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sig"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_rows)
+    agree = " + ".join(
+        f"CAST(sa.sig_{j} = sb.sig_{j} AS BIGINT)" for j in range(D.NUM_HASHES)
+    )
+    return f"""
+    WITH {SHINGLES_CTE},
+    hw AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS w1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS w2
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hw GROUP BY doc_id
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             round(({agree}) / {float(D.NUM_HASHES)}, 6) AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+    ),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS ni
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    )
+    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           round(i.ni / (za.n_sh + zb.n_sh - i.ni), 6) AS jaccard,
+           round(abs(e.est_jaccard
+                     - round(i.ni / (za.n_sh + zb.n_sh - i.ni), 6)), 6)
+             AS abs_err
+    FROM est e
+    JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sz za ON za.doc_id = e.doc_a
+    JOIN sz zb ON zb.doc_id = e.doc_b
+    """
+
+
+@register("dedup_minhash_est_vs_exact", oracle=_est_oracle())
+def dedup_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit: for every LSH candidate pair, the
+    signature-agreement Jaccard estimate (matching components / k)
+    against the EXACT shingle-set Jaccard, with the absolute error —
+    the measurement that validates the k=12, b=4×r=3 geometry before
+    trusting its ~0.63 s-curve threshold at corpus scale (E[est] =
+    true Jaccard; error shrinks as 1/√k).
+
+    Plan: reuses the gated signature/banding subtrees
+    (dedup_minhash_lsh) for candidates and estimates; exact Jaccard
+    reuses the candidate-only shingle equi-join (jaccard_for_pairs) —
+    never all pairs. The signature frame joins twice by doc id
+    (broadcast: one row per doc); everything else is the candidate
+    set, which LSH keeps tiny by construction."""
+    from open_tlm_spark.operators import dedup as D
+
+    docs = spark.table("documents")
+    sh = D.shingle_table(docs).localCheckpoint(eager=False)
+    sig = D.minhash_signatures(sh).localCheckpoint(eager=False)
+    cand = D.lsh_candidates(sig)
+    sa = sig.select(
+        F.col("doc_id").alias("_ida"),
+        *[F.col(f"sig_{j}").alias(f"a_{j}") for j in range(D.NUM_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("_idb"),
+        *[F.col(f"sig_{j}").alias(f"b_{j}") for j in range(D.NUM_HASHES)],
+    )
+    agree_terms = [
+        (F.col(f"a_{j}") == F.col(f"b_{j}")).cast("long")
+        for j in range(D.NUM_HASHES)
+    ]
+    agree = agree_terms[0]
+    for t in agree_terms[1:]:
+        agree = agree + t
+    est = (
+        cand.join(F.broadcast(sa), cand.doc_a == sa._ida)
+        .join(F.broadcast(sb), cand.doc_b == sb._idb)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(D.NUM_HASHES)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+    exact = D.jaccard_for_pairs(cand, sh)
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias(
+            "abs_err"
+        ),
+    )
+
+
+# ---------------------------------------- delete propagation
+_FORGET_MOD = 97  # deterministic "deletion request" set: custkey % 97 == 0
+
+
+@register(
+    "privacy_delete_propagation",
+    oracle=f"""
+    WITH delc AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % {_FORGET_MOD} = 0
+    ),
+    delo AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey % {_FORGET_MOD} = 0
+    ),
+    c AS (
+      SELECT 'customer' AS table_name,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(count(*) FILTER (WHERE c_custkey % {_FORGET_MOD} = 0)
+                  AS BIGINT) AS n_deleted
+      FROM customer
+    ),
+    o AS (
+      SELECT 'orders' AS table_name,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(count(*) FILTER (WHERE o_custkey % {_FORGET_MOD} = 0)
+                  AS BIGINT) AS n_deleted
+      FROM orders
+    ),
+    l AS (
+      SELECT 'lineitem' AS table_name,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(count(*) FILTER (WHERE d.o_orderkey IS NOT NULL)
+                  AS BIGINT) AS n_deleted
+      FROM lineitem li LEFT JOIN delo d ON d.o_orderkey = li.l_orderkey
+    )
+    SELECT table_name, n_total, n_deleted,
+           n_total - n_deleted AS n_kept
+    FROM (SELECT * FROM c UNION ALL SELECT * FROM o
+          UNION ALL SELECT * FROM l)
+    """,
+)
+def privacy_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit: a deterministic
+    deletion-request set (custkey % {_FORGET_MOD} == 0) cascades
+    customer -> orders -> lineitem, and the query reports per table
+    how many rows the delete touches vs keeps — the compliance
+    accounting every training-data pipeline runs BEFORE rewriting
+    partitions (and re-runs after, expecting n_deleted = 0).
+
+    Plan: customer and orders carry the key, so their delete marks
+    are pure predicates (no join, scan-bound, pushdown-friendly);
+    lineitem's mark is ONE left semi-style equi-join against the
+    deleted-order key set (Catalyst broadcasts it when small, AQE
+    converts at runtime otherwise — at 1/{_FORGET_MOD} selectivity
+    the key set is always far smaller than the fact table). Three
+    map-side-combinable count aggregates unioned into a 3-row
+    result; no full-table shuffle anywhere."""
+    cust = spark.table("customer")
+    orders = spark.table("orders")
+    li = spark.table("lineitem")
+    c = cust.agg(
+        F.lit("customer").alias("table_name"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("c_custkey") % _FORGET_MOD == 0, 1)).alias(
+            "n_deleted"
+        ),
+    )
+    o = orders.agg(
+        F.lit("orders").alias("table_name"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("o_custkey") % _FORGET_MOD == 0, 1)).alias(
+            "n_deleted"
+        ),
+    )
+    delo = orders.filter(F.col("o_custkey") % _FORGET_MOD == 0).select(
+        F.col("o_orderkey").alias("_dok"), F.lit(1).alias("_del")
+    )
+    l = (
+        li.join(delo, li.l_orderkey == F.col("_dok"), "left")
+        .agg(
+            F.lit("lineitem").alias("table_name"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("_del").alias("n_deleted"),
+        )
+    )
+    return (
+        c.unionByName(o)
+        .unionByName(l)
+        .select(
+            "table_name",
+            "n_total",
+            "n_deleted",
+            (F.col("n_total") - F.col("n_deleted")).alias("n_kept"),
+        )
+    )

@@ -47,21 +47,27 @@ def register(name: str, oracle: str | None = None, bench: bool = True):
     return deco
 
 
-# The driver checks ~50 queries per round in dict order, so with 100+
+# The driver checks ~50 queries per round in dict order, so with 120+
 # registered the head of this list chooses what gets an in-round
-# correctness row. Round-4 head: the 29 queries added this round,
-# then every query the r3 window rotated out (all green in r1/r2 on
-# code unchanged since). With 112 registered, ~12 head entries
-# overflow the 50-slot window this round (dedup_exact onward:
-# sim_topk_bruteforce, sessionize_events, multimodal_decode,
-# tpch_q13/q16/q19/q22, events_json_props,
-# interval_join_error_windows, sim_lsh_topk — all r1/r2-green, code
-# unchanged); they move to the FRONT of the r5 head so the
-# r3+r4+r5 union covers every query's current code.
-# Everything is locally verified by the dtype-strict
-# tools/diffcheck.py regardless.
+# correctness row. Round-4 head: the 41 queries added this round
+# (6 retrieval/eval additions first, then the earlier 35), then the
+# queries the r3 window rotated out (all green in r1/r2 on code
+# unchanged since). Head entries past slot ~50 overflow this round's
+# window (roughly tpch_q4 onward — all r1/r2-green, code unchanged);
+# they move to the FRONT of the r5 head so the r3+r4+r5 union covers
+# every query's current code. Everything is locally verified by the
+# dtype-strict tools/diffcheck.py regardless.
 _CHECK_FIRST = [
     # new or changed in round 4 — must have an in-round row
+    "docs_bm25_topk",
+    "dedup_substring_spans",
+    "sim_ivfpq_topk",
+    "docs_ngram_novelty",
+    "ts_autocorr_lags",
+    "sim_pq_recall_eval",
+    "text_langid_confusion",
+    "dedup_minhash_est_vs_exact",
+    "privacy_delete_propagation",
     "ts_holt_linear",
     "source_overlap_matrix",
     "pq_quantize",

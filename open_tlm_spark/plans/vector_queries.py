@@ -355,9 +355,9 @@ _ADC_NQ = 5  # query set: lowest vec_ids (sim_* convention)
 _ADC_K = 5
 
 
-def _adc_oracle() -> str:
-    return f"""
-    WITH {_PQ_BEST_CTES},
+# ADC top-k as a reusable CTE chain over _PQ_BEST_CTES (the recall
+# eval composes it against a brute-force ground truth).
+_ADC_TOPK_CTES = f"""
     codes AS (
       SELECT vec_id, sub, CAST(ik % 100 AS BIGINT) AS code FROM best
     ),
@@ -378,13 +378,23 @@ def _adc_oracle() -> str:
       FROM codes t JOIN lut l ON l.sub = t.sub AND l.code_id = t.code
       WHERE t.vec_id <> l.query_id
       GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT query_id, vec_id, adc_dist, rank FROM (
+        SELECT query_id, vec_id, CAST(dist AS DOUBLE) AS adc_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist, vec_id) AS rank
+        FROM sc2
+      ) WHERE rank <= {_ADC_K}
     )
-    SELECT query_id, vec_id, adc_dist, rank FROM (
-      SELECT query_id, vec_id, CAST(dist AS DOUBLE) AS adc_dist,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY dist, vec_id) AS rank
-      FROM sc2
-    ) WHERE rank <= {_ADC_K}
+"""
+
+
+def _adc_oracle() -> str:
+    return f"""
+    WITH {_PQ_BEST_CTES},
+    {_ADC_TOPK_CTES}
+    SELECT query_id, vec_id, adc_dist, rank FROM adc
     """
 
 

@@ -438,6 +438,75 @@ def test_adc_broadcasts_lut(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bm25_distributed_topk(spark):
+    """BM25: the final ranking must be a distributed top-k
+    (TakeOrderedAndProject) — never a global sort or a
+    single-partition window over the per-doc score frame."""
+    plan = plan_of(spark, "docs_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_substring_spans_linear_joins(spark):
+    """Substring spans: window-hash dedup is equi-joins + aggregates
+    only — no pairwise doc join exists anywhere in the plan, so cost
+    stays linear in corpus bytes no matter how duplicated it is."""
+    plan = plan_of(spark, "dedup_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivfpq_broadcasts_small_sides(spark):
+    """IVF+PQ: probe table and ADC LUT broadcast onto the corpus-side
+    codes; the only corpus joins are hash equi-joins (cell id, vec
+    id). The centroid routing cross-join is an 8-row broadcast by
+    design; a CartesianProduct (unbroadcast) must never appear."""
+    plan = plan_of(spark, "sim_ivfpq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_novelty_linear_joins(spark):
+    """N-gram novelty: first-occurrence is one min-aggregate keyed by
+    shingle rejoined on the same key — equi-joins only, no pairwise
+    doc join, no Python."""
+    plan = plan_of(spark, "docs_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_autocorr_equi_join_on_shifted_key(spark):
+    """ACF: the lag self-join must be a hash equi-join on
+    (series, hour+lag) — the lag table broadcasts; no window over the
+    raw event stream anywhere."""
+    plan = plan_of(spark, "ts_autocorr_lags")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or plan.count("BroadcastHashJoin") >= 1
+    assert "Window" not in plan
+
+
+def test_minhash_est_candidates_only(spark):
+    """Estimator audit: all pairwise work happens on the LSH
+    candidate set — the signature/size frames broadcast; no
+    cartesian, no nested loop."""
+    plan = plan_of(spark, "dedup_minhash_est_vs_exact")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_delete_propagation_no_full_shuffle(spark):
+    """Delete propagation: customer/orders marks are predicates (no
+    join); lineitem's mark is an equi-join against the deleted-order
+    keys — never a cartesian; the three counts are scalar aggregates."""
+    plan = plan_of(spark, "privacy_delete_propagation")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_mad_broadcasts_stats(spark):
     """MAD outliers: both per-series stats frames broadcast back onto
     the fact side — the fact table shuffles only for its own
