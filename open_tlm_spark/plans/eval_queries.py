@@ -552,3 +552,106 @@ def privacy_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_total") - F.col("n_deleted")).alias("n_kept"),
         )
     )
+
+
+# ------------------------------------------------- IVF recall eval
+_IVFR_K = 5
+
+
+def _ivf_recall_oracle() -> str:
+    from open_tlm_spark.plans.pipeline_queries import NORMED_CTE
+
+    return f"""{NORMED_CTE},
+    c AS (SELECT vec_id AS centroid_id, nvec AS cnvec FROM normed
+          WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, centroid_id
+      FROM (
+        SELECT a.vec_id, c.centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> a.nvec[i] * c.cnvec[i])), 6) AS cs
+        FROM normed a, c) s
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, centroid_id) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, centroid_id AS qcell
+          FROM assigned WHERE vec_id >= 8 AND vec_id < 12),
+    ivf_scored AS (
+      SELECT q.query_id, a.vec_id,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> qn.nvec[i] * an.nvec[i])), 6) AS cos_sim
+      FROM q
+      JOIN assigned a ON a.centroid_id = q.qcell AND a.vec_id <> q.query_id
+      JOIN normed qn ON qn.vec_id = q.query_id
+      JOIN normed an ON an.vec_id = a.vec_id
+    ),
+    ivf AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM ivf_scored QUALIFY rank <= {_IVFR_K}
+    ),
+    gt_scored AS (
+      SELECT qn.vec_id AS query_id, a.vec_id,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> qn.nvec[i] * a.nvec[i])), 6) AS cos_sim
+      FROM normed a, normed qn
+      WHERE qn.vec_id >= 8 AND qn.vec_id < 12 AND a.vec_id <> qn.vec_id
+    ),
+    gt AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM gt_scored QUALIFY rank <= {_IVFR_K}
+    )
+    SELECT g.query_id,
+           count(*) AS n_gt,
+           CAST(count(i.vec_id) AS BIGINT) AS n_hit,
+           round(count(i.vec_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+    FROM gt g LEFT JOIN ivf i
+      ON i.query_id = g.query_id AND i.vec_id = g.vec_id
+    GROUP BY g.query_id
+    """
+
+
+@register("sim_ivf_recall_eval", oracle=_ivf_recall_oracle())
+def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_IVFR_K} of single-probe IVF search against the exact
+    cosine ground truth, per query — quantifies what nprobe=1 routing
+    loses at cell boundaries (the classic IVF failure mode: a query's
+    true neighbor sits just across the Voronoi edge in another cell).
+    With the LSH (sim_lsh_recall_eval) and PQ (sim_pq_recall_eval)
+    evals this completes the recall audit of all three approximate
+    paths; comparing the three decides which serves the corpus. Both
+    rankings are deterministic (rounded cosines, vec_id tiebreaks),
+    so recall is exact.
+
+    Plan: composes the gated sim_ivf_topk subtree (broadcast
+    centroids, cell equi-join) with the brute-force pass over the 4
+    broadcast queries; the rankings join on {_IVFR_K} rows/query."""
+    from open_tlm_spark.operators import similarity as S
+
+    emb = spark.table("embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ivf = S.ivf_topk(emb, centroids, queries, k=_IVFR_K).select(
+        "query_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    gt = S.brute_force_topk(emb, queries, k=_IVFR_K).select(
+        "query_id", "vec_id"
+    )
+    j = gt.join(ivf, ["query_id", "vec_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_gt"),
+        F.count("_hit").cast("long").alias("n_hit"),
+        F.round(F.count("_hit") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "recall"
+        ),
+    )

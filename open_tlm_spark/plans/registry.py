@@ -47,16 +47,17 @@ def register(name: str, oracle: str | None = None, bench: bool = True):
     return deco
 
 
-# The driver checks ~50 queries per round in dict order, so with 120+
+# The driver checks ~50 queries per round in dict order, so with 128
 # registered the head of this list chooses what gets an in-round
-# correctness row. Round-4 head: the 41 queries added this round
-# (6 retrieval/eval additions first, then the earlier 35), then the
-# queries the r3 window rotated out (all green in r1/r2 on code
-# unchanged since). Head entries past slot ~50 overflow this round's
-# window (roughly tpch_q4 onward — all r1/r2-green, code unchanged);
-# they move to the FRONT of the r5 head so the r3+r4+r5 union covers
-# every query's current code. Everything is locally verified by the
-# dtype-strict tools/diffcheck.py regardless.
+# correctness row. Round-4 head: the 46 queries added or rewritten
+# this round, then the queries the r3 window rotated out (all green
+# in r1/r2 on code unchanged since). With a 50-slot window the
+# boundary falls after ts_gap_fill: entries from ts_ewma onward
+# (tpch_q1/q3/q5/q6, top_customers..., through sim_lsh_topk — all
+# r1/r2-green, code unchanged) overflow this round; they move to the
+# FRONT of the r5 head so the r3+r4+r5 union covers every query's
+# current code. Everything is locally verified by the dtype-strict
+# tools/diffcheck.py regardless.
 _CHECK_FIRST = [
     # new or changed in round 4 — must have an in-round row
     "docs_bm25_topk",
@@ -68,6 +69,8 @@ _CHECK_FIRST = [
     "text_langid_confusion",
     "dedup_minhash_est_vs_exact",
     "privacy_delete_propagation",
+    "sim_ivf_recall_eval",
+    "basket_part_pairs",  # rewritten to the collect_set pair-expansion form
     "ts_holt_linear",
     "source_overlap_matrix",
     "pq_quantize",
@@ -87,7 +90,6 @@ _CHECK_FIRST = [
     "ts_time_weighted_avg",
     "ts_heatmap_2d",
     "quality_bigram_logprob",
-    "basket_part_pairs",
     "embedding_label_cohesion",
     "chunk_documents",
     "events_retention_cohorts",

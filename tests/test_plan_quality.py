@@ -507,6 +507,24 @@ def test_delete_propagation_no_full_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_basket_pairs_no_self_join(spark):
+    """Market basket: pairs come from a narrow in-array expansion
+    over collect_set baskets — exactly two shuffles (basket agg, pair
+    agg), no join operator of any kind, distributed top-k."""
+    plan = plan_of(spark, "basket_part_pairs")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_recall_composes_gated_paths(spark):
+    """IVF recall eval: both rankings keep their designed shapes —
+    broadcast joins for queries/centroids, no cartesian product."""
+    plan = plan_of(spark, "sim_ivf_recall_eval")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_mad_broadcasts_stats(spark):
     """MAD outliers: both per-series stats frames broadcast back onto
     the fact side — the fact table shuffles only for its own
