@@ -964,3 +964,94 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.abs(mz) > 3.5, 1)).alias("n_outliers"),
         )
     )
+
+
+# ------------------------------------------- time-bounded funnel
+_FUNNEL_WINDOW_S = 3600
+
+
+@register(
+    "event_funnel_windowed",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.v_ts
+      WHERE e.event_type = 'click'
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts, min(c.c_ts) AS c_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        AND epoch_us(e.ts) - epoch_us(c.c_ts)
+            <= {_FUNNEL_WINDOW_S}::BIGINT * 1000000
+      GROUP BY e.user_id
+    )
+    SELECT count(*) AS n_click_users,
+           count(p.p_ts) AS n_converted,
+           round(count(p.p_ts) / CAST(count(*) AS DOUBLE), 6)
+             AS conv_rate,
+           round(CAST(sum(epoch_us(p.p_ts) - epoch_us(p.c_ts)) AS DOUBLE)
+                 / count(p.p_ts) / 1000000.0, 6) AS avg_delay_s
+    FROM c LEFT JOIN p ON c.user_id = p.user_id
+    """,
+)
+def event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel: of the users who clicked (first
+    click at-or-after first view, the event_funnel semantics), how
+    many purchased WITHIN {_FUNNEL_WINDOW_S} s of that click, and the
+    mean click-to-purchase delay among converters — attribution
+    windows are how production funnels are actually scored (an
+    unbounded funnel credits purchases made weeks later).
+
+    Plan: the range predicate piggybacks on the user_id equi-join
+    (per-user event counts are bounded), so no interval machinery is
+    needed — each stage stays a groupBy(user_id) aggregate on
+    co-partitioned exchanges, and the delay average is an exact
+    integer-microsecond sum divided at the end, identically
+    associated in both engines."""
+    ev = spark.table("events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("c_ts"))
+            & (
+                F.unix_micros("ts") - F.unix_micros("c_ts")
+                <= F.lit(_FUNNEL_WINDOW_S * 1_000_000)
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"), F.min("c_ts").alias("pc_ts"))
+    )
+    joined = c.join(p, "user_id", "left")
+    delay_us = F.unix_micros("p_ts") - F.unix_micros("pc_ts")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_click_users"),
+        F.count("p_ts").alias("n_converted"),
+        F.round(
+            F.count("p_ts") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("conv_rate"),
+        F.round(
+            F.sum(delay_us).cast("double")
+            / F.count("p_ts")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("avg_delay_s"),
+    )

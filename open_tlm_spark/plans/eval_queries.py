@@ -655,3 +655,70 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+# ------------------------------------------------- Pareto share
+@register(
+    "orders_pareto_share",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    thr AS (
+      SELECT quantile_cont(r, 0.90) AS p90, quantile_cont(r, 0.99) AS p99
+      FROM rev
+    )
+    SELECT count(*) AS n_customers,
+           round(sum(r) FILTER (WHERE r >= thr.p90) / sum(r), 6)
+             AS top10_share,
+           round(sum(r) FILTER (WHERE r >= thr.p99) / sum(r), 6)
+             AS top1_share
+    FROM rev, thr
+    """,
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) audit: the share of total
+    revenue held by customers at or above the 90th / 99th percentile
+    of per-customer revenue — the skew diagnostic that decides
+    whether a customer-keyed aggregate needs salting and whether a
+    sampling strategy must stratify by account size.
+
+    Plan: one per-customer DECIMAL-exact revenue aggregate; the two
+    thresholds come from ONE exact-percentile aggregate (sort-based,
+    but over the per-customer frame — |customers| rows, not orders);
+    shares are conditional sums against the broadcast 1-row
+    threshold frame. No window, no global sort of the fact table.
+    Boundary-membership is engine-stable: an interpolated percentile
+    lies strictly between two data values, so FP ulp differences
+    cannot flip any r >= threshold comparison."""
+    rev = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("r")
+        )
+    )
+    thr = rev.agg(
+        F.expr("percentile(r, 0.90)").alias("p90"),
+        F.expr("percentile(r, 0.99)").alias("p99"),
+    )
+    return (
+        rev.join(F.broadcast(thr))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.when(F.col("r") >= F.col("p90"), F.col("r")))
+                / F.sum("r"),
+                6,
+            ).alias("top10_share"),
+            F.round(
+                F.sum(F.when(F.col("r") >= F.col("p99"), F.col("r")))
+                / F.sum("r"),
+                6,
+            ).alias("top1_share"),
+        )
+    )

@@ -222,11 +222,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- SimHash
 _SIMHASH_BITS = 16
 
-
-@register(
-    "dedup_simhash",
-    oracle=f"""
-    WITH {SHINGLES_CTE},
+# Per-doc fingerprint CTE chain (ends in `fp(doc_id, simhash)`),
+# shared by the dedup_simhash gate and the Hamming refinement gate.
+SIMHASH_CTES = f"""
     hv AS (
       SELECT doc_id,
              (strpos('0123456789abcdef', substr(md5(shingle), 1, 1)) - 1) * 4096
@@ -240,10 +238,22 @@ _SIMHASH_BITS = 16
              sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
       FROM hv, (SELECT unnest(range(0, {_SIMHASH_BITS})) AS b) b
       GROUP BY doc_id, b.b
+    ),
+    fp AS (
+      SELECT doc_id,
+             sum(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END)::BIGINT
+               AS simhash
+      FROM votes GROUP BY doc_id
     )
-    SELECT doc_id,
-           sum(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END)::BIGINT AS simhash
-    FROM votes GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {SHINGLES_CTE},
+    {SIMHASH_CTES}
+    SELECT doc_id, simhash FROM fp
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,6 +264,60 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle)."""
     sh = D.shingle_table(spark.table("documents"))
     return D.simhash(sh, bits=_SIMHASH_BITS)
+
+
+_HAMMING_MAX = 3
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH {SHINGLES_CTE},
+    {SIMHASH_CTES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b
+      ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming refinement (Manku, Jain & Das Sarma, 'Detecting
+    Near-Duplicates for Web Crawling', WWW 2007 — public technique):
+    near-dup pairs are fingerprints within Hamming distance
+    {_HAMMING_MAX}, found by blocking on the upper fingerprint byte
+    and XOR-popcount-filtering within blocks — the step the
+    dedup_simhash docstring promises ("Hamming-distance joins
+    refine"). Blocking bounds the pairwise work to O(sum block²);
+    the production extension is Manku's permuted-table trick (one
+    block key per bit-rotation, unioned) so no <= k pair can straddle
+    every block boundary — same plan shape, k more block keys.
+
+    Plan: ONE fingerprint subtree (checkpointed, read by both join
+    sides), a hash equi-join on the block key, and a codegen'd
+    bit_count(xor) post-filter. No cartesian, no Python."""
+    sh = D.shingle_table(spark.table("documents"))
+    fp = D.simhash(sh, bits=_SIMHASH_BITS).localCheckpoint(eager=False)
+    a = fp.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        F.shiftright("simhash", 8).alias("bkt_a"),
+    )
+    b = fp.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        F.shiftright("simhash", 8).alias("bkt_b"),
+    )
+    hd = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(
+            b,
+            (F.col("bkt_a") == F.col("bkt_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter(hd <= _HAMMING_MAX)
+        .select("doc_a", "doc_b", hd.cast("long").alias("hamming"))
+    )
 
 
 # ------------------------------------------------------ similarity search

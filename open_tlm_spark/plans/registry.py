@@ -71,6 +71,9 @@ _CHECK_FIRST = [
     "privacy_delete_propagation",
     "sim_ivf_recall_eval",
     "basket_part_pairs",  # rewritten to the collect_set pair-expansion form
+    "event_funnel_windowed",
+    "dedup_simhash_hamming",
+    "orders_pareto_share",
     "ts_holt_linear",
     "source_overlap_matrix",
     "pq_quantize",

@@ -525,6 +525,25 @@ def test_ivf_recall_composes_gated_paths(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_windowed_funnel_equi_joins_only(spark):
+    """Attribution funnel: the 1-hour range predicate piggybacks on
+    the user_id equi-join — no interval/theta machinery, no
+    cartesian, no window operator."""
+    plan = plan_of(spark, "event_funnel_windowed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_simhash_hamming_block_equi_join(spark):
+    """SimHash refinement: the pairwise step is a hash equi-join on
+    the upper-byte block key with a codegen'd popcount post-filter —
+    never a nested loop over fingerprints."""
+    plan = plan_of(spark, "dedup_simhash_hamming")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_mad_broadcasts_stats(spark):
     """MAD outliers: both per-series stats frames broadcast back onto
     the fact side — the fact table shuffles only for its own
