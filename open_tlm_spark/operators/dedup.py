@@ -284,6 +284,13 @@ def connected_components(
     Input: (src, dst) edge frame. Output: (node, lbl) for every node
     that appears in an edge; singletons are absent (callers outer-join
     and coalesce to the node's own id).
+
+    Known input constraint: edges must derive from a storage-backed
+    scan (parquet/view), as every engine path does. An input built on
+    an in-memory checkpointed plan (localCheckpoint over spark.range)
+    trips a Catalyst "key not found: node#N" during the loop's lazy
+    checkpoints (observed on Spark 4.1; tools/corpus_scale_smoke.py
+    routes its synthetic corpus through parquet for this reason).
     """
     # Materialize the edge set ONCE before anything fans out from it:
     # `und` reads it twice and every round joins it, so an un-cut

@@ -561,3 +561,127 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_stopwords") >= 2)
         ).alias("pass_gopher"),
     )
+
+
+# ------------------------------------------- per-source pipeline yield
+@register(
+    "curation_yield_by_source",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             round(list_sum(list_transform(w, t -> len(t)))
+                   / len(w), 6) AS mean_word_len,
+             round(len(list_filter(w, t -> regexp_matches(t, '[a-z]')))
+                   / len(w), 6) AS pct_alpha_words,
+             CAST(len(list_filter(w,
+                   t -> list_contains([{_GOPHER_STOPS}], t)))
+               AS BIGINT) AS n_stopwords,
+             round(1 - len(list_distinct(w)) / len(w), 6) AS dup_word_frac
+      FROM toks
+    ),
+    hits AS (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '\b(der|die|und|von|das)\b')) AS h_de,
+        len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b'))    AS h_en,
+        len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b'))    AS h_es,
+        len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b'))    AS h_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT doc_id,
+        CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+             WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+             WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+             WHEN h_en >= h_de THEN 'en'
+             ELSE 'de' END AS lang_pred
+      FROM hits
+    ),
+    g AS (
+      SELECT d.source,
+             (m.n_words BETWEEN 30 AND 100000
+              AND m.mean_word_len BETWEEN 3 AND 10
+              AND m.pct_alpha_words >= 0.8
+              AND m.n_stopwords >= 2) AS g_quality,
+             m.dup_word_frac <= 0.3 AS g_repetition,
+             p.lang_pred = d.lang AS g_lang
+      FROM documents d
+      JOIN m ON m.doc_id = d.doc_id
+      JOIN pred p ON p.doc_id = d.doc_id
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE NOT g_quality) AS BIGINT)
+             AS n_fail_quality,
+           CAST(count(*) FILTER (WHERE NOT g_repetition) AS BIGINT)
+             AS n_fail_repetition,
+           CAST(count(*) FILTER (WHERE NOT g_lang) AS BIGINT)
+             AS n_fail_lang,
+           CAST(count(*) FILTER (WHERE g_quality AND g_repetition
+                                   AND g_lang) AS BIGINT) AS n_keep,
+           round(count(*) FILTER (WHERE g_quality AND g_repetition
+                                    AND g_lang)
+                 / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+    FROM g GROUP BY source
+    """,
+)
+def curation_yield_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pipeline yield: how many documents each crawl
+    source loses to the quality-rule battery (Gopher gates), the
+    repetition gate (duplicate-word fraction > 0.3), and the
+    language-consistency gate (heuristic lang_pred != labeled lang),
+    and the final keep rate — the dashboard that decides which
+    sources are worth re-crawling and which gate to tune before a
+    full corpus run.
+
+    Plan: every gate signal comes from narrow codegen'd projections
+    over ONE tokenize pass and one regex pass (no shuffles before the
+    final aggregate); the only shuffle is the per-source count
+    aggregate (|sources| groups, map-side combinable). Ratios divide
+    exact integer counts — bitwise identical across engines."""
+    stops = [s.strip().strip("'") for s in _GOPHER_STOPS.split(",")]
+    w = T.tokens(F.lower(F.col("text")))
+    d = fan_out(spark.table("documents")).select(
+        "source",
+        "lang",
+        F.size(w).cast("long").alias("n_words"),
+        F.round(
+            F.aggregate(
+                F.transform(w, lambda t: F.length(t)),
+                F.lit(0),
+                lambda a, x: a + x,
+            )
+            / F.size(w),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter(w, lambda t: t.rlike("[a-z]"))) / F.size(w), 6
+        ).alias("pct_alpha_words"),
+        F.size(F.filter(w, lambda t: t.isin(stops)))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.round(
+            F.lit(1) - F.size(F.array_distinct(w)) / F.size(w), 6
+        ).alias("dup_word_frac"),
+        T.language_id(F.col("text")).alias("lang_pred"),
+    )
+    g_quality = (
+        F.col("n_words").between(30, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("pct_alpha_words") >= 0.8)
+        & (F.col("n_stopwords") >= 2)
+    )
+    g_rep = F.col("dup_word_frac") <= 0.3
+    g_lang = F.col("lang_pred") == F.col("lang")
+    keep = g_quality & g_rep & g_lang
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(~g_quality, 1)).alias("n_fail_quality"),
+        F.count(F.when(~g_rep, 1)).alias("n_fail_repetition"),
+        F.count(F.when(~g_lang, 1)).alias("n_fail_lang"),
+        F.count(F.when(keep, 1)).alias("n_keep"),
+        F.round(
+            F.count(F.when(keep, 1)) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("keep_rate"),
+    )

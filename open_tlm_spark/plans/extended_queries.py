@@ -496,3 +496,41 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     same batch loop (operators/multimodal.sample_frames)."""
     media = synth_media(spark.table("documents"), "doc_id", "text")
     return sample_frames(media, every_k=4)
+
+
+# ------------------------------------------- multimodal exact dedup
+@register(
+    "multimodal_exact_dedup",
+    oracle="""
+    SELECT md5('IMG1' || text) AS content_hash,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5('IMG1' || text)
+    """,
+)
+def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of binary media payloads by content digest — the
+    first pass of every multimodal corpus pipeline (identical bytes
+    re-crawled under different ids), keyed on md5(content) with the
+    lowest media_id as the deterministic keeper. Runs on the
+    synthetic media table (operators/multimodal.synth_media — fake
+    IMG1 header over utf-8 payloads; a real deployment points the
+    same plan at its image bytes). The oracle hashes the VARCHAR
+    concatenation — byte-identical to the binary digest because the
+    payloads are valid UTF-8.
+
+    Plan: digest is a narrow codegen'd projection over the binary
+    column; ONE hash aggregate keyed by digest (map-side combinable —
+    the shuffle carries digests and counts, never payloads, which is
+    the point at 100 TB of media)."""
+    from open_tlm_spark.operators.multimodal import synth_media
+    from open_tlm_spark.session import fan_out
+
+    media = synth_media(
+        fan_out(spark.table("documents")), "doc_id", "text"
+    )
+    return media.groupBy(F.md5("content").alias("content_hash")).agg(
+        F.min("media_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

@@ -74,6 +74,8 @@ _CHECK_FIRST = [
     "event_funnel_windowed",
     "dedup_simhash_hamming",
     "orders_pareto_share",
+    "curation_yield_by_source",
+    "multimodal_exact_dedup",
     "ts_holt_linear",
     "source_overlap_matrix",
     "pq_quantize",

@@ -544,6 +544,16 @@ def test_simhash_hamming_block_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_yield_single_aggregate(spark):
+    """Pipeline yield: every gate signal is a narrow projection; the
+    only hash exchange is the per-source aggregate's (fan_out's
+    round-robin split of the tiny gate input aside), zero Python."""
+    plan = plan_of(spark, "curation_yield_by_source")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
 def test_mad_broadcasts_stats(spark):
     """MAD outliers: both per-series stats frames broadcast back onto
     the fact side — the fact table shuffles only for its own
