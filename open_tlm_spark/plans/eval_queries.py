@@ -722,3 +722,152 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top1_share"),
         )
     )
+
+
+# ------------------------------------------------- A/B lift
+@register(
+    "events_ab_test_lift",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                  > count(*) FILTER (WHERE event_type = 'click')
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_converted
+      FROM u GROUP BY arm
+    ),
+    w AS (
+      SELECT max(CASE WHEN arm = 0 THEN n_users END) AS n0,
+             max(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+             max(CASE WHEN arm = 1 THEN n_users END) AS n1,
+             max(CASE WHEN arm = 1 THEN n_converted END) AS c1
+      FROM s
+    )
+    SELECT n0 AS n_control, n1 AS n_treatment,
+           round(CAST(c0 AS DOUBLE) / n0, 6) AS rate_control,
+           round(CAST(c1 AS DOUBLE) / n1, 6) AS rate_treatment,
+           round(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0, 6)
+             AS abs_lift,
+           round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS z_score
+    FROM w
+    """,
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B readout: users split into deterministic
+    arms (user_id parity — the hash-split idiom of stratified_split),
+    per-arm conversion (user purchased more often than they clicked —
+    a scale-free ~50/50 metric on this corpus), absolute lift, and the pooled
+    two-proportion z statistic — the experimentation primitive a
+    telemetry store feeds. All counts are exact integers; the z
+    formula runs on them in double with identical association in both
+    engines.
+
+    Plan: one per-user aggregate (did the user ever convert), one
+    2-group aggregate, then a 2-row pivot into a single row — the
+    shuffles carry users then 2 rows; nothing scales with event
+    count past the first map-side combine."""
+    ev = spark.table("events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            > F.count(F.when(F.col("event_type") == "click", 1))
+        ).cast("long").alias("converted")
+    ).select(
+        (F.col("user_id") % 2).alias("arm"), "converted"
+    )
+    s = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    n0, c0 = F.col("n0"), F.col("c0")
+    n1, c1 = F.col("n1"), F.col("c1")
+    r0 = c0.cast("double") / n0
+    r1 = c1.cast("double") / n1
+    pool = (c0 + c1).cast("double") / (n0 + n1)
+    return w.select(
+        n0.alias("n_control"),
+        n1.alias("n_treatment"),
+        F.round(r0, 6).alias("rate_control"),
+        F.round(r1, 6).alias("rate_treatment"),
+        F.round(r1 - r0, 6).alias("abs_lift"),
+        F.round(
+            (r1 - r0)
+            / F.sqrt(
+                pool * (1 - pool) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+# ------------------------------------------------- SLO burn rate
+_SLO_BIN_S = 3600
+_SLO_BUDGET = 0.05  # allowed error fraction
+
+
+@register(
+    "ts_error_budget_burn",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor(epoch_us(ts) / ({_SLO_BIN_S} * 1000000.0))
+                  AS BIGINT) * {_SLO_BIN_S} AS bin_ts,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(*) FILTER (WHERE event_type = 'error')
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY 1
+    )
+    SELECT bin_ts, n_events, n_errors,
+           round(CAST(n_errors AS DOUBLE) / n_events, 6) AS error_rate,
+           round(CAST(n_errors AS DOUBLE) / n_events / {_SLO_BUDGET}, 6)
+             AS burn_rate,
+           CAST(n_errors AS DOUBLE) / n_events > {_SLO_BUDGET}
+             AS budget_exceeded
+    FROM b
+    """,
+)
+def ts_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn rate per hour window (the SRE
+    multi-window burn-alert primitive, Google SRE Workbook ch. 5 —
+    public technique): error fraction over the window divided by the
+    allowed budget ({_SLO_BUDGET}); burn_rate > 1 means the budget is
+    being consumed faster than the SLO period replenishes it. The
+    alerting layer composes two window lengths of this same query
+    (fast + slow burn); the telemetry store's job is the windowed
+    ratio, which is ONE count aggregate keyed by bin — exact integer
+    counts, map-side combinable, linear at any event volume."""
+    ev = spark.table("events")
+    b = ev.groupBy(
+        (
+            F.floor(
+                F.unix_micros("ts") / F.lit(_SLO_BIN_S * 1_000_000.0)
+            ).cast("long")
+            * _SLO_BIN_S
+        ).alias("bin_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    rate = F.col("n_errors").cast("double") / F.col("n_events")
+    return b.select(
+        "bin_ts",
+        "n_events",
+        "n_errors",
+        F.round(rate, 6).alias("error_rate"),
+        F.round(rate / F.lit(_SLO_BUDGET), 6).alias("burn_rate"),
+        (rate > F.lit(_SLO_BUDGET)).alias("budget_exceeded"),
+    )

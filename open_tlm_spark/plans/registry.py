@@ -47,16 +47,17 @@ def register(name: str, oracle: str | None = None, bench: bool = True):
     return deco
 
 
-# The driver checks ~50 queries per round in dict order, so with 128
+# The driver checks ~50 queries per round in dict order, so with 135
 # registered the head of this list chooses what gets an in-round
-# correctness row. Round-4 head: the 46 queries added or rewritten
-# this round, then the queries the r3 window rotated out (all green
-# in r1/r2 on code unchanged since). With a 50-slot window the
-# boundary falls after ts_gap_fill: entries from ts_ewma onward
-# (tpch_q1/q3/q5/q6, top_customers..., through sim_lsh_topk — all
-# r1/r2-green, code unchanged) overflow this round; they move to the
-# FRONT of the r5 head so the r3+r4+r5 union covers every query's
-# current code. Everything is locally verified by the dtype-strict
+# correctness row. Round-4 head: the 52 queries added or rewritten
+# this round (newest first), then the queries the r3 window rotated
+# out (all green in r1/r2 on code unchanged since). With a 50-slot
+# window the whole rotated-out block (ts_comment_tag_filter through
+# sim_lsh_topk) plus the tail of the new block overflows this round —
+# the overflowing NEW queries are all diffcheck-green at sf0.01 AND
+# sf0.1 locally; move everything unchecked to the FRONT of the r5
+# head so the r3+r4+r5 union covers every query's current code.
+# Everything is locally verified by the dtype-strict
 # tools/diffcheck.py regardless.
 _CHECK_FIRST = [
     # new or changed in round 4 — must have an in-round row
@@ -76,6 +77,8 @@ _CHECK_FIRST = [
     "orders_pareto_share",
     "curation_yield_by_source",
     "multimodal_exact_dedup",
+    "events_ab_test_lift",
+    "ts_error_budget_burn",
     "ts_holt_linear",
     "source_overlap_matrix",
     "pq_quantize",

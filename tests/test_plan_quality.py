@@ -554,6 +554,23 @@ def test_yield_single_aggregate(spark):
     assert "Join" not in plan
 
 
+def test_ab_lift_aggregate_chain(spark):
+    """A/B lift: per-user -> per-arm -> 1-row pivot is a pure
+    aggregate chain — no join, no window, nothing scales past the
+    first map-side combine."""
+    plan = plan_of(spark, "events_ab_test_lift")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_burn_rate_single_aggregate(spark):
+    """Burn rate: one count aggregate keyed by bin; everything else
+    is narrow column math."""
+    plan = plan_of(spark, "ts_error_budget_burn")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
 def test_mad_broadcasts_stats(spark):
     """MAD outliers: both per-series stats frames broadcast back onto
     the fact side — the fact table shuffles only for its own
