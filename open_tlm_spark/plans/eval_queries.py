@@ -871,3 +871,140 @@ def ts_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate / F.lit(_SLO_BUDGET), 6).alias("burn_rate"),
         (rate > F.lit(_SLO_BUDGET)).alias("budget_exceeded"),
     )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 40
+
+
+# ------------------------------------------------- PMI collocations
+@register(
+    "docs_collocations_pmi",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT w[i+1] AS w1, w[i+2] AS w2
+      FROM toks, UNNEST(range(0, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_pairs FROM bg),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg
+           GROUP BY w1, w2),
+    cl AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cl FROM c2 GROUP BY w1),
+    cr AS (SELECT w2, CAST(sum(c) AS BIGINT) AS cr FROM c2 GROUP BY w2),
+    scored AS (
+      SELECT c2.w1, c2.w2, c2.c,
+             round(ln(c2.c * n.n_pairs / (cl.cl * CAST(cr.cr AS DOUBLE))),
+                   6) AS pmi
+      FROM c2 JOIN cl USING (w1) JOIN cr USING (w2), n
+      WHERE c2.c >= {_PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c, pmi, rank FROM (
+      SELECT w1, w2, c, pmi,
+             row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+      FROM scored
+    ) WHERE rank <= {_PMI_TOP}
+    """,
+)
+def docs_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information
+    (Church & Hanks 1990 — public technique): adjacent token pairs
+    whose joint frequency beats independence, PMI =
+    ln(c(w1,w2)·N / (c(w1·)·c(·w2))), with a count floor of
+    {_PMI_MIN_COUNT} (rare-pair PMI is noise) and top-{_PMI_TOP} by
+    rounded score — the phrase-mining step feeding tokenizer
+    merge-lists and quality lexicons.
+
+    Plan: one explode + one pair aggregate; the two marginal tables
+    re-aggregate the (much smaller) pair table and broadcast back.
+    The final ranking is a distributed top-k over the floored pair
+    set, then a rank window over {_PMI_TOP} survivors. Two text-side
+    shuffles total at any corpus size."""
+    from open_tlm_spark.operators.text import bigrams, tokens
+    from open_tlm_spark.session import fan_out
+
+    docs = fan_out(spark.table("documents"))
+    tok = docs.select(tokens(F.lower(F.col("text"))).alias("w"))
+    bg = tok.select(F.explode(bigrams(F.col("w"))).alias("pair")).select(
+        F.split(F.col("pair"), " ").getItem(0).alias("w1"),
+        F.split(F.col("pair"), " ").getItem(1).alias("w2"),
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c2 = c2.localCheckpoint(eager=False)
+    n_pairs = float(c2.agg(F.sum("c")).first()[0])
+    cl = c2.groupBy("w1").agg(F.sum("c").alias("cl"))
+    cr = c2.groupBy("w2").agg(F.sum("c").alias("cr"))
+    scored = (
+        c2.filter(F.col("c") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(cl), "w1")
+        .join(F.broadcast(cr), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.round(
+                F.log(
+                    F.col("c") * F.lit(n_pairs)
+                    / (F.col("cl") * F.col("cr").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(_PMI_TOP)
+    w = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return top.select(
+        "w1", "w2", "c", "pmi",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+# ------------------------------------------------- code detection
+@register(
+    "text_code_detection",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[{}()\[\];=<>]')) AS BIGINT)
+             AS n_syntax_chars,
+           round(len(regexp_extract_all(text, '[{}()\[\];=<>]'))
+                 / length(text), 6) AS syntax_density,
+           CAST(len(regexp_extract_all(lower(text),
+             '\b(def|class|return|import|function|var|const|if|else|for|while)\b'))
+             AS BIGINT) AS n_keywords,
+           (len(regexp_extract_all(text, '[{}()\[\];=<>]'))
+              / length(text) > 0.02
+            OR len(regexp_extract_all(lower(text),
+               '\b(def|class|return|import|function|var|const|if|else|for|while)\b'))
+               >= 3) AS looks_like_code
+    FROM documents
+    """,
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic: syntax-character density
+    ({{}}()[];=<> per char) and programming-keyword hits — the
+    cheap router corpus pipelines use to split code from natural
+    language before applying language-specific quality gates
+    (prose filters destroy code and vice versa). Pure codegen'd
+    regex counts over one scan — no tokenize pass, no shuffle; the
+    flag divides exact integer counts so both engines agree
+    bitwise."""
+    t = F.col("text")
+    syntax = F.regexp_count(t, F.lit(r"[{}()\[\];=<>]"))
+    kw = F.regexp_count(
+        F.lower(t),
+        F.lit(
+            r"\b(def|class|return|import|function|var|const|if|else|for|while)\b"
+        ),
+    )
+    return spark.table("documents").select(
+        "doc_id",
+        syntax.cast("long").alias("n_syntax_chars"),
+        F.round(syntax / F.length(t), 6).alias("syntax_density"),
+        kw.cast("long").alias("n_keywords"),
+        ((syntax / F.length(t) > 0.02) | (kw >= 3)).alias("looks_like_code"),
+    )

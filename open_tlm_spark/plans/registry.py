@@ -79,6 +79,8 @@ _CHECK_FIRST = [
     "multimodal_exact_dedup",
     "events_ab_test_lift",
     "ts_error_budget_burn",
+    "docs_collocations_pmi",
+    "text_code_detection",
     "ts_holt_linear",
     "source_overlap_matrix",
     "pq_quantize",

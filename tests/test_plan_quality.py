@@ -571,6 +571,22 @@ def test_burn_rate_single_aggregate(spark):
     assert "Join" not in plan
 
 
+def test_pmi_broadcast_marginals_topk(spark):
+    """PMI: marginal tables broadcast onto the pair counts; ranking
+    is a distributed top-k, never a global sort of the pair set."""
+    plan = plan_of(spark, "docs_collocations_pmi")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_code_detection_scan_only(spark):
+    """Code detection: one scan, zero shuffles, zero Python."""
+    plan = plan_of(spark, "text_code_detection")
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_mad_broadcasts_stats(spark):
     """MAD outliers: both per-series stats frames broadcast back onto
     the fact side — the fact table shuffles only for its own

@@ -92,6 +92,44 @@ def main() -> int:
             f"clustered_nodes={n_nodes:,} clusters={n_clusters:,}"
         )
 
+    # ---- vector/ANN path at the same decades --------------------
+    def synth_vecs(n: int):
+        comp = F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: (
+                (F.pmod(F.xxhash64(F.col("id"), j), 2000) - 1000) / 1000.0
+            ).cast("float"),
+        )
+        return spark.range(
+            n, numPartitions=spark.sparkContext.defaultParallelism
+        ).select(F.col("id").alias("vec_id"), comp.alias("embedding"))
+
+    from open_tlm_spark.operators import similarity as S
+
+    for n in sizes:
+        path = os.path.join(tmp, f"vecs_{n}")
+        synth_vecs(n).write.mode("overwrite").parquet(path)
+        emb = spark.read.parquet(path)
+        cent = emb.filter(F.col("vec_id") < 64).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+        t0 = time.perf_counter()
+        n_assigned = S.ivf_assign(emb, cent, dim=64).count()
+        t_assign = time.perf_counter() - t0
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        t1 = time.perf_counter()
+        n_topk = S.brute_force_topk(emb, queries, k=10, dim=64).count()
+        t_bf = time.perf_counter() - t1
+        print(
+            f"vecs={n:>9,}  ivf_assign(64 cells)={t_assign:6.1f}s "
+            f"({n / t_assign:,.0f} vec/s)  bruteforce top-10 x5q={t_bf:6.1f}s "
+            f"assigned={n_assigned:,} topk_rows={n_topk}"
+        )
+
     # Plan shape proof: the banding self-view join must be a hash
     # equi-join on the band key (no cartesian/BNLJ at any size).
     docs = synth_docs(spark, 10_000)
