@@ -1008,3 +1008,138 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         kw.cast("long").alias("n_keywords"),
         ((syntax / F.length(t) > 0.02) | (kw >= 3)).alias("looks_like_code"),
     )
+
+
+_TPL_W = 30  # boundary window (chars)
+_TPL_MIN_DOCS = 3
+
+
+# ------------------------------------------------- template detection
+@register(
+    "docs_template_detection",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             md5(substr(text, 1, {_TPL_W})) AS prefix_h,
+             md5(substr(text, length(text) - {_TPL_W} + 1, {_TPL_W}))
+               AS suffix_h
+      FROM documents WHERE length(text) >= {_TPL_W}
+    ),
+    p AS (
+      SELECT prefix_h AS h, 'prefix' AS kind,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             min(doc_id) AS example_doc
+      FROM b GROUP BY prefix_h
+      HAVING count(*) >= {_TPL_MIN_DOCS}
+    ),
+    s AS (
+      SELECT suffix_h AS h, 'suffix' AS kind,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             min(doc_id) AS example_doc
+      FROM b GROUP BY suffix_h
+      HAVING count(*) >= {_TPL_MIN_DOCS}
+    )
+    SELECT h, kind, n_docs, n_sources, example_doc
+    FROM (SELECT * FROM p UNION ALL SELECT * FROM s)
+    """,
+)
+def docs_template_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection at document boundaries: hash the
+    first and last {_TPL_W} characters of every document and surface
+    hashes shared by >= {_TPL_MIN_DOCS} docs — the headers/footers/
+    navigation chrome a crawl pipeline strips before dedup and
+    quality scoring (shared PREFIXES are the classic template signal;
+    the per-source spread distinguishes a site template from
+    cross-site syndication). Complements dedup_substring_spans, which
+    scans interior windows.
+
+    Plan: two narrow md5 projections over one scan; each kind is one
+    count aggregate keyed by hash (map-side combinable; the HAVING
+    floor prunes the long tail before the union). Nothing pairwise,
+    linear at any corpus size."""
+    docs = spark.table("documents").filter(F.length("text") >= _TPL_W)
+    b = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.expr(f"substring(text, 1, {_TPL_W})")).alias("prefix_h"),
+        F.md5(
+            F.expr(
+                f"substring(text, length(text) - {_TPL_W} + 1, {_TPL_W})"
+            )
+        ).alias("suffix_h"),
+    )
+
+    def agg(col: str, kind: str) -> DataFrame:
+        return (
+            b.groupBy(F.col(col).alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count_distinct("source").alias("n_sources"),
+                F.min("doc_id").alias("example_doc"),
+            )
+            .filter(F.col("n_docs") >= _TPL_MIN_DOCS)
+            .select(
+                "h",
+                F.lit(kind).alias("kind"),
+                "n_docs",
+                "n_sources",
+                "example_doc",
+            )
+        )
+
+    return agg("prefix_h", "prefix").unionByName(agg("suffix_h", "suffix"))
+
+
+# ------------------------------------------------- staleness report
+_STALE_S = 1800  # stale if silent for 30 min before the global frontier
+
+
+@register(
+    "ts_staleness_report",
+    oracle=f"""
+    WITH f AS (SELECT max(ts) AS frontier FROM events),
+    s AS (
+      SELECT event_type AS dataset_id,
+             max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS n_points
+      FROM events GROUP BY event_type
+    )
+    SELECT dataset_id, last_ts, n_points,
+           CAST((epoch_us(f.frontier) - epoch_us(last_ts)) // 1000000
+                AS BIGINT) AS lag_s,
+           (epoch_us(f.frontier) - epoch_us(last_ts))
+             > {_STALE_S}::BIGINT * 1000000 AS is_stale
+    FROM s, f
+    """,
+)
+def ts_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series-staleness report: each series' last point, its lag
+    behind the store-wide ingest frontier (max ts over all series),
+    and a stale flag at {_STALE_S} s — the "which sensors stopped
+    reporting" operational query every telemetry store serves
+    (anchored to the data frontier, not the wall clock, so it is
+    deterministic and replayable).
+
+    Plan: one per-series max/count aggregate plus a 1-row global-max
+    frontier broadcast back — two map-side-combinable aggregates over
+    one scan, integer-microsecond lag math identical in both
+    engines."""
+    ev = spark.table("events")
+    f = ev.agg(F.max("ts").alias("frontier"))
+    s = ev.groupBy(F.col("event_type").alias("dataset_id")).agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    lag_us = F.unix_micros("frontier") - F.unix_micros("last_ts")
+    return s.join(F.broadcast(f)).select(
+        "dataset_id",
+        "last_ts",
+        "n_points",
+        F.expr(
+            "CAST((unix_micros(frontier) - unix_micros(last_ts)) div 1000000"
+            " AS BIGINT)"
+        ).alias("lag_s"),
+        (lag_us > F.lit(_STALE_S * 1_000_000)).alias("is_stale"),
+    )

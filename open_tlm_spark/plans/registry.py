@@ -81,6 +81,8 @@ _CHECK_FIRST = [
     "ts_error_budget_burn",
     "docs_collocations_pmi",
     "text_code_detection",
+    "docs_template_detection",
+    "ts_staleness_report",
     "ts_holt_linear",
     "source_overlap_matrix",
     "pq_quantize",

@@ -587,6 +587,21 @@ def test_code_detection_scan_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_template_detection_no_join(spark):
+    """Template detection: two hash aggregates unioned — no join, no
+    window, no Python anywhere."""
+    plan = plan_of(spark, "docs_template_detection")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_staleness_broadcast_frontier(spark):
+    """Staleness: the 1-row frontier broadcasts onto the per-series
+    aggregate — never a cartesian of the fact table."""
+    plan = plan_of(spark, "ts_staleness_report")
+    assert "CartesianProduct" not in plan
+
+
 def test_mad_broadcasts_stats(spark):
     """MAD outliers: both per-series stats frames broadcast back onto
     the fact side — the fact table shuffles only for its own
