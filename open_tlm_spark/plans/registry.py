@@ -83,6 +83,8 @@ _CHECK_FIRST = [
     "text_code_detection",
     "docs_template_detection",
     "ts_staleness_report",
+    "lineitem_discount_elasticity",
+    "orders_open_backlog_daily",
     "ts_holt_linear",
     "source_overlap_matrix",
     "pq_quantize",

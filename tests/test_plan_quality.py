@@ -602,6 +602,23 @@ def test_staleness_broadcast_frontier(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_elasticity_single_scan(spark):
+    """Elasticity: one moment aggregate over the fact scan — no join,
+    no window, one exchange pair."""
+    plan = plan_of(spark, "lineitem_discount_elasticity")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_backlog_window_after_daily_collapse(spark):
+    """Backlog: the running-sum window runs AFTER the per-date
+    collapse (calendar-bounded input), and the span join is an
+    equi-join — never cartesian."""
+    plan = plan_of(spark, "orders_open_backlog_daily")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
 def test_mad_broadcasts_stats(spark):
     """MAD outliers: both per-series stats frames broadcast back onto
     the fact side — the fact table shuffles only for its own
