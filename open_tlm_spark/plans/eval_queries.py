@@ -1282,3 +1282,130 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net_change",
         F.sum("net_change").over(w).cast("long").alias("open_orders"),
     )
+
+
+# ------------------------------------------------- inter-arrival
+@register(
+    "ts_inter_arrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT event_type AS dataset_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT dataset_id,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000.0,
+                 6) AS mean_gap_s,
+           round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_gap_s,
+           round(quantile_cont(gap_us, 0.95) / 1000000.0, 6) AS p95_gap_s,
+           round(CAST(max(gap_us) AS DOUBLE) / 1000000.0, 6) AS max_gap_s
+    FROM g GROUP BY dataset_id
+    """,
+)
+def ts_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series inter-arrival-time profile: mean / median / p95 /
+    max gap between consecutive points — the sampling-rate audit that
+    feeds rollup-cadence choices, staleness thresholds
+    (ts_staleness_report), and gap-fill policy (a p95 gap far above
+    the mean means bursts + silences, not a steady clock). Ordering
+    ties break on event_id so the lag is deterministic under equal
+    timestamps.
+
+    Plan: one lag window per series (partition-bounded; at warehouse
+    scale the partition key is (series, day) via the store layout),
+    then one map-side-combinable aggregate — integer-microsecond gaps
+    keep the mean exact; percentiles are exact sorted-interpolation
+    over each series' gap set, same formula both engines."""
+    ev = spark.table("events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        F.col("event_type").alias("dataset_id"),
+        (
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    )
+    return g.groupBy("dataset_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(
+            F.sum("gap_us").cast("double")
+            / F.count("gap_us")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("mean_gap_s"),
+        F.round(
+            F.expr("percentile(gap_us, 0.5)") / F.lit(1_000_000.0), 6
+        ).alias("p50_gap_s"),
+        F.round(
+            F.expr("percentile(gap_us, 0.95)") / F.lit(1_000_000.0), 6
+        ).alias("p95_gap_s"),
+        F.round(
+            F.max("gap_us").cast("double") / F.lit(1_000_000.0), 6
+        ).alias("max_gap_s"),
+    )
+
+
+# ------------------------------------------------- fulfillment SLA
+_SLA_DAYS = 60
+
+
+@register(
+    "orders_fulfillment_sla",
+    oracle=f"""
+    WITH spans AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             date_diff('day', o.o_orderdate, max(l.l_shipdate)) AS days_to_ship
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE days_to_ship <= {_SLA_DAYS})
+                AS BIGINT) AS n_within_sla,
+           round(count(*) FILTER (WHERE days_to_ship <= {_SLA_DAYS})
+                 / CAST(count(*) AS DOUBLE), 6) AS sla_rate,
+           round(CAST(sum(days_to_ship) AS DOUBLE) / count(*), 6)
+             AS mean_days_to_ship
+    FROM spans GROUP BY o_orderpriority
+    """,
+)
+def orders_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA by order priority: the share of orders fully
+    shipped within {_SLA_DAYS} days of order date and the mean
+    days-to-last-shipment — the operational readout that tells you
+    whether priority classes actually get prioritized (on TPC-H data
+    they famously don't — ship dates are priority-independent, and
+    this query shows it as equal SLA rates).
+
+    Plan: one order-grain aggregate over the co-partitioned
+    orders/lineitem equi-join, then one aggregate over |priorities|
+    groups — exact integer day arithmetic throughout."""
+    o = spark.table("orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    l = spark.table("lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(F.max("l_shipdate"), F.col("o_orderdate")).alias(
+                "days_to_ship"
+            )
+        )
+    )
+    return spans.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("days_to_ship") <= _SLA_DAYS, 1)).alias(
+            "n_within_sla"
+        ),
+        F.round(
+            F.count(F.when(F.col("days_to_ship") <= _SLA_DAYS, 1))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("sla_rate"),
+        F.round(
+            F.sum("days_to_ship").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_days_to_ship"),
+    )

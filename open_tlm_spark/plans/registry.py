@@ -85,6 +85,8 @@ _CHECK_FIRST = [
     "ts_staleness_report",
     "lineitem_discount_elasticity",
     "orders_open_backlog_daily",
+    "ts_inter_arrival_stats",
+    "orders_fulfillment_sla",
     "ts_holt_linear",
     "source_overlap_matrix",
     "pq_quantize",

@@ -619,6 +619,22 @@ def test_backlog_window_after_daily_collapse(spark):
     assert "Window" in plan
 
 
+def test_inter_arrival_partitioned_window(spark):
+    """Inter-arrival: the lag window is partitioned by series (never
+    a global single-partition window over the event stream)."""
+    plan = plan_of(spark, "ts_inter_arrival_stats")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sla_equi_join_aggregates(spark):
+    """SLA: order-grain aggregate over the equi-join, then a
+    priority-group aggregate — no cartesian, no Python."""
+    plan = plan_of(spark, "orders_fulfillment_sla")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_mad_broadcasts_stats(spark):
     """MAD outliers: both per-series stats frames broadcast back onto
     the fact side — the fact table shuffles only for its own
