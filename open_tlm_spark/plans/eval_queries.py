@@ -1409,3 +1409,106 @@ def orders_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("days_to_ship").cast("double") / F.count(F.lit(1)), 6
         ).alias("mean_days_to_ship"),
     )
+
+
+# ------------------------------------------- seasonality strength
+_SEAS_BIN_S = 3600
+
+
+@register(
+    "ts_seasonality_strength",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type AS dataset_id,
+             CAST(floor(epoch_us(ts) / ({_SEAS_BIN_S} * 1000000.0))
+                  AS BIGINT) AS h,
+             CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                        / count(*), 6) AS DECIMAL(18,6)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    hb AS (SELECT dataset_id, h, v, CAST(h % 24 AS BIGINT) AS hod FROM b),
+    prof AS (
+      SELECT dataset_id, hod,
+             CAST(round(CAST(sum(v) AS DOUBLE) / count(*), 6)
+               AS DECIMAL(18,6)) AS m
+      FROM hb GROUP BY dataset_id, hod
+    ),
+    j AS (
+      SELECT hb.dataset_id, hb.v, hb.v - p.m AS r
+      FROM hb JOIN prof p
+        ON p.dataset_id = hb.dataset_id AND p.hod = hb.hod
+    ),
+    s AS (
+      SELECT dataset_id,
+             CAST(count(*) AS BIGINT) AS n_bins,
+             CAST(sum(v) AS DOUBLE) AS sv,
+             CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS svv,
+             CAST(sum(r) AS DOUBLE) AS sr,
+             CAST(sum(CAST(r * r AS DECIMAL(38,12))) AS DOUBLE) AS srr
+      FROM j GROUP BY dataset_id
+    )
+    SELECT dataset_id, n_bins,
+           round(1 - (srr - sr * sr / n_bins)
+                     / (svv - sv * sv / n_bins), 6)
+             AS seasonality_strength
+    FROM s
+    """,
+)
+def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength per series: the fraction of hourly-mean
+    variance explained by the hour-of-day profile (1 - Var(residual)
+    around the 24-slot profile / Var(total) — the STL-style strength
+    statistic). Near 1 means a daily cycle dominates (seasonal-naive
+    forecasting and day-aligned rollups are safe); near 0 means the
+    series has no daily shape and ts_autocorr_lags should pick the
+    cadence instead.
+
+    Plan: one bin aggregate (series, hour), one 24-slot profile
+    aggregate broadcast back, one moment aggregate — all map-side
+    combinable, DECIMAL-exact sums of 6-dp-rounded bin means so both
+    engines agree bitwise before the final double formula."""
+    ev = spark.table("events")
+    dec = F.col("value").cast("decimal(18,6)")
+    b = ev.groupBy(
+        F.col("event_type").alias("dataset_id"),
+        F.floor(
+            F.unix_micros("ts") / F.lit(_SEAS_BIN_S * 1_000_000.0)
+        )
+        .cast("long")
+        .alias("h"),
+    ).agg(
+        F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 6)
+        .cast("decimal(18,6)")
+        .alias("v")
+    )
+    hb = b.withColumn("hod", (F.col("h") % 24).cast("long"))
+    prof = hb.groupBy("dataset_id", "hod").agg(
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6)
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    j = hb.join(F.broadcast(prof), ["dataset_id", "hod"]).select(
+        "dataset_id", "v", (F.col("v") - F.col("m")).alias("r")
+    )
+    s = j.groupBy("dataset_id").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("v").cast("double").alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("svv"),
+        F.sum("r").cast("double").alias("sr"),
+        F.sum((F.col("r") * F.col("r")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("srr"),
+    )
+    n = F.col("n_bins")
+    return s.select(
+        "dataset_id",
+        "n_bins",
+        F.round(
+            1
+            - (F.col("srr") - F.col("sr") * F.col("sr") / n)
+            / (F.col("svv") - F.col("sv") * F.col("sv") / n),
+            6,
+        ).alias("seasonality_strength"),
+    )

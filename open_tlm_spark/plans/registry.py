@@ -87,6 +87,7 @@ _CHECK_FIRST = [
     "orders_open_backlog_daily",
     "ts_inter_arrival_stats",
     "orders_fulfillment_sla",
+    "ts_seasonality_strength",
     "ts_holt_linear",
     "source_overlap_matrix",
     "pq_quantize",

@@ -635,6 +635,15 @@ def test_sla_equi_join_aggregates(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_seasonality_broadcast_profile(spark):
+    """Seasonality strength: the 24-slot profile broadcasts back onto
+    the bin frame; aggregates only — no window, no cartesian."""
+    plan = plan_of(spark, "ts_seasonality_strength")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
 def test_mad_broadcasts_stats(spark):
     """MAD outliers: both per-series stats frames broadcast back onto
     the fact side — the fact table shuffles only for its own
