@@ -454,6 +454,51 @@ def test_connected_components_merges_transitively(spark):
     }
 
 
+def test_connected_components_matches_union_find(spark):
+    """Property check: on seeded random graphs (including a deep
+    120-node path, the worst case for label propagation's round
+    count) the distributed hash-min CC must produce exactly the
+    components a sequential union-find computes."""
+    import random
+
+    from open_tlm_spark.operators.dedup import connected_components
+
+    def union_find_labels(edge_list):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    cases = []
+    rng = random.Random(7)
+    # deep path graph: diameter 119 exercises pointer jumping
+    cases.append([(i, i + 1) for i in range(120)])
+    # two seeded random sparse graphs
+    for seed in (1, 2):
+        r = random.Random(seed)
+        cases.append(
+            [(r.randrange(200), r.randrange(200)) for _ in range(150)]
+        )
+    for edge_list in cases:
+        edge_list = [(a, b) for a, b in edge_list if a != b]
+        expect = union_find_labels(edge_list)
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {
+            r.node: r.lbl for r in connected_components(edges).collect()
+        }
+        assert got == expect
+
+
 def test_bucket_edges_linear_star(spark):
     """bucket_edges yields |bucket|-1 star edges per bucket (never
     pairwise) and no self-edges for singleton buckets."""
