@@ -31,3 +31,18 @@ def test_query_matches_oracle(spark, oracle_con, name):
     ddf = oracle_con.execute(q.oracle).df()
     problems = compare(name, sdf, ddf)
     assert not problems, f"{name}: {problems}"
+
+
+def test_check_first_names_all_registered():
+    """_ordered() silently drops _CHECK_FIRST entries that don't
+    exist in REGISTRY — a typo there would quietly burn one of the
+    driver's ~50 correctness-window slots. Pin exact membership, and
+    that the head has no duplicates (duplicates shift every later
+    query's window position)."""
+    from open_tlm_spark.plans import REGISTRY
+    from open_tlm_spark.plans.registry import _CHECK_FIRST
+
+    missing = [n for n in _CHECK_FIRST if n not in REGISTRY]
+    assert not missing, f"_CHECK_FIRST names not in REGISTRY: {missing}"
+    dupes = [n for n in set(_CHECK_FIRST) if _CHECK_FIRST.count(n) > 1]
+    assert not dupes, f"_CHECK_FIRST duplicates: {dupes}"
