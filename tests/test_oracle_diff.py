@@ -46,3 +46,40 @@ def test_check_first_names_all_registered():
     assert not missing, f"_CHECK_FIRST names not in REGISTRY: {missing}"
     dupes = [n for n in set(_CHECK_FIRST) if _CHECK_FIRST.count(n) > 1]
     assert not dupes, f"_CHECK_FIRST duplicates: {dupes}"
+
+
+def test_all_oracles_bind_with_safe_dtypes():
+    """Bind-only dtype sweep over EVERY registered oracle: DuckDB
+    resolves each oracle's output schema (no execution — runs in
+    <1 s) and the diffcheck dtype gate must find nothing. This is the
+    standing guard against the HUGEINT/DECIMAL passthrough class that
+    shipped twice (sessionize r1, multimodal/docs_clean r2) before
+    the gate existed — it catches a bad new oracle in plain pytest
+    without waiting for the full differential run."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    import diffcheck
+
+    from open_tlm_spark.plans import REGISTRY
+
+    con = duckdb.connect()
+    for t in diffcheck.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{t}.parquet'"
+        )
+    bad = {}
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue
+        probs = diffcheck.oracle_type_problems(con.sql(q.oracle))
+        if probs:
+            bad[name] = probs
+    assert not bad, f"oracles with unsafe output dtypes: {bad}"
