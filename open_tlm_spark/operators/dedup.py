@@ -173,7 +173,11 @@ def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact Jaccard for the given pairs via two shingle joins.
 
     |A ∩ B| from the equi-join on shingle; |A ∪ B| = |A| + |B| - |A∩B|.
-    Sizes frame is small (1 row/doc) -> broadcast-joined twice.
+    The sizes frame is one row per document — it scales WITH the
+    corpus, so it is not broadcast-hinted: AQE picks broadcast when
+    the runtime size fits (sf-scale) and falls back to a shuffle join
+    keyed on doc_id at corpus scale, where the pairs side is already
+    the (LSH-pruned) candidate set.
     """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.alias("sa")
@@ -189,8 +193,8 @@ def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     return (
-        inter.join(F.broadcast(sizes).alias("za"), F.col("za.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sizes).alias("zb"), F.col("zb.doc_id") == F.col("doc_b"))
+        inter.join(sizes.alias("za"), F.col("za.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("zb"), F.col("zb.doc_id") == F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
@@ -226,10 +230,12 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # sizes is 1 row/doc — corpus-scaling, so no broadcast hint: AQE
+    # broadcasts when it fits and shuffle-joins on doc_id otherwise.
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     out = (
-        pairs.join(F.broadcast(sizes).alias("za"), F.col("za.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sizes).alias("zb"), F.col("zb.doc_id") == F.col("doc_b"))
+        pairs.join(sizes.alias("za"), F.col("za.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("zb"), F.col("zb.doc_id") == F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
@@ -408,14 +414,12 @@ def ngram_containment_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # sizes is 1 row/doc — corpus-scaling, so no broadcast hint (AQE
+    # decides; see ngram_jaccard_pairs).
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     out = (
-        pairs.join(
-            F.broadcast(sizes).alias("za"), F.col("za.doc_id") == F.col("doc_a")
-        )
-        .join(
-            F.broadcast(sizes).alias("zb"), F.col("zb.doc_id") == F.col("doc_b")
-        )
+        pairs.join(sizes.alias("za"), F.col("za.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("zb"), F.col("zb.doc_id") == F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",

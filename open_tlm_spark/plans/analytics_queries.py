@@ -517,10 +517,13 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
+    # freq is vocab-sized (scales with the corpus) — no broadcast
+    # hint; AQE broadcasts while it fits and otherwise reuses freq's
+    # own token-keyed exchange for a shuffle join. total is 1 row.
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").cast("long").alias("n"))
     scored = (
-        tok.join(F.broadcast(freq), "token")
+        tok.join(freq, "token")
         .join(F.broadcast(total))
         .select(
             "doc_id",

@@ -410,9 +410,10 @@ def dedup_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: reuses the gated signature/banding subtrees
     (dedup_minhash_lsh) for candidates and estimates; exact Jaccard
     reuses the candidate-only shingle equi-join (jaccard_for_pairs) —
-    never all pairs. The signature frame joins twice by doc id
-    (broadcast: one row per doc); everything else is the candidate
-    set, which LSH keeps tiny by construction."""
+    never all pairs. The signature frame (one 13-column row per doc)
+    scales with the corpus, so it carries no broadcast hint: AQE
+    broadcasts while it fits and otherwise shuffle-joins on doc id
+    against the (LSH-pruned, tiny) candidate set."""
     from open_tlm_spark.operators import dedup as D
 
     docs = spark.table("documents")
@@ -435,8 +436,8 @@ def dedup_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in agree_terms[1:]:
         agree = agree + t
     est = (
-        cand.join(F.broadcast(sa), cand.doc_a == sa._ida)
-        .join(F.broadcast(sb), cand.doc_b == sb._idb)
+        cand.join(sa, cand.doc_a == sa._ida)
+        .join(sb, cand.doc_b == sb._idb)
         .select(
             "doc_a",
             "doc_b",
@@ -921,10 +922,15 @@ def docs_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge-lists and quality lexicons.
 
     Plan: one explode + one pair aggregate; the two marginal tables
-    re-aggregate the (much smaller) pair table and broadcast back.
-    The final ranking is a distributed top-k over the floored pair
-    set, then a rank window over {_PMI_TOP} survivors. Two text-side
-    shuffles total at any corpus size."""
+    re-aggregate the (much smaller) pair table and join back on their
+    own aggregation keys — they are vocab-sized (scale with the
+    corpus), so no broadcast hint: AQE broadcasts while they fit. The
+    pair total N is a 1-row frame cross-join-broadcast into the plan
+    (no eager .first(), so building the query launches no job and the
+    pair subtree is traversed once). The final ranking is a
+    distributed top-k over the floored pair set, then a rank window
+    over {_PMI_TOP} survivors. Two text-side shuffles total at any
+    corpus size."""
     from open_tlm_spark.operators.text import bigrams, tokens
     from open_tlm_spark.session import fan_out
 
@@ -936,20 +942,21 @@ def docs_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     c2 = c2.localCheckpoint(eager=False)
-    n_pairs = float(c2.agg(F.sum("c")).first()[0])
+    n = c2.agg(F.sum("c").cast("double").alias("n_pairs"))
     cl = c2.groupBy("w1").agg(F.sum("c").alias("cl"))
     cr = c2.groupBy("w2").agg(F.sum("c").alias("cr"))
     scored = (
         c2.filter(F.col("c") >= _PMI_MIN_COUNT)
-        .join(F.broadcast(cl), "w1")
-        .join(F.broadcast(cr), "w2")
+        .join(cl, "w1")
+        .join(cr, "w2")
+        .join(F.broadcast(n))
         .select(
             "w1",
             "w2",
             "c",
             F.round(
                 F.log(
-                    F.col("c") * F.lit(n_pairs)
+                    F.col("c") * F.col("n_pairs")
                     / (F.col("cl") * F.col("cr").cast("double"))
                 ),
                 6,

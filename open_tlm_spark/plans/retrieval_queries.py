@@ -84,13 +84,17 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one tokenize pass feeds BOTH the doc-length table and the
     term-filtered tf aggregate (the term filter prunes the token
-    stream before its shuffle); df re-aggregates the tf frame (3 rows)
-    and broadcasts; corpus stats (N, avgdl) are one scalar aggregate
-    whose exact integer sums make avgdl bit-identical across engines.
-    Per-term scores are 6-dp-rounded then DECIMAL-summed per doc —
-    order-independent — and the final ranking is one
-    TakeOrderedAndProject with doc_id tiebreak. Two shuffles on the
-    text side (tf agg, per-doc sum) at any corpus size."""
+    stream before its shuffle); df re-aggregates the tf frame and
+    broadcasts (bounded by the query's term count, NOT the corpus —
+    the one hint that stays). Corpus stats (N, avgdl) are a 1-row
+    aggregate frame cross-join-broadcast into the plan — building the
+    query launches no Spark job, and the tokenize subtree is not run
+    an extra time for the stats; exact integer sums make avgdl
+    bit-identical across engines. Per-term scores are 6-dp-rounded
+    then DECIMAL-summed per doc — order-independent — and the final
+    ranking is one TakeOrderedAndProject with doc_id tiebreak. Two
+    shuffles on the text side (tf agg, per-doc sum) at any corpus
+    size."""
     from open_tlm_spark.operators.text import tokens
 
     k1, b = _BM25_K1, _BM25_B
@@ -99,10 +103,13 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens(F.lower(F.col("text"))).alias("w")
     )
     dl = toks.select("doc_id", F.size("w").alias("dl"))
-    n_docs, sum_dl = dl.agg(
-        F.count(F.lit(1)), F.sum("dl")
-    ).first()
-    avgdl = float(sum_dl) / n_docs
+    # 1-row corpus-stats frame, broadcast into the plan lazily; the
+    # float(sum)/count double division matches the previous
+    # driver-side arithmetic bit-for-bit.
+    st = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
     tok = toks.select("doc_id", F.explode("w").alias("token"))
     tf = (
         tok.filter(F.col("token").isin(*_BM25_TERMS))
@@ -113,7 +120,7 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("df")
     )
     idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
         + 1.0
     )
     s = F.round(
@@ -122,13 +129,14 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (
             F.col("tf")
             + F.lit(k1)
-            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
         ),
         6,
     ).cast("decimal(18,6)")
     scored = (
         tf.join(F.broadcast(df), "token")
         .join(dl, "doc_id")
+        .join(F.broadcast(st))
         .select("doc_id", s.alias("s"))
     )
     agg = scored.groupBy("doc_id").agg(F.sum("s").alias("ssum"))

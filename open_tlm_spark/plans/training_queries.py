@@ -352,10 +352,15 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-{_TFIDF_K} TF-IDF keywords — the document-
     fingerprinting / topic-tagging step. TF from one (doc, token)
     aggregate; DF re-aggregated from TF's output (zero extra passes
-    over text — the TF frame is strictly smaller); the Zipf-bounded DF
-    table broadcasts back onto TF. Ranking orders by the ROUNDED score
-    (6 dp) with token tiebreak so cross-engine ulp noise in ln() can't
-    reorder ties. One text-side shuffle + one window on doc_id."""
+    over text — the TF frame is strictly smaller); the DF table is
+    vocab-sized (scales with the corpus), so it joins back on token
+    with no broadcast hint — AQE broadcasts while it fits, and the
+    join key is the one DF was aggregated on, so the shuffle-join
+    path reuses TF's exchange. n_docs is a 1-row frame cross-join-
+    broadcast into the plan (no eager .count(); building the query
+    launches no job). Ranking orders by the ROUNDED score (6 dp) with
+    token tiebreak so cross-engine ulp noise in ln() can't reorder
+    ties. One text-side shuffle + one window on doc_id."""
     from open_tlm_spark.operators.text import tokens
     from open_tlm_spark.session import fan_out
 
@@ -365,13 +370,20 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = spark.table("documents").count()
-    scored = tf.join(F.broadcast(df), "token").select(
-        "doc_id",
-        "token",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    n = (
+        spark.table("documents")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
+    scored = (
+        tf.join(df, "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
     return (
@@ -437,9 +449,13 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1")
         .agg(F.sum("c2").alias("c1"))
     )
+    # c2/c1 are bigram-/unigram-vocab-sized (scale with the corpus) —
+    # no broadcast hints; each joins back on its own aggregation key,
+    # so AQE either broadcasts (while they fit) or reuses the
+    # exchange for a shuffle join.
     scored = (
-        bg.join(F.broadcast(c2), "pair")
-        .join(F.broadcast(c1), "w1")
+        bg.join(c2, "pair")
+        .join(c1, "w1")
         .select(
             "doc_id",
             F.round(

@@ -3,6 +3,7 @@ must stay the plans Catalyst picks — predicate pushdown into parquet,
 binary-column pruning, broadcast joins for dims, TakeOrderedAndProject
 for top-k (no global sorts)."""
 
+import re
 import pytest
 
 from open_tlm_spark.plans import REGISTRY
@@ -651,3 +652,84 @@ def test_mad_broadcasts_stats(spark):
     plan = plan_of(spark, "ts_anomaly_mad")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_builders_never_call_driver_actions(spark):
+    """VERDICT r4 #3: building a registered query must be fully
+    lazy — corpus stats (N, avgdl, pair totals) enter the plan as
+    1-row broadcast frames, never eager .first()/.count() fetches
+    that would run the expensive subtree an extra time and make the
+    query non-composable. Enforced for EVERY registry entry by
+    intercepting the collect-family methods during build.
+    (localCheckpoint(eager=False) may still materialize shared
+    subtrees under AQE — that is single-pass reuse, not an extra
+    driver action, and is deliberately not flagged.)"""
+    from pyspark.sql import DataFrame
+
+    load_tables(spark, SF)
+    offenders: dict[str, set] = {}
+    methods = ("first", "count", "collect", "toPandas", "head", "take")
+    orig = {m: getattr(DataFrame, m) for m in methods}
+    state = {"cur": None}
+
+    def wrap(m):
+        def f(self, *a, **k):
+            if state["cur"] is not None:
+                offenders.setdefault(state["cur"], set()).add(m)
+            return orig[m](self, *a, **k)
+
+        return f
+
+    for m in methods:
+        setattr(DataFrame, m, wrap(m))
+    try:
+        for name, q in REGISTRY.items():
+            state["cur"] = name
+            q.fn(spark, SF)
+    finally:
+        state["cur"] = None
+        for m in methods:
+            setattr(DataFrame, m, orig[m])
+    assert not offenders, (
+        f"query builders ran driver-side actions while being BUILT: "
+        f"{ {k: sorted(v) for k, v in offenders.items()} }"
+    )
+
+
+def test_corpus_scaling_frames_not_force_broadcast(spark):
+    """VERDICT r4 #2: frames that scale with the corpus (per-doc
+    sizes, MinHash signatures, vocab marginals) must not carry a
+    forced broadcast hint — AQE picks the strategy at runtime. The
+    analyzed plan keeps ResolvedHint nodes; the only ones allowed in
+    these queries are 1-row global aggregates (stats frames). A
+    GROUPED aggregate child (printed as `Aggregate [keys], [exprs]`)
+    means one row per doc/vocab entry — corpus-scaling — unless the
+    grouping is over a literal-bounded key set (e.g. BM25 query
+    terms, which is why docs_bm25_topk is not in this list)."""
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_containment",
+        "dedup_minhash_lsh",
+        "dedup_minhash_est_vs_exact",
+        "docs_tfidf_topk",
+        "docs_collocations_pmi",
+        "quality_unigram_logprob",
+        "quality_bigram_logprob",
+        "docs_ccnet_lm_buckets",
+    ):
+        df = REGISTRY[name].fn(spark, SF)
+        lines = (
+            df._jdf.queryExecution().analyzed().toString().splitlines()
+        )
+        offenders = []
+        for i, l in enumerate(lines):
+            if "ResolvedHint" not in l:
+                continue
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            grouped = re.search(r"Aggregate \[[^\]]*\], \[", child)
+            if grouped or "sig_" in child:
+                offenders.append(child.strip()[:120])
+        assert not offenders, (
+            f"{name}: forced broadcast on corpus-scaling frame(s): "
+            f"{offenders}"
+        )
