@@ -28,9 +28,17 @@ class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL, or None -> rows-only check
     bench: bool = True  # False: correctness-only (e.g. writes state)
+    module: str = ""  # defining module (for evidence freshness)
+    func_name: str = ""  # defining function name in that module
 
 
 REGISTRY: dict[str, QueryDef] = {}
+
+# The driver's per-round correctness gate checks the first ~50 entries
+# of queries() in dict order; tests/test_evidence_freshness.py uses
+# this to demand that any query whose definition changed since its
+# last green driver row re-enters the checked window.
+CHECK_WINDOW = 50
 
 
 def register(name: str, oracle: str | None = None, bench: bool = True):
@@ -41,79 +49,31 @@ def register(name: str, oracle: str | None = None, bench: bool = True):
             load_tables(spark, sf_dir)
             return fn(spark, sf_dir)
 
-        REGISTRY[name] = QueryDef(wrapped, oracle, bench)
+        REGISTRY[name] = QueryDef(
+            wrapped, oracle, bench, fn.__module__, fn.__name__
+        )
         return fn
 
     return deco
 
 
-# The driver checks ~50 queries per round in dict order, so with 135
-# registered the head of this list chooses what gets an in-round
-# correctness row. Round-4 head: the 52 queries added or rewritten
-# this round (newest first), then the queries the r3 window rotated
-# out (all green in r1/r2 on code unchanged since). With a 50-slot
-# window the whole rotated-out block (ts_comment_tag_filter through
-# sim_lsh_topk) plus the tail of the new block overflows this round —
-# the overflowing NEW queries are all diffcheck-green at sf0.01 AND
-# sf0.1 locally; move everything unchecked to the FRONT of the r5
-# head so the r3+r4+r5 union covers every query's current code.
-# Everything is locally verified by the dtype-strict
-# tools/diffcheck.py regardless.
+# The driver checks ~50 queries per round in dict order, so the head
+# of this list chooses what gets an in-round correctness row.
+# Round-5 head, in priority order:
+#   1. The 11 round-3 queries that have NEVER had a driver row in any
+#      round (overflowed the r3 and r4 windows; VERDICT r4 item #1) —
+#      a green r5 makes the r1–r5 union cover the whole registry.
+#   2. Queries whose code CHANGED this round (broadcast-hint removal
+#      and lazy corpus-stats rewrites; VERDICT r4 items #2/#3).
+#   3. Queries NEW in round 5.
+#   4. The r1/r2-era rotation block (code unchanged since last green;
+#      enforced by tests/test_evidence_freshness.py). With a 50-slot
+#      window the tail of this block overflows to r6 — keep rotating.
 _CHECK_FIRST = [
-    # new or changed in round 4 — must have an in-round row
-    "docs_bm25_topk",
-    "dedup_substring_spans",
-    "sim_ivfpq_topk",
-    "docs_ngram_novelty",
-    "ts_autocorr_lags",
-    "sim_pq_recall_eval",
-    "text_langid_confusion",
-    "dedup_minhash_est_vs_exact",
-    "privacy_delete_propagation",
-    "sim_ivf_recall_eval",
-    "basket_part_pairs",  # rewritten to the collect_set pair-expansion form
-    "event_funnel_windowed",
-    "dedup_simhash_hamming",
-    "orders_pareto_share",
-    "curation_yield_by_source",
-    "multimodal_exact_dedup",
-    "events_ab_test_lift",
-    "ts_error_budget_burn",
-    "docs_collocations_pmi",
-    "text_code_detection",
-    "docs_template_detection",
-    "ts_staleness_report",
-    "lineitem_discount_elasticity",
-    "orders_open_backlog_daily",
-    "ts_inter_arrival_stats",
-    "orders_fulfillment_sla",
-    "ts_seasonality_strength",
-    "ts_holt_linear",
-    "source_overlap_matrix",
-    "pq_quantize",
-    "sem_dedup_cells",
-    "bucketed_colocated_join",
-    "quality_gopher_rules",
-    "embedding_dim_stats",
-    "dedup_containment",
-    "sim_pq_adc_topk",
-    "ts_anomaly_mad",
-    "documents_zipf_fit",
-    "docs_length_histogram",
-    "events_markov_transitions",
-    "user_activity_entropy",
-    "sim_lsh_recall_eval",
-    "ts_counter_rate",
-    "ts_time_weighted_avg",
-    "ts_heatmap_2d",
-    "quality_bigram_logprob",
-    "embedding_label_cohesion",
-    "chunk_documents",
-    "events_retention_cohorts",
-    "orders_rfm_segments",
+    # 1. never driver-checked (added r3, overflowed r3+r4 windows)
     "ts_cusum_changepoints",
     "cap_per_source",
-    "docs_tfidf_topk",
+    "docs_tfidf_topk",  # also changed this round (lazy n_docs, AQE df join)
     "bpe_pair_counts",
     "ts_seasonal_residual",
     "quality_unigram_logprob",
@@ -122,8 +82,45 @@ _CHECK_FIRST = [
     "ts_pairwise_corr",
     "stratified_split",
     "event_funnel",
-    # rotated out of the r03 window; code unchanged since their last
-    # green row, re-pointed so every query gets a fresh in-round check
+    # 2. changed in round 5: forced-broadcast removal on corpus-sized
+    # frames (dedup.py sizes/signature frames, PMI marginals) and
+    # lazy 1-row stats frames replacing eager .first()/.count()
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_minhash_est_vs_exact",
+    "docs_collocations_pmi",
+    "docs_bm25_topk",
+    # 2b. flagged stale by tools/evidence.py (seeded from the r1–r4
+    # CORRECTNESS files at their boundary commits): these queries'
+    # definitions or operator-symbol closures changed during round 4
+    # (shared-fingerprint refactor, similarity max_by rewrite,
+    # text.py tokenizer adaptation) AFTER their last green row — the
+    # comment-based "code unchanged" rotation missed them; the ledger
+    # caught it.
+    "dedup_simhash",
+    "dedup_fingerprint",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "decontaminate_ngrams",
+    "text_rolling_fingerprint",
+    "quality_repetition",
+    "vocab_doc_freq",
+    "sim_ivf_assign",
+    "sim_ivf_topk",
+    "sim_ivf_train",
+    "sim_lsh_topk",
+    "sim_topk_bruteforce",
+    # 3. new in round 5 (plans/selection_queries.py + LM-bucket fix)
+    "docs_dsir_importance",
+    "docs_ccnet_lm_buckets",
+    "mixture_temperature_allocation",
+    "embedding_pca_covariance",
+    "lsh_scurve_table",
+    "ts_ohlc_bars",
+    "events_hash_sample",
+    "quality_bigram_logprob",  # vocab-marginal broadcast hints removed
+    # 4. r1/r2-era rotation block: code unchanged since last green row
     "ts_comment_tag_filter",
     "ts_incremental_merge",
     "ts_histogram_per_series",
@@ -147,7 +144,6 @@ _CHECK_FIRST = [
     "tpch_q7_volume_shipping",
     "tpch_q21_waiting_suppliers",
     "dedup_exact",
-    "sim_topk_bruteforce",
     "sessionize_events",
     "multimodal_decode",
     "tpch_q13_order_distribution",
@@ -156,7 +152,6 @@ _CHECK_FIRST = [
     "tpch_q22_dormant_customers",
     "events_json_props",
     "interval_join_error_windows",
-    "sim_lsh_topk",
 ]
 
 

@@ -1,0 +1,84 @@
+"""Evidence-freshness guard (VERDICT r4 "Next round" #4).
+
+The registry's rotation policy used to be a comment ("code unchanged
+since its last green row"); these tests make it machine-checked. The
+ledger `open_tlm_spark/plans/evidence.json` records, per query, the
+round of its last green driver CORRECTNESS row plus fingerprints of
+everything behavior-relevant (its own decorated source + referenced
+module constants, the used-symbol closure in operator modules, and
+the oracle SQL). Any drift since that row must push the query back
+into the driver's next ~50-query correctness window.
+
+Maintenance loop: after a driver round lands CORRECTNESS_r{N}.json,
+run `python tools/evidence.py update --round N CORRECTNESS_r{N}.json`
+and reshape `_CHECK_FIRST` for the next round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.evidence import LEDGER, stale_queries  # noqa: E402
+
+
+def _window() -> list[str]:
+    from open_tlm_spark.plans.registry import CHECK_WINDOW, spark_queries
+
+    return list(spark_queries())[:CHECK_WINDOW]
+
+
+def test_ledger_exists_and_covers_registry():
+    from open_tlm_spark.plans import REGISTRY
+
+    assert os.path.exists(LEDGER), "run: python tools/evidence.py seed"
+    with open(LEDGER, encoding="utf-8") as f:
+        ledger = json.load(f)
+    # ledger never references queries that no longer exist
+    unknown = set(ledger) - set(REGISTRY)
+    assert not unknown, f"stale ledger entries: {sorted(unknown)}"
+    # every registered query either has a ledger row or is queued in
+    # the check window (i.e. brand-new this round)
+    window = set(_window())
+    missing = [
+        n for n in REGISTRY if n not in ledger and n not in window
+    ]
+    assert not missing, (
+        "queries with no evidence row and not queued for the next "
+        f"driver window: {missing}"
+    )
+
+
+def test_every_stale_query_is_in_the_check_window():
+    """Definition/dep/oracle drift since the last green driver row
+    forces the query into the next checked window — the rotation
+    policy, enforced."""
+    window = set(_window())
+    uncovered = {
+        name: reason
+        for name, reason in stale_queries().items()
+        if name not in window
+    }
+    assert not uncovered, (
+        "queries changed since their last green driver row but NOT "
+        "queued in the next correctness window — move them to the "
+        f"front of _CHECK_FIRST: {uncovered}"
+    )
+
+
+def test_fresh_queries_do_not_crowd_out_stale_ones():
+    """If more queries are stale than the window holds, every slot
+    must go to a stale query (fresh rotation re-checks are luxury,
+    not priority)."""
+    window = _window()
+    stale = set(stale_queries())
+    if len(stale) >= len(window):
+        fresh_in_window = [n for n in window if n not in stale]
+        assert not fresh_in_window, (
+            "window oversubscribed by stale queries yet holds fresh "
+            f"ones: {fresh_in_window}"
+        )
