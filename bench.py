@@ -17,6 +17,37 @@ import sys
 import time
 
 
+# Stable driver-visible subset (VERDICT r4 #6): the driver keeps only
+# ~2000 chars of stdout, so the inline per-query dict must be bounded.
+# Rather than "whichever queries happen to be slowest this round"
+# (which made BENCH_r03 vs r04 incomparable), report this FIXED set —
+# the heavy dedup/ANN/text/TPC-H representatives chosen from the r4
+# full bench — every round. The complete map still lands in
+# BENCH_FULL_LOCAL.json.
+BENCH_CORE = [
+    "approx_distinct_stats", "asof_align_series", "basket_part_pairs",
+    "bpe_pair_counts", "curation_yield_by_source",
+    "decontaminate_ngrams", "dedup_clusters", "dedup_containment",
+    "dedup_embedding_cosine", "dedup_exact",
+    "dedup_minhash_est_vs_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash_hamming",
+    "dedup_substring_spans", "docs_bm25_topk", "docs_clean_pipeline",
+    "docs_collocations_pmi", "docs_ngram_novelty", "docs_tfidf_topk",
+    "embedding_label_cohesion", "event_funnel",
+    "event_funnel_windowed", "orders_fulfillment_sla",
+    "orders_open_backlog_daily", "orders_pareto_share", "pq_quantize",
+    "quality_bigram_logprob", "quality_repetition",
+    "quality_unigram_logprob", "sem_dedup_cells", "sessionize_events",
+    "sim_ivf_recall_eval", "sim_ivf_topk", "sim_ivf_train",
+    "sim_ivfpq_topk", "sim_lsh_recall_eval", "sim_pq_adc_topk",
+    "sim_pq_recall_eval", "source_overlap_matrix",
+    "tpch_q16_supplier_part_counts", "tpch_q18_large_orders",
+    "tpch_q1_pricing_summary", "tpch_q21_waiting_suppliers",
+    "tpch_q9_profit_by_nation_year", "ts_histogram",
+    "ts_histogram_per_series", "ts_incremental_merge",
+]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -48,23 +79,26 @@ def main() -> int:
     total = round(time.perf_counter() - t_total, 4)
 
     # The driver records only the LAST ~2000 chars of stdout and
-    # json-parses the final line; with 80+ registered queries the full
-    # per-query dict overflows that window (round 3 recorded
-    # parsed=null). Keep the line under budget: report the slowest
-    # queries (the informative ones) inline, count the rest, and write
-    # the complete map to BENCH_FULL_LOCAL.json beside this script.
+    # json-parses the final line; with 140+ registered queries the
+    # full per-query dict overflows that window. Report the FIXED
+    # BENCH_CORE subset inline so round-over-round driver records
+    # compare like-for-like, and write the complete map to
+    # BENCH_FULL_LOCAL.json beside this script.
+    core = {k: per_query[k] for k in BENCH_CORE if k in per_query}
     payload = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": dict(per_query),
+        "core_sec": round(sum(core.values()), 4),
+        "n_queries": len(per_query),
+        "queries": core,
         "sf": sf,
     }
     full = {**payload, "queries": dict(per_query)}
-    by_speed = sorted(per_query, key=per_query.get)  # fastest first
+    by_speed = sorted(core, key=core.get)  # fastest first (guard only)
     while len(json.dumps(payload)) > 1800 and by_speed:
         payload["queries"].pop(by_speed.pop(0))
-        payload["queries_omitted"] = len(per_query) - len(payload["queries"])
+        payload["queries_omitted"] = len(core) - len(payload["queries"])
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LOCAL.json"),
         "w",
