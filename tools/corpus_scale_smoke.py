@@ -130,6 +130,45 @@ def main() -> int:
             f"assigned={n_assigned:,} topk_rows={n_topk}"
         )
 
+    # ---- BM25 lexical ranking at the same decades ----------------
+    # Separate synthesis: the query terms ("hash", "join", "vector")
+    # must occur in the corpus, so 3 vocabulary slots carry them at
+    # a ~3% natural rate.
+    def synth_docs_bm25(n: int):
+        words_pool = [f"w{k:02d}" for k in range(97)] + [
+            "hash",
+            "join",
+            "vector",
+        ]
+        vocab = F.array(*[F.lit(w) for w in words_pool])
+        words = F.transform(
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda j: F.element_at(
+                vocab,
+                (F.pmod(F.xxhash64(F.col("id"), j), 100) + 1).cast("int"),
+            ),
+        )
+        return spark.range(
+            n, numPartitions=spark.sparkContext.defaultParallelism
+        ).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", words).alias("text"),
+        )
+
+    from open_tlm_spark.plans.retrieval_queries import docs_bm25_topk
+
+    for n in sizes:
+        path = os.path.join(tmp, f"bm25_{n}")
+        synth_docs_bm25(n).write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).createOrReplaceTempView("documents")
+        t0 = time.perf_counter()
+        n_rows = docs_bm25_topk(spark, "").count()
+        t_bm25 = time.perf_counter() - t0
+        print(
+            f"bm25={n:>9,}  rank={t_bm25:6.1f}s "
+            f"({n / t_bm25:,.0f} docs/s)  topk_rows={n_rows}"
+        )
+
     # Plan shape proof: the banding self-view join must be a hash
     # equi-join on the band key (no cartesian/BNLJ at any size).
     docs = synth_docs(spark, 10_000)
