@@ -15,5 +15,6 @@ from open_tlm_spark.plans import training_queries  # noqa: F401
 from open_tlm_spark.plans import vector_queries  # noqa: F401
 from open_tlm_spark.plans import retrieval_queries  # noqa: F401
 from open_tlm_spark.plans import eval_queries  # noqa: F401
+from open_tlm_spark.plans import selection_queries  # noqa: F401
 
 __all__ = ["REGISTRY", "register", "spark_queries", "oracle_queries"]

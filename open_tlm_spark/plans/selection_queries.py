@@ -1,0 +1,611 @@
+"""Round-5 data-selection / serving extras: DSIR importance
+weighting, CCNet-style LM buckets, temperature-scaled mixture
+allocation, embedding covariance, LSH s-curve calibration, OHLC
+downsampling, and deterministic hash sampling.
+
+All are public techniques (citations on each query); all follow the
+registry conventions (identical aliases both engines, DECIMAL-exact
+order-independent sums, 6-dp rounding before ranking, id tiebreaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from open_tlm_spark.plans.registry import register
+from open_tlm_spark.session import fan_out
+
+# DuckDB mirror of text.tokens(lower(text)) — same CTE as the other
+# plan modules.
+_TOKS_CTE = r"""
+    toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    )
+"""
+
+# ------------------------------------------------------------ DSIR
+_DSIR_B = 1024  # hashed n-gram feature buckets (fixed constant)
+_DSIR_ALPHA = 0.5  # add-alpha smoothing
+_DSIR_TARGET = ("src0", "src1", "src2", "src3")  # target-domain proxy
+
+
+@register(
+    "docs_dsir_importance",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    tok AS (
+      SELECT doc_id,
+             source IN {_DSIR_TARGET} AS is_t,
+             ('0x' || substr(md5(unnest(w)), 1, 8))::BIGINT % {_DSIR_B}
+               AS bucket
+      FROM toks
+    ),
+    stats AS (
+      SELECT bucket,
+             count(*) AS r_c,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_c
+      FROM tok GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(r_c) AS BIGINT) AS r_tot,
+             CAST(sum(t_c) AS BIGINT) AS t_tot
+      FROM stats
+    ),
+    ratio AS (
+      SELECT bucket,
+             round(
+               ln((t_c + {_DSIR_ALPHA})
+                  / (t_tot + {_DSIR_ALPHA * _DSIR_B}))
+               - ln((r_c + {_DSIR_ALPHA})
+                    / (r_tot + {_DSIR_ALPHA * _DSIR_B})),
+               6) AS lr
+      FROM stats, tot
+    ),
+    db AS (
+      SELECT doc_id, bucket, count(*) AS c
+      FROM tok GROUP BY doc_id, bucket
+    )
+    SELECT db.doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(round(sum(c * CAST(lr AS DECIMAL(18,6))), 6) AS DOUBLE)
+             AS dsir_logratio,
+           floor(CAST(sum(c * CAST(lr AS DECIMAL(18,6))) AS DOUBLE)
+                 / sum(c) * 1000000 + 0.5) / 1000000.0 AS avg_logratio
+    FROM db JOIN ratio USING (bucket)
+    GROUP BY db.doc_id
+    """,
+)
+def docs_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023 — public
+    technique): score every document by the log-likelihood ratio of
+    its hashed-unigram features under a target-domain LM vs the raw
+    corpus LM. The standard pretraining data-selection step: sample
+    proportional to exp(score) to shift the mixture toward the
+    target domain without hand-written rules.
+
+    Plan: ONE tokenize pass feeds both the bucket LM aggregate and
+    the per-doc bucket counts. The bucket table is at most
+    {_DSIR_B} rows — a FIXED constant independent of corpus size —
+    so broadcasting it (and the 1-row totals frame) is legitimate,
+    unlike a vocab-sized marginal. Per-bucket log-ratios are rounded
+    to 6 dp and the per-doc combination is an exact count x DECIMAL
+    dot product, so the aggregate is order-independent and
+    engine-identical. Two corpus-side shuffles at any scale."""
+    from open_tlm_spark.operators.text import tokens
+
+    docs = fan_out(spark.table("documents"))
+    tok = docs.select(
+        "doc_id",
+        F.col("source").isin(*_DSIR_TARGET).alias("is_t"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+    ).select(
+        "doc_id",
+        "is_t",
+        (
+            F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+            % _DSIR_B
+        ).alias("bucket"),
+    )
+    stats = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_c"),
+        F.sum(F.col("is_t").cast("long")).alias("t_c"),
+    )
+    tot = stats.agg(
+        F.sum("r_c").cast("long").alias("r_tot"),
+        F.sum("t_c").cast("long").alias("t_tot"),
+    )
+    ab = float(_DSIR_ALPHA * _DSIR_B)
+    ratio = stats.join(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("t_c") + _DSIR_ALPHA) / (F.col("t_tot") + ab))
+            - F.log((F.col("r_c") + _DSIR_ALPHA) / (F.col("r_tot") + ab)),
+            6,
+        ).alias("lr"),
+    )
+    db = tok.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    dot = F.sum(F.col("c") * F.col("lr").cast("decimal(18,6)"))
+    return (
+        db.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(dot, 6).cast("double").alias("dsir_logratio"),
+            # half-up via floor: the 6-dp DECIMAL dot divided by an
+            # integer count lands EXACTLY on .5 ulp boundaries, where
+            # the engines' round() tie rules disagree; floor(x*1e6 +
+            # .5)/1e6 is the same double computation in both.
+            (
+                F.floor(
+                    dot.cast("double") / F.sum("c") * 1_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000.0
+            ).alias("avg_logratio"),
+        )
+    )
+
+
+# ----------------------------------------------- CCNet LM buckets
+_CCNET_NTILES = 3
+
+
+@register(
+    "docs_ccnet_lm_buckets",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    tok AS (SELECT doc_id, source, unnest(w) AS token FROM toks),
+    freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id, t.source,
+             round(ln(CAST(f.c AS DOUBLE) / total.n), 6) AS logp
+      FROM tok t JOIN freq f USING (token), total
+    ),
+    perdoc AS (
+      SELECT doc_id, source,
+             round(CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS avg_logp
+      FROM scored GROUP BY doc_id, source
+    ),
+    nt AS (
+      SELECT source, avg_logp,
+             ntile({_CCNET_NTILES}) OVER (
+               PARTITION BY source
+               ORDER BY avg_logp DESC, doc_id) AS tile
+      FROM perdoc
+    )
+    SELECT source,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           round(CAST(sum(CAST(avg_logp AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_logp
+    FROM nt GROUP BY source, bucket
+    """,
+)
+def docs_ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality bucketing (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", LREC 2020 — public technique): score every document with
+    the corpus unigram LM, then split EACH SOURCE into head / middle
+    / tail terciles by score — the per-domain perplexity bucketing
+    used to stratify web data before sampling.
+
+    Plan: tokenize once; the unigram frequency table is vocab-sized
+    (scales with the corpus) so it joins back on token with NO
+    broadcast hint — AQE decides. The ntile window is partitioned by
+    source (never a global sort) with a doc_id tiebreak for
+    determinism; the final aggregate is a DECIMAL-exact mean."""
+    from open_tlm_spark.operators.text import tokens
+
+    docs = fan_out(spark.table("documents"))
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("long").alias("n"))
+    scored = (
+        tok.join(freq, "token")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                F.log(F.col("c").cast("double") / F.col("n")), 6
+            ).alias("logp"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id", "source").agg(
+        F.round(
+            F.sum(F.col("logp").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_logp")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("avg_logp").desc(), "doc_id"
+    )
+    nt = perdoc.select(
+        "source", "avg_logp", F.ntile(_CCNET_NTILES).over(w).alias("tile")
+    )
+    bucket = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return nt.groupBy("source", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("avg_logp").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_logp"),
+    )
+
+
+# ------------------------------------- temperature-scaled mixture
+_MIX_TAU = 0.7  # sampling temperature
+_MIX_BUDGET_FRAC = 0.5  # token budget as a fraction of the corpus
+
+
+@register(
+    "mixture_temperature_allocation",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    cnt AS (
+      SELECT source, CAST(sum(len(w)) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY source
+    ),
+    wgt AS (
+      SELECT source, n_tokens,
+             round(exp({_MIX_TAU} * ln(CAST(n_tokens AS DOUBLE))), 6)
+               AS w
+      FROM cnt
+    ),
+    tot AS (
+      SELECT CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS wsum,
+             CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens
+      FROM wgt
+    )
+    SELECT source, n_tokens,
+           round(w / wsum, 6) AS share,
+           round(round(w / wsum, 6) * {_MIX_BUDGET_FRAC}
+                 * corpus_tokens, 2) AS sampled_tokens,
+           round(round(w / wsum, 6) * {_MIX_BUDGET_FRAC}
+                 * corpus_tokens / n_tokens, 6) AS epochs
+    FROM wgt, tot
+    """,
+)
+def mixture_temperature_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled mixture allocation (the multilingual /
+    multi-source sampling rule of Conneau & Lample, NeurIPS 2019, and
+    most LLM data recipes — public technique): source weights
+    proportional to n_tokens^tau (tau={_MIX_TAU}) flatten the natural
+    size distribution; given a token budget ({_MIX_BUDGET_FRAC} x
+    corpus), report each source's share, sampled token count, and the
+    implied epoch/repeat factor (>1 means up-sampling).
+
+    Plan: one per-source token-count aggregate (sum of array sizes —
+    no explode needed), then scalar mixture math against a 1-row
+    totals frame broadcast into the plan. The weight sum is DECIMAL-
+    exact over 6-dp-rounded weights (a plain double sum over sources
+    would be partition-order-dependent); pow is expressed as
+    exp(tau*ln(x)) so both engines evaluate the identical libm
+    composition."""
+    from open_tlm_spark.operators.text import tokens
+
+    docs = fan_out(spark.table("documents"))
+    cnt = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.lower(F.col("text")))))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    wgt = cnt.select(
+        "source",
+        "n_tokens",
+        F.round(
+            F.exp(F.lit(_MIX_TAU) * F.log(F.col("n_tokens").cast("double"))),
+            6,
+        ).alias("w"),
+    )
+    tot = wgt.agg(
+        F.sum(F.col("w").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("wsum"),
+        F.sum("n_tokens").cast("long").alias("corpus_tokens"),
+    )
+    share = F.round(F.col("w") / F.col("wsum"), 6)
+    budget = F.lit(_MIX_BUDGET_FRAC) * F.col("corpus_tokens")
+    return wgt.join(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        share.alias("share"),
+        F.round(share * budget, 2).alias("sampled_tokens"),
+        F.round(share * budget / F.col("n_tokens"), 6).alias("epochs"),
+    )
+
+
+# --------------------------------------- embedding covariance scan
+_PCA_TOP = 20
+
+
+@register(
+    "embedding_pca_covariance",
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id, ui.i AS i,
+             CAST(embedding[ui.i + 1] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(0, len(embedding))) AS ui(i)
+    ),
+    dims AS (
+      SELECT i, sum(CAST(x AS DECIMAL(30,14))) AS sx,
+             count(*) AS n
+      FROM u GROUP BY i
+    ),
+    pairs AS (
+      SELECT a.i AS i, b.i AS j,
+             sum(CAST(a.x * b.x AS DECIMAL(30,14))) AS sxy
+      FROM u a JOIN u b
+        ON a.vec_id = b.vec_id AND a.i < b.i
+      GROUP BY a.i, b.i
+    ),
+    cov AS (
+      SELECT p.i, p.j,
+             round((CAST(p.sxy AS DOUBLE)
+                    - CAST(da.sx AS DOUBLE) * CAST(db.sx AS DOUBLE)
+                      / da.n)
+                   / (da.n - 1), 6) AS cov
+      FROM pairs p
+      JOIN dims da ON da.i = p.i
+      JOIN dims db ON db.i = p.j
+    )
+    SELECT i, j, cov, rank FROM (
+      SELECT i, j, cov,
+             row_number() OVER (ORDER BY abs(cov) DESC, i, j) AS rank
+      FROM cov
+    ) WHERE rank <= {_PCA_TOP}
+    """,
+)
+def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance scan over the embedding matrix — the first half of
+    a distributed PCA (the d x d Gram/covariance aggregate that a
+    driver-side eigensolver would consume; d=64 here, so the
+    aggregated matrix is tiny while the INPUT is corpus-sized):
+    top-{_PCA_TOP} off-diagonal covariances by magnitude, the
+    "which dimensions are redundant" diagnostic for embedding
+    pipelines.
+
+    Plan: a narrow double posexplode (pos, value) x (pos2, value2)
+    per row — d^2/2 terms per vector produced WITHOUT a join on the
+    Spark side (the array is carried and re-exploded, so there is no
+    per-vec_id shuffle; the only shuffle is the (i,j)-keyed partial
+    aggregate, d^2/2 = 2016 groups, map-side combinable). Products
+    are dyadic rationals so the DECIMAL(30,14) casts are unambiguous
+    across engines (no rounding ties), making the sums exact and
+    order-independent; the covariance is then formed in double and
+    rounded. The DuckDB mirror uses an equi-join on vec_id instead
+    (no lateral re-explode) — same algebra, exact same sums."""
+    emb = fan_out(spark.table("embeddings"))
+    u = emb.select(
+        "embedding", F.posexplode("embedding").alias("i", "xi")
+    )
+    pairs = u.select(
+        "i",
+        F.col("xi").cast("double").alias("x"),
+        F.posexplode("embedding").alias("j", "xj"),
+    ).filter(F.col("i") < F.col("j"))
+    sxy = pairs.groupBy("i", "j").agg(
+        F.sum(
+            (F.col("x") * F.col("xj").cast("double")).cast(
+                "decimal(30,14)"
+            )
+        ).alias("sxy")
+    )
+    dims = emb.select(
+        F.posexplode("embedding").alias("i", "xi")
+    ).groupBy("i").agg(
+        F.sum(F.col("xi").cast("double").cast("decimal(30,14)")).alias(
+            "sx"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    da = dims.select(
+        F.col("i").alias("_i"), F.col("sx").alias("sxa"), "n"
+    )
+    db = dims.select(F.col("i").alias("_j"), F.col("sx").alias("sxb"))
+    cov = (
+        sxy.join(F.broadcast(da), F.col("i") == F.col("_i"))
+        .join(F.broadcast(db), F.col("j") == F.col("_j"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.col("sxy").cast("double")
+                    - F.col("sxa").cast("double")
+                    * F.col("sxb").cast("double")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1),
+                6,
+            ).alias("cov"),
+        )
+    )
+    top = cov.orderBy(F.abs(F.col("cov")).desc(), "i", "j").limit(_PCA_TOP)
+    w = Window.orderBy(F.abs(F.col("cov")).desc(), "i", "j")
+    return top.select(
+        "i", "j", "cov", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+# ------------------------------------------------ LSH s-curve table
+_SCURVE_CONFIGS = [(2, 6), (3, 4), (4, 3), (6, 2), (12, 1)]
+
+
+def _scurve_oracle() -> str:
+    rows = ", ".join(f"({b}, {r})" for b, r in _SCURVE_CONFIGS)
+    return f"""
+    WITH cfg(b, r) AS (VALUES {rows}),
+    s AS (SELECT i / 20.0 AS s FROM UNNEST(range(1, 20)) AS u(i))
+    SELECT b, r, s,
+           round(1 - exp(b * ln(1 - exp(r * ln(s)))), 6) AS p_collide
+    FROM cfg, s
+    """
+
+
+@register("lsh_scurve_table", oracle=_scurve_oracle())
+def lsh_scurve_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding s-curve calibration table (Leskovec/Rajaraman/
+    Ullman, "Mining of Massive Datasets" ch.3 — public): collision
+    probability p = 1-(1-s^r)^b for each candidate (bands, rows)
+    geometry over the Jaccard range — the lookup used to pick the
+    b x r threshold before running MinHash-LSH at corpus scale (the
+    production config b=4, r=3 crosses 0.5 near s~0.63, matching
+    dedup_minhash_lsh's documented threshold).
+
+    Plan: pure expression math over a literal spec frame (no table
+    input, no shuffle); the power is written exp(k*ln(x)) so both
+    engines run the identical libm composition."""
+    cfg = spark.createDataFrame(_SCURVE_CONFIGS, "b int, r int")
+    s = spark.range(1, 20).select((F.col("id") / 20.0).alias("s"))
+    p = 1 - F.exp(
+        F.col("b") * F.log(1 - F.exp(F.col("r") * F.log(F.col("s"))))
+    )
+    return cfg.crossJoin(s).select(
+        "b", "r", "s", F.round(p, 6).alias("p_collide")
+    )
+
+
+# -------------------------------------------------- OHLC downsample
+_OHLC_BIN_S = 1000
+
+
+@register(
+    "ts_ohlc_bars",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / ({_OHLC_BIN_S} * 1000000.0))
+                  AS BIGINT) * {_OHLC_BIN_S} AS bin_s,
+             ts, event_id, value
+      FROM events
+    ),
+    rn AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bin_s
+                                ORDER BY ts, event_id) AS rna,
+             row_number() OVER (PARTITION BY event_type, bin_s
+                                ORDER BY ts DESC, event_id DESC) AS rnd
+      FROM b
+    )
+    SELECT event_type, bin_s,
+           max(CASE WHEN rna = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rnd = 1 THEN value END) AS close,
+           count(*) AS n_points
+    FROM rn GROUP BY event_type, bin_s
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling — the open/high/low/close summary every
+    telemetry & market-data store serves per zoom level (the
+    reference renders first/last/min/max per pixel column the same
+    way its M4 cousin does; see /root/reference/public/graph.js
+    bucketing). Open/close are the first/last VALUES by (ts,
+    event_id) — a deterministic total order, so ties cannot flip the
+    result between engines.
+
+    Plan: one window pass partitioned by (series, bin) — thousands of
+    independent partitions, never a global sort — then one grouped
+    aggregate over the same key (the window's shuffle is reused by
+    the aggregate: same partitioning expression). min/max/count are
+    map-side combinable."""
+    ev = spark.table("events")
+    bin_s = (
+        F.floor(
+            F.unix_micros("ts") / F.lit(_OHLC_BIN_S * 1_000_000.0)
+        ).cast("long")
+        * _OHLC_BIN_S
+    )
+    b = ev.select(
+        "event_type",
+        bin_s.alias("bin_s"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "bin_s").orderBy(
+        "ts", "event_id"
+    )
+    wd = Window.partitionBy("event_type", "bin_s").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    rn = b.select(
+        "event_type",
+        "bin_s",
+        "value",
+        F.row_number().over(wa).alias("rna"),
+        F.row_number().over(wd).alias("rnd"),
+    )
+    return rn.groupBy("event_type", "bin_s").agg(
+        F.max(F.when(F.col("rna") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rnd") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+# --------------------------------------- deterministic hash sample
+_SAMPLE_K = 20
+
+
+@register(
+    "events_hash_sample",
+    oracle=f"""
+    SELECT event_type, event_id, value, rk FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+               AS rk
+      FROM events
+    ) WHERE rk <= {_SAMPLE_K}
+    """,
+)
+def events_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key uniform sampling — hash-rank sampling as
+    used for corpus eval subsets and debugging slices (rank by a
+    cryptographic hash of the id, keep the first k per key; uniform
+    over any id distribution, reproducible across runs/engines,
+    stable under data growth for the retained prefix — the standard
+    alternative to rand()-based sampling, which no two engines agree
+    on).
+
+    Plan: one window per event_type partition (bounded k rows kept
+    per key); at scale this is the per-key top-k pattern — each
+    partition's heap never exceeds k, no global sort."""
+    ev = spark.table("events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= _SAMPLE_K)
+    )
