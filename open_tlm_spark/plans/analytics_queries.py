@@ -130,7 +130,9 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2d = F.col("s2").cast("double")
     mean = s1d / F.col("n")
     std = F.sqrt((s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1))
-    z = ev.join(F.broadcast(stats), "event_type").select(
+    # stats is one row per series — scales with the catalog; AQE picks
+    # the join strategy (broadcast while it fits).
+    z = ev.join(stats, "event_type").select(
         "event_id",
         F.col("event_type").alias("dataset_id"),
         "value",
@@ -945,7 +947,8 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = ev.groupBy("dataset_id").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("median")
     )
-    dev = ev.join(F.broadcast(med), "dataset_id").select(
+    # med/mad are one row per series — no broadcast hints (AQE decides).
+    dev = ev.join(med, "dataset_id").select(
         "dataset_id",
         "value",
         "median",
@@ -958,7 +961,7 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.6745) * (F.col("value") - F.col("median")) / F.col("mad"), 6
     )
     return (
-        dev.join(F.broadcast(mad), "dataset_id")
+        dev.join(mad, "dataset_id")
         .groupBy("dataset_id")
         .agg(
             F.count(F.lit(1)).alias("n"),

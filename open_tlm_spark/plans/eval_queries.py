@@ -1494,7 +1494,10 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("m")
     )
-    j = hb.join(F.broadcast(prof), ["dataset_id", "hod"]).select(
+    # prof is per-series x 24 — scales with the series catalog, so no
+    # broadcast hint: AQE decides, and the join key is prof's own
+    # aggregation key so the exchange is reused on the shuffle path.
+    j = hb.join(prof, ["dataset_id", "hod"]).select(
         "dataset_id", "v", (F.col("v") - F.col("m")).alias("r")
     )
     s = j.groupBy("dataset_id").agg(

@@ -254,7 +254,8 @@ def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2d = F.col("s2").cast("double")
     mean = s1d / F.col("n")
     std = F.sqrt((s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1))
-    z = binned.join(F.broadcast(stats), "dataset_id").select(
+    # stats is one row per series — no broadcast hint (AQE decides).
+    z = binned.join(stats, "dataset_id").select(
         "dataset_id",
         "bin_ts",
         F.round((F.col("v").cast("double") - mean) / std, 6)
