@@ -119,7 +119,11 @@ _CHECK_FIRST = [
     "lsh_scurve_table",
     "ts_ohlc_bars",
     "events_hash_sample",
+    "ts_downsample_lttb",
+    "ts_percentile_bands",
     "quality_bigram_logprob",  # vocab-marginal broadcast hints removed
+    "ts_anomaly_mad",  # per-series stats broadcast hints removed
+    "ts_seasonality_strength",  # per-series profile broadcast hint removed
     # 4. r1/r2-era rotation block: code unchanged since last green row
     "ts_comment_tag_filter",
     "ts_incremental_merge",

@@ -609,3 +609,209 @@ def events_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _SAMPLE_K)
     )
+
+
+# --------------------------------------- LTTB-style viz downsample
+_LTTB_BUCKET_S = 3600
+
+
+@register(
+    "ts_downsample_lttb",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type AS dataset_id,
+             CAST(floor(epoch_us(ts) / ({_LTTB_BUCKET_S} * 1000000.0))
+                  AS BIGINT) * {_LTTB_BUCKET_S} AS bucket_ts,
+             ts, event_id, value,
+             (epoch_us(ts)
+              - CAST(floor(epoch_us(ts) / ({_LTTB_BUCKET_S} * 1000000.0))
+                     AS BIGINT) * {_LTTB_BUCKET_S} * 1000000)
+               / 1000000.0 AS t
+      FROM events
+    ),
+    m AS (
+      SELECT dataset_id, bucket_ts,
+             CAST(sum(CAST(t AS DECIMAL(24,6))) AS DOUBLE)
+               / count(*) AS mt,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS mv
+      FROM b GROUP BY dataset_id, bucket_ts
+    ),
+    an AS (
+      SELECT dataset_id, bucket_ts,
+             lag(bucket_ts)  OVER w - bucket_ts + lag(mt)  OVER w AS pt,
+             lag(mv)  OVER w AS pv,
+             lead(bucket_ts) OVER w - bucket_ts + lead(mt) OVER w AS nt,
+             lead(mv) OVER w AS nv
+      FROM m WINDOW w AS (PARTITION BY dataset_id ORDER BY bucket_ts)
+    ),
+    scored AS (
+      SELECT b.dataset_id, b.bucket_ts, b.ts, b.event_id, b.value,
+             CASE WHEN an.pt IS NULL OR an.nt IS NULL THEN NULL
+                  ELSE round(abs((an.pt - an.nt) * (b.value - an.pv)
+                                 - (an.pt - b.t) * (an.nv - an.pv))
+                             / 2, 6)
+             END AS area,
+             CASE WHEN an.pt IS NULL THEN b.t
+                  WHEN an.nt IS NULL THEN -b.t
+                  ELSE -round(abs((an.pt - an.nt) * (b.value - an.pv)
+                                  - (an.pt - b.t) * (an.nv - an.pv))
+                              / 2, 6)
+             END AS sel_key
+      FROM b JOIN an USING (dataset_id, bucket_ts)
+    )
+    SELECT dataset_id, bucket_ts,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us, value, area
+    FROM (
+      SELECT *,
+             row_number() OVER (PARTITION BY dataset_id, bucket_ts
+                                ORDER BY sel_key, ts, event_id) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB-style visualization downsampling (Steinarsson 2013,
+    "Downsampling Time Series for Visual Representation" — public
+    technique), bucket-anchored variant: keep, per (series, bucket),
+    the point forming the largest triangle against the NEIGHBOR
+    BUCKET MEANS. True LTTB anchors on the previously selected point
+    (a serial recurrence); anchoring on the bucket means instead is
+    the standard parallel approximation — every bucket becomes
+    independent, so the selection is one window pass instead of a
+    per-series sequential fold, at a quality loss only when a bucket
+    mean diverges wildly from its selected point. First/last buckets
+    keep their first/last point, as in the original.
+
+    Plan: one bucket-mean aggregate, a lag/lead window over the
+    bucket-mean frame (bucket-count-sized, tiny), a join back keyed
+    on (series, bucket) reusing the aggregate's partitioning, and one
+    per-bucket row_number. Triangle areas are computed on second-
+    scale time offsets with 6-dp rounding and (ts, event_id)
+    tiebreaks, so the argmax is engine-identical."""
+    ev = spark.table("events")
+    bucket = (
+        F.floor(
+            F.unix_micros("ts") / F.lit(_LTTB_BUCKET_S * 1_000_000.0)
+        ).cast("long")
+        * _LTTB_BUCKET_S
+    )
+    # bucket-RELATIVE time offsets: keeps every DECIMAL time sum
+    # under 2^53 so the decimal->double conversion is exact in both
+    # engines (absolute epoch sums hit int128->double ulp divergence)
+    t = (F.unix_micros("ts") - bucket * F.lit(1_000_000)) / F.lit(
+        1_000_000.0
+    )
+    b = ev.select(
+        F.col("event_type").alias("dataset_id"),
+        bucket.alias("bucket_ts"),
+        "ts",
+        "event_id",
+        "value",
+        t.alias("t"),
+    )
+    # anchors stay UNROUNDED: the DECIMAL sums are exact, their
+    # double conversion and the division are IEEE-identical in both
+    # engines, while rounding the mean would land on .5-ulp ties
+    # (exact rational / count) where engine round() rules disagree.
+    m = b.groupBy("dataset_id", "bucket_ts").agg(
+        (
+            F.sum(F.col("t").cast("decimal(24,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mt"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mv"),
+    )
+    wm = Window.partitionBy("dataset_id").orderBy("bucket_ts")
+    an = m.select(
+        "dataset_id",
+        "bucket_ts",
+        (
+            F.lag("bucket_ts").over(wm)
+            - F.col("bucket_ts")
+            + F.lag("mt").over(wm)
+        ).alias("pt"),
+        F.lag("mv").over(wm).alias("pv"),
+        (
+            F.lead("bucket_ts").over(wm)
+            - F.col("bucket_ts")
+            + F.lead("mt").over(wm)
+        ).alias("nt"),
+        F.lead("mv").over(wm).alias("nv"),
+    )
+    raw_area = (
+        F.abs(
+            (F.col("pt") - F.col("nt")) * (F.col("value") - F.col("pv"))
+            - (F.col("pt") - F.col("t")) * (F.col("nv") - F.col("pv"))
+        )
+        / 2
+    )
+    area = F.when(
+        F.col("pt").isNotNull() & F.col("nt").isNotNull(),
+        F.round(raw_area, 6),
+    )
+    sel_key = (
+        F.when(F.col("pt").isNull(), F.col("t"))
+        .when(F.col("nt").isNull(), -F.col("t"))
+        .otherwise(-F.round(raw_area, 6))
+    )
+    scored = b.join(an, ["dataset_id", "bucket_ts"]).select(
+        "dataset_id",
+        "bucket_ts",
+        "ts",
+        "event_id",
+        "value",
+        area.alias("area"),
+        sel_key.alias("sel_key"),
+    )
+    ws = Window.partitionBy("dataset_id", "bucket_ts").orderBy(
+        "sel_key", "ts", "event_id"
+    )
+    return (
+        scored.select(
+            "dataset_id",
+            "bucket_ts",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+            "area",
+            F.row_number().over(ws).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ------------------------------------------------ percentile bands
+@register(
+    "ts_percentile_bands",
+    oracle="""
+    SELECT event_type AS dataset_id,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           count(*) AS n_points,
+           round(quantile_cont(value, 0.10), 6) AS p10,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.90), 6) AS p90
+    FROM events
+    GROUP BY dataset_id, hod
+    """,
+)
+def ts_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typical-day percentile envelope: per (series, hour-of-day),
+    exact interpolated p10/p50/p90 — the shaded confidence band a
+    telemetry UI draws behind the live line (and the baseline an
+    anomaly page compares against). Exact percentile buffers each
+    (series, hour) group; at 100 TB swap approx_percentile into the
+    identical plan (the sketch note on percentiles_by_event_type
+    applies). One grouped aggregate, no window, no join."""
+    ev = spark.table("events")
+    return ev.groupBy(
+        F.col("event_type").alias("dataset_id"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.expr("percentile(value, 0.10)"), 6).alias("p10"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
+    )
