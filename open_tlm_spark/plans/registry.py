@@ -121,6 +121,7 @@ _CHECK_FIRST = [
     "events_hash_sample",
     "ts_downsample_lttb",
     "ts_percentile_bands",
+    "docs_rake_keyphrases",
     "quality_bigram_logprob",  # vocab-marginal broadcast hints removed
     "ts_anomaly_mad",  # per-series stats broadcast hints removed
     "ts_seasonality_strength",  # per-series profile broadcast hint removed

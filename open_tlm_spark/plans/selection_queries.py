@@ -815,3 +815,179 @@ def ts_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
     )
+
+
+# ------------------------------------------------- RAKE keyphrases
+_RAKE_STOP = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+    "for", "with", "as", "by", "at", "it", "this", "that", "be",
+    "are", "was", "from", "but", "not", "have", "has",
+)
+_RAKE_MAX_LEN = 4
+_RAKE_TOP = 3
+
+
+@register(
+    "docs_rake_keyphrases",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    tok AS (
+      SELECT doc_id, u.i AS pos, w[u.i + 1] AS token,
+             w[u.i + 1] IN {_RAKE_STOP} AS is_stop
+      FROM toks, UNNEST(range(0, len(w))) AS u(i)
+    ),
+    numbered AS (
+      SELECT doc_id, pos, token, is_stop,
+             sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+      FROM tok
+    ),
+    seg AS (
+      SELECT doc_id, pos, token, phrase_id
+      FROM numbered WHERE NOT is_stop
+    ),
+    ph AS (
+      SELECT doc_id, phrase_id,
+             string_agg(token, ' ' ORDER BY pos) AS phrase,
+             count(*) AS n_words
+      FROM seg GROUP BY doc_id, phrase_id
+      HAVING count(*) <= {_RAKE_MAX_LEN}
+    ),
+    member AS (
+      SELECT s.doc_id, s.phrase_id, s.token, p.n_words
+      FROM seg s JOIN ph p USING (doc_id, phrase_id)
+    ),
+    ws AS (
+      SELECT token,
+             floor(sum(n_words) / CAST(count(*) AS DOUBLE) * 1000000
+                   + 0.5) / 1000000.0 AS score
+      FROM member GROUP BY token
+    ),
+    psc AS (
+      SELECT m.doc_id, ph.phrase, ph.n_words,
+             CAST(round(sum(CAST(ws.score AS DECIMAL(18,6))), 6)
+                  AS DOUBLE) AS score
+      FROM member m
+      JOIN ph USING (doc_id, phrase_id)
+      JOIN ws USING (token)
+      GROUP BY m.doc_id, m.phrase_id, ph.phrase, ph.n_words
+    ),
+    dedup AS (
+      SELECT doc_id, phrase,
+             CAST(max(n_words) AS BIGINT) AS n_words,
+             max(score) AS score
+      FROM psc GROUP BY doc_id, phrase
+    )
+    SELECT doc_id, phrase, n_words, score, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, phrase) AS rk
+      FROM dedup
+    ) WHERE rk <= {_RAKE_TOP}
+    """,
+)
+def docs_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, "Automatic
+    Keyword Extraction from Individual Documents" — public
+    technique): candidate phrases are maximal stopword-free token
+    runs (capped at {_RAKE_MAX_LEN} words); each word scores
+    degree/frequency over the phrase co-occurrence graph; a phrase
+    scores the sum of its word scores; top-{_RAKE_TOP} per document.
+    The classic unsupervised doc-tagging step between tokenize and
+    topic models.
+
+    Plan: posexplode + a per-doc running-sum window assigns phrase
+    ids in one pass (the window partitions by doc_id — thousands of
+    small partitions, never global). Word scores aggregate the
+    phrase-member relation (vocab-sized — joins back on token with
+    NO broadcast hint, AQE decides). Degree/frequency is a rational
+    that lands on round() ties, so it uses the floor(x*1e6+0.5)
+    half-up form; phrase scores then sum those exact 6-dp DECIMALs.
+    Per-doc ranking is a doc-partitioned row_number over the tiny
+    deduped phrase frame."""
+    from open_tlm_spark.operators.text import tokens
+
+    docs = fan_out(spark.table("documents"))
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias(
+            "pos", "token"
+        ),
+    ).select(
+        "doc_id",
+        "pos",
+        "token",
+        F.col("token").isin(*_RAKE_STOP).alias("is_stop"),
+    )
+    wseg = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = (
+        tok.select(
+            "doc_id",
+            "pos",
+            "token",
+            "is_stop",
+            F.sum(F.col("is_stop").cast("long")).over(wseg).alias(
+                "phrase_id"
+            ),
+        )
+        .filter(~F.col("is_stop"))
+        .drop("is_stop")
+    )
+    ph = (
+        seg.groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "token"))
+                    ),
+                    lambda x: x.token,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .filter(F.col("n_words") <= _RAKE_MAX_LEN)
+    )
+    member = seg.join(ph, ["doc_id", "phrase_id"]).select(
+        "doc_id", "phrase_id", "token", "phrase", "n_words"
+    )
+    ws = member.groupBy("token").agg(
+        (
+            F.floor(
+                F.sum("n_words") / F.count(F.lit(1)).cast("double")
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("score")
+    )
+    psc = (
+        member.join(ws, "token")
+        .groupBy("doc_id", "phrase_id", "phrase", "n_words")
+        .agg(
+            F.round(F.sum(F.col("score").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("score")
+        )
+    )
+    dedup = psc.groupBy("doc_id", "phrase").agg(
+        F.max("n_words").cast("long").alias("n_words"),
+        F.max("score").alias("score"),
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "phrase"
+    )
+    return (
+        dedup.select(
+            "doc_id",
+            "phrase",
+            "n_words",
+            "score",
+            F.row_number().over(wr).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= _RAKE_TOP)
+    )
