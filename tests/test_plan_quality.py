@@ -733,3 +733,50 @@ def test_corpus_scaling_frames_not_force_broadcast(spark):
             f"{name}: forced broadcast on corpus-scaling frame(s): "
             f"{offenders}"
         )
+
+
+def test_ohlc_single_exchange(spark):
+    """OHLC: the window pass and the aggregate share the same
+    (series, bin) partitioning — exactly ONE exchange in the plan."""
+    plan = plan_of(spark, "ts_ohlc_bars")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_sample_single_exchange_no_global_sort(spark):
+    """Hash sampling: one per-key exchange for the window; no global
+    sort anywhere (per-key top-k must not serialize)."""
+    plan = plan_of(spark, "events_hash_sample")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_pca_covariance_no_spark_side_self_join(spark):
+    """Covariance scan: the Spark side re-explodes the carried array
+    instead of self-joining the exploded relation — no join on
+    vec_id may appear (the DuckDB oracle uses the join; the engine
+    must not)."""
+    plan = plan_of(spark, "embedding_pca_covariance")
+    assert "vec_id" not in plan  # pruned away entirely: never a key
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lttb_windows_are_per_bucket(spark):
+    """LTTB: both windows partition (never global), and the only
+    joins are the bucket-keyed anchor join (equi)."""
+    plan = plan_of(spark, "ts_downsample_lttb")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_bench_core_is_subset_of_registry():
+    """bench.py's fixed driver-visible core must track registry
+    renames — a dropped name would silently shrink the comparable
+    set."""
+    import bench
+
+    missing = [n for n in bench.BENCH_CORE if n not in REGISTRY]
+    assert not missing, f"BENCH_CORE names not in registry: {missing}"
+    assert len(set(bench.BENCH_CORE)) == len(bench.BENCH_CORE)
