@@ -82,3 +82,34 @@ def test_fresh_queries_do_not_crowd_out_stale_ones():
             "window oversubscribed by stale queries yet holds fresh "
             f"ones: {fresh_in_window}"
         )
+
+
+def test_update_mode_records_green_rows(tmp_path):
+    """`evidence.py update` on a real driver correctness file must
+    produce fresh records (current fingerprints + oracle hash) for
+    every green query and leave red/unknown queries untouched."""
+    import json
+
+    from tools.evidence import cmd_update, compute_record, _read_fs
+    from open_tlm_spark.plans import REGISTRY
+
+    ledger_path = tmp_path / "ledger.json"
+    corr = os.path.join(REPO, "CORRECTNESS_r04.json")
+    assert cmd_update(4, corr, str(ledger_path)) == 0
+    with open(ledger_path) as f:
+        ledger = json.load(f)
+    with open(corr) as f:
+        rows = json.load(f)
+    green = {
+        n
+        for n, r in rows.items()
+        if n in REGISTRY and r.get("err") is None and r.get("hash_match")
+    }
+    assert green <= set(ledger)
+    # records carry CURRENT fingerprints and a real oracle hash
+    some = sorted(green)[0]
+    q = REGISTRY[some]
+    cur = compute_record(q.module, q.func_name, q.oracle, _read_fs)
+    assert ledger[some]["fingerprint"] == cur["fingerprint"]
+    assert ledger[some]["round"] == 4
+    assert ledger[some]["oracle_sha"] == cur["oracle_sha"]

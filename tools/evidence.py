@@ -433,24 +433,24 @@ def _green(row: dict) -> bool:
     )
 
 
-def _load() -> dict:
-    if os.path.exists(LEDGER):
-        with open(LEDGER, encoding="utf-8") as f:
+def _load(path: str = LEDGER) -> dict:
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
             return json.load(f)
     return {}
 
 
-def _save(ledger: dict) -> None:
-    with open(LEDGER, "w", encoding="utf-8") as f:
+def _save(ledger: dict, path: str = LEDGER) -> None:
+    with open(path, "w", encoding="utf-8") as f:
         json.dump(dict(sorted(ledger.items())), f, indent=1)
         f.write("\n")
 
 
-def cmd_update(round_no: int, corr_path: str) -> int:
+def cmd_update(round_no: int, corr_path: str, ledger_path: str = LEDGER) -> int:
     reg = _registry()
     with open(corr_path, encoding="utf-8") as f:
         corr = json.load(f)
-    ledger = _load()
+    ledger = _load(ledger_path)
     n = 0
     for name, row in corr.items():
         if name not in reg or not _green(row):
@@ -465,8 +465,8 @@ def cmd_update(round_no: int, corr_path: str) -> int:
     # prune queries that no longer exist
     for name in [n_ for n_ in ledger if n_ not in reg]:
         del ledger[name]
-    _save(ledger)
-    print(f"updated {n} records (round {round_no}) -> {LEDGER}")
+    _save(ledger, ledger_path)
+    print(f"updated {n} records (round {round_no}) -> {ledger_path}")
     return 0
 
 
