@@ -190,3 +190,41 @@ def start_metrics_stream(
         .trigger(processingTime=f"{flush_seconds} seconds")
         .start()
     )
+
+
+def streaming_ohlc(
+    points_stream: DataFrame,
+    duration_s: int,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming OHLC bars — the live companion of the batch
+    ts_ohlc_bars query: per (series, event-time window), open/close =
+    first/last value by (ts, value) order plus high/low/count. The
+    order key includes value only to break exact-timestamp ties
+    deterministically; min_by/max_by are plain declarative aggregates,
+    so the window state is four doubles + a count per open bar
+    (bounded by the watermark), never the raw points."""
+    key = F.struct("ts", "value")
+    return (
+        points_stream.withWatermark("ts", watermark)
+        .groupBy(
+            "dataset_id",
+            F.window("ts", f"{duration_s} seconds").alias("win"),
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("value").alias("n_points"),
+        )
+        .select(
+            "dataset_id",
+            F.unix_timestamp(F.col("win.start")).alias("bin_ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_points",
+        )
+    )

@@ -265,3 +265,51 @@ def test_system_metrics_example_end_to_end(spark, tmp_path):
         assert any(n.startswith("system.") for n in names)
     finally:
         q.stop()
+
+
+def test_streaming_ohlc_bars(spark, tmp_path):
+    """Streaming OHLC: open/close track event-time order inside each
+    window (not arrival order), high/low/count aggregate, late rows
+    within the watermark still land in their window."""
+    import datetime as dt
+
+    from open_tlm_spark.streaming.ingest import streaming_ohlc
+
+    src = tmp_path / "ohlc_src"
+    src.mkdir()
+    rows = [
+        # out-of-order arrivals inside one 60 s window
+        {"dataset_id": "a", "date": "2024-01-01T00:00:30", "value": 9.0},
+        {"dataset_id": "a", "date": "2024-01-01T00:00:05", "value": 2.0},
+        {"dataset_id": "a", "date": "2024-01-01T00:00:55", "value": 4.0},
+        {"dataset_id": "a", "date": "2024-01-01T00:00:10", "value": 1.0},
+        # second window
+        {"dataset_id": "a", "date": "2024-01-01T00:01:10", "value": 7.0},
+    ]
+    _write_landing(str(src), rows, "o1")
+    stream = (
+        spark.readStream.schema("dataset_id string, date string, value double")
+        .json(str(src))
+        .select("dataset_id", F.to_timestamp("date").alias("ts"), "value")
+    )
+    q = (
+        streaming_ohlc(stream, 60)
+        .writeStream.format("memory")
+        .queryName("ohlc_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        assert _wait(
+            lambda: spark.sql("SELECT * FROM ohlc_test").count() == 2
+        ), "ohlc stream never produced 2 bars"
+        got = {
+            r.bin_ts: (r.open, r.high, r.low, r.close, r.n_points)
+            for r in spark.sql("SELECT * FROM ohlc_test").collect()
+        }
+    finally:
+        q.stop()
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    # open = value at 00:00:05 (earliest ts), close = value at 00:00:55
+    assert got[base] == (2.0, 9.0, 1.0, 4.0, 4)
+    assert got[base + 60] == (7.0, 7.0, 7.0, 7.0, 1)
