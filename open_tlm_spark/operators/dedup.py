@@ -26,7 +26,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from open_tlm_spark.operators.text import tokens
@@ -431,3 +431,96 @@ def ngram_containment_pairs(
         )
     )
     return out.filter(F.col("containment") >= min_containment)
+
+
+# --------------------------------------------------------- winnowing
+WINNOW_K = 3  # tokens per k-gram
+WINNOW_W = 4  # k-gram hashes per winnowing window
+_WINNOW_POS_BITS = 20  # pack = hash << POS_BITS | pos  (pos < 2^20)
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS algorithm; public technique).
+
+    Per document: hash every K-token k-gram by position, then select
+    the minimum hash of every window of W consecutive k-grams. The
+    guarantee: any substring match of at least W+K-1 tokens shares at
+    least one selected fingerprint, while only ~2/(W+1) of positions
+    are kept — position-robust dedup keys at a fraction of the
+    shingle volume.
+
+    Plan: one tokenize + k-gram transform (narrow), one per-doc
+    rows-frame window min (doc-partitioned — thousands of small
+    partitions), one distinct. The (hash, pos) pair is packed into a
+    single 56-bit integer so the window min is a plain BIGINT min in
+    any engine; hash is 36 bits of the gram's md5 (collisions only
+    merge fingerprints identically in every engine, so results stay
+    deterministic). Returns (doc_id, fp) distinct rows.
+    """
+    from open_tlm_spark.operators.text import tokens
+
+    w = tokens(F.lower(F.col("text")))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - WINNOW_K),
+        lambda i: F.array_join(F.slice(w, i + 1, WINNOW_K), " "),
+    )
+    kg = (
+        docs.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+        .select(
+            "doc_id",
+            "pos",
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 9), 16, 10).cast(
+                    "long"
+                )
+                * (1 << _WINNOW_POS_BITS)
+                + F.col("pos")
+            ).alias("pack"),
+        )
+    )
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    n = Window.partitionBy("doc_id")
+    sel = kg.select(
+        "doc_id",
+        "pos",
+        F.min("pack").over(frame).alias("sel"),
+        F.count(F.lit(1)).over(n).alias("n_grams"),
+    ).filter(F.col("pos") <= F.col("n_grams") - WINNOW_W)
+    return sel.select(
+        "doc_id",
+        (F.col("sel") / (1 << _WINNOW_POS_BITS)).cast("long").alias("fp"),
+    ).distinct()
+
+
+def winnow_pairs(
+    fps: DataFrame, min_shared: int = 2, max_df: int = 50
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowed fingerprints:
+    fingerprints in more than max_df docs are dropped BEFORE the
+    self-join (the stop-shingle discipline — keeps the hot-key join
+    linear), pairs keep their shared-fingerprint count."""
+    df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    rare = fps.join(
+        df_counts.filter(F.col("df") <= max_df).select("fp"), "fp"
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -991,3 +991,74 @@ def docs_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _RAKE_TOP)
     )
+
+
+# ------------------------------------------------------- winnowing
+_WINNOW_MIN_SHARED = 2
+_WINNOW_MAX_DF = 50
+
+
+@register(
+    "dedup_winnowing",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    tok AS (SELECT doc_id, w FROM toks),
+    kg AS (
+      SELECT doc_id, u.i AS pos,
+             ('0x' || substr(md5(array_to_string(
+                 list_slice(w, u.i + 1, u.i + 3), ' ')), 1, 9))::BIGINT
+               * 1048576 + u.i AS pack
+      FROM tok, UNNEST(range(0, len(w) - 2)) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    sel AS (
+      SELECT doc_id, pos,
+             min(pack) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS sel,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM kg
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id,
+             CAST(floor(sel / 1048576.0) AS BIGINT) AS fp
+      FROM sel WHERE pos <= n_grams - 4
+    ),
+    dfc AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+    rare AS (
+      SELECT fps.doc_id, fps.fp FROM fps
+      JOIN dfc USING (fp) WHERE dfc.df <= {_WINNOW_MAX_DF}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared
+    FROM rare a JOIN rare b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup detection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS fingerprinting algorithm, public): select
+    the minimum k-gram hash of every sliding window of 4
+    consecutive k-gram hashes per document, then pair documents sharing >= {_WINNOW_MIN_SHARED}
+    selected fingerprints. The winnowing guarantee: any common
+    substring of >= w+k-1 tokens shares a fingerprint, at ~2/(w+1)
+    the volume of full shingle sets — the positional complement to
+    MinHash (set similarity) and substring-span hashing (fixed char
+    strides).
+
+    Plan: narrow k-gram transform, one doc-partitioned rows-frame
+    window min on a packed (hash<<20|pos) BIGINT, a distinct, then
+    the stop-fingerprint-capped equi-self-join (same linearity
+    discipline as the shingle family). See operators/dedup.py
+    winnow_fingerprints/winnow_pairs."""
+    from open_tlm_spark.operators import dedup as D
+
+    docs = spark.table("documents")
+    from open_tlm_spark.session import fan_out
+
+    fps = D.winnow_fingerprints(fan_out(docs))
+    return D.winnow_pairs(
+        fps, min_shared=_WINNOW_MIN_SHARED, max_df=_WINNOW_MAX_DF
+    )

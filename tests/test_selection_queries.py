@@ -155,3 +155,37 @@ def test_rake_phrases_contain_no_stopwords(spark):
     for doc, rks in per_doc.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))
         assert len(rks) <= _RAKE_TOP
+
+
+def test_winnowing_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a substring of >= w+k-1 tokens (here 4+3-1=6) MUST share
+    at least one selected fingerprint; disjoint-vocabulary documents
+    must share none."""
+    from open_tlm_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight {shared} nine ten eleven twelve"),
+            (3, "completely different words with nothing common here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # the pair surface reports the overlapping pair only
+    pairs = winnow_pairs(fps, min_shared=1, max_df=10).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
+    # volume: winnowing keeps a strict subset of the k-gram positions
+    n_grams_1 = len(docs.collect()[0].text.split()) - 2
+    assert len(by_doc[1]) < n_grams_1
