@@ -1,12 +1,18 @@
 """Round-5 data-selection / serving extras: DSIR importance
 weighting, CCNet-style LM buckets, temperature-scaled mixture
-allocation, embedding covariance, LSH s-curve calibration, OHLC
-downsampling, and deterministic hash sampling.
+allocation, embedding covariance, LSH s-curve calibration, OHLC and
+LTTB downsampling, percentile bands, deterministic hash sampling,
+RAKE keyphrases, and winnowing fingerprints.
 
 All are public techniques (citations on each query); all follow the
 registry conventions (identical aliases both engines, DECIMAL-exact
 order-independent sums, 6-dp rounding before ranking, id tiebreaks).
-"""
+Two float-determinism rules were learned here and apply repo-wide:
+a 6-dp DECIMAL sum divided by an integer count lands exactly on
+round() tie boundaries (use floor(x*1e6+0.5)/1e6), and DECIMAL
+accumulators whose integer magnitude exceeds 2^53 convert to double
+differently across engines (keep summed magnitudes small, e.g.
+bucket-relative offsets)."""
 
 from __future__ import annotations
 
