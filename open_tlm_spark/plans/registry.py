@@ -123,6 +123,7 @@ _CHECK_FIRST = [
     "ts_percentile_bands",
     "docs_rake_keyphrases",
     "dedup_winnowing",
+    "ts_dft_power",
     "quality_bigram_logprob",  # vocab-marginal broadcast hints removed
     "ts_anomaly_mad",  # per-series stats broadcast hints removed
     "ts_seasonality_strength",  # per-series profile broadcast hint removed

@@ -1062,9 +1062,119 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_tlm_spark.operators import dedup as D
 
     docs = spark.table("documents")
-    from open_tlm_spark.session import fan_out
-
-    fps = D.winnow_fingerprints(fan_out(docs))
+    # the fingerprint subtree feeds the df-cap aggregate AND both
+    # self-join sides; materialize once (lazy local checkpoint — the
+    # established pattern from the MinHash family) instead of four
+    # k-gram + window passes
+    fps = D.winnow_fingerprints(fan_out(docs)).localCheckpoint(
+        eager=False
+    )
     return D.winnow_pairs(
         fps, min_shared=_WINNOW_MIN_SHARED, max_df=_WINNOW_MAX_DF
+    )
+
+
+# ------------------------------------------------- DFT periodogram
+import math as _math
+
+_DFT_BIN_S = 1000
+_DFT_PERIODS = (3600, 21600, 86400)  # 1 h, 6 h, 1 d
+_TWO_PI = 2.0 * _math.pi
+
+
+def _dft_oracle() -> str:
+    rows = ", ".join(f"({t})" for t in _DFT_PERIODS)
+    return f"""
+    WITH binned AS (
+      SELECT event_type AS dataset_id,
+             CAST(floor(epoch_us(ts) / ({_DFT_BIN_S} * 1000000.0))
+                  AS BIGINT) * {_DFT_BIN_S} AS bin_ts,
+             CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                        / count(*), 6) AS DECIMAL(18,6)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    p(period_s) AS (VALUES {rows}),
+    terms AS (
+      SELECT dataset_id, period_s,
+             CAST(round(CAST(v AS DOUBLE)
+                 * cos({_TWO_PI!r} * (bin_ts % period_s) / period_s), 6)
+               AS DECIMAL(18,6)) AS c,
+             CAST(round(CAST(v AS DOUBLE)
+                 * sin({_TWO_PI!r} * (bin_ts % period_s) / period_s), 6)
+               AS DECIMAL(18,6)) AS s
+      FROM binned, p
+    )
+    SELECT dataset_id, CAST(period_s AS BIGINT) AS period_s,
+           count(*) AS n_bins,
+           round((CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)
+                  + CAST(sum(s) AS DOUBLE) * CAST(sum(s) AS DOUBLE))
+                 / (count(*) * CAST(count(*) AS DOUBLE)), 6) AS power
+    FROM terms GROUP BY dataset_id, period_s
+    """
+
+
+@register("ts_dft_power", oracle=_dft_oracle())
+def ts_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-frequency DFT periodogram — spectral power of each
+    series at the 1 h / 6 h / 1 d periods (the Fourier projection
+    P(T) = (|sum v·e^{{-2pi i t/T}}|/n)^2; Schuster's periodogram,
+    public since 1898): the quantitative form of "is this series
+    hourly/daily periodic", feeding seasonality-aware alerting and
+    the ts_seasonality_strength readout with an actual frequency
+    axis.
+
+    Plan: one (series, bin) mean aggregate, a 3-row period-spec
+    cross join (literal frame — broadcast is size-independent), and
+    one (series, period) aggregate — all map-side combinable, no
+    window. Determinism: bin means are DECIMAL-exact; each cos/sin
+    product is rounded to 6 dp then DECIMAL-summed (order-free); the
+    phase angle 2pi(bin_ts mod T)/T is exact integer math feeding
+    the same double literal in both engines."""
+    ev = spark.table("events")
+    binned = (
+        ev.groupBy(
+            F.col("event_type").alias("dataset_id"),
+            (
+                F.floor(
+                    F.unix_micros("ts") / F.lit(_DFT_BIN_S * 1_000_000.0)
+                ).cast("long")
+                * _DFT_BIN_S
+            ).alias("bin_ts"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("v")
+        )
+    )
+    periods = spark.createDataFrame(
+        [(t,) for t in _DFT_PERIODS], "period_s long"
+    )
+    theta = (
+        F.lit(_TWO_PI)
+        * (F.col("bin_ts") % F.col("period_s"))
+        / F.col("period_s")
+    )
+    terms = binned.join(F.broadcast(periods)).select(
+        "dataset_id",
+        "period_s",
+        F.round(F.col("v").cast("double") * F.cos(theta), 6)
+        .cast("decimal(18,6)")
+        .alias("c"),
+        F.round(F.col("v").cast("double") * F.sin(theta), 6)
+        .cast("decimal(18,6)")
+        .alias("s"),
+    )
+    sc = F.sum("c").cast("double")
+    ss = F.sum("s").cast("double")
+    n = F.count(F.lit(1))
+    return terms.groupBy("dataset_id", "period_s").agg(
+        n.alias("n_bins"),
+        F.round(
+            (sc * sc + ss * ss) / (n * n.cast("double")), 6
+        ).alias("power"),
     )

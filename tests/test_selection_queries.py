@@ -189,3 +189,35 @@ def test_winnowing_guarantee(spark):
     # volume: winnowing keeps a strict subset of the k-gram positions
     n_grams_1 = len(docs.collect()[0].text.split()) - 2
     assert len(by_doc[1]) < n_grams_1
+
+
+def test_dft_power_finds_planted_period():
+    """Semantic check of the periodogram formula on a planted pure
+    1-hour sinusoid (run through the DuckDB oracle — diffcheck pins
+    engine==oracle, this pins oracle==math): power at 3600 s must
+    dwarf the 6 h and 1 d powers, and approach (amplitude/2)^2."""
+    import duckdb
+
+    q = REGISTRY["ts_dft_power"]
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE TABLE events AS
+        SELECT TIMESTAMP '2024-01-01' + INTERVAL (i * 250) SECOND AS ts,
+               'sine' AS event_type,
+               5.0 * sin(2 * pi() * (i * 250) / 3600.0) AS value
+        FROM range(0, 2000) t(i)
+        """
+    )
+    out = {
+        int(r[1]): r[3]
+        for r in con.execute(q.oracle).fetchall()
+    }
+    assert out[3600] > 20 * max(out[21600], out[86400])
+    # |DFT|^2/n^2 of a pure sinusoid at its own frequency is (A/2)^2,
+    # attenuated by the 1000 s bin-averaging sinc^2(pi*B/T) factor
+    import math
+
+    x = math.pi * 1000 / 3600
+    expected = 6.25 * (math.sin(x) / x) ** 2
+    assert abs(out[3600] - expected) < 0.5
