@@ -124,6 +124,8 @@ _CHECK_FIRST = [
     "docs_rake_keyphrases",
     "dedup_winnowing",
     "ts_dft_power",
+    "dedup_threshold_yield",
+    "sim_ivf_balance_audit",
     "quality_bigram_logprob",  # vocab-marginal broadcast hints removed
     "ts_anomaly_mad",  # per-series stats broadcast hints removed
     "ts_seasonality_strength",  # per-series profile broadcast hint removed

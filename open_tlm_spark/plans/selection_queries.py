@@ -1178,3 +1178,151 @@ def ts_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sc * sc + ss * ss) / (n * n.cast("double")), 6
         ).alias("power"),
     )
+
+
+# -------------------------------------------- dedup threshold yield
+_YIELD_THRESHOLDS = [round(0.1 * k, 1) for k in range(1, 10)]
+
+
+def _yield_oracle() -> str:
+    from open_tlm_spark.plans.pipeline_queries import _minhash_oracle
+
+    thr_rows = ", ".join(f"({t})" for t in _YIELD_THRESHOLDS)
+    return f"""
+    WITH jac AS ({_minhash_oracle()}),
+    t(thr) AS (VALUES {thr_rows})
+    SELECT CAST(t.thr AS DOUBLE) AS threshold,
+           CAST(count(CASE WHEN j.jaccard >= t.thr THEN 1 END) AS BIGINT)
+             AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN j.jaccard >= t.thr
+                                    THEN j.doc_b END) AS BIGINT)
+             AS n_docs_flagged
+    FROM t CROSS JOIN jac j
+    GROUP BY t.thr
+    """
+
+
+@register("dedup_threshold_yield", oracle=_yield_oracle())
+def dedup_threshold_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold yield curve — the tuning table every corpus
+    team builds before committing a similarity cutoff: for each
+    Jaccard threshold 0.1..0.9, how many verified LSH candidate
+    pairs survive and how many documents would be dropped (a doc is
+    flagged when it is the larger id of any surviving pair — the
+    keep-lowest-id rule of the cluster stage). Reading the curve
+    answers "what does tightening the threshold cost" without
+    re-running the pipeline per candidate value.
+
+    Plan: reuses the gated MinHash-LSH candidate + exact-Jaccard
+    subtree (already linear by banding + stop-shingles), then ONE
+    pass over the tiny verified-pair frame cross-joined with the
+    9-row literal threshold spec (broadcast is size-independent).
+    Distinct-doc counts run per threshold over candidate pairs only
+    — never the corpus."""
+    from open_tlm_spark.operators import dedup as D
+
+    docs = spark.table("documents")
+    sh = D.shingle_table(docs).localCheckpoint(eager=False)
+    sig = D.minhash_signatures(sh).localCheckpoint(eager=False)
+    cand = D.lsh_candidates(sig).localCheckpoint(eager=False)
+    verified = D.jaccard_for_pairs(cand, sh)
+    jac = cand.join(verified, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in _YIELD_THRESHOLDS], "thr double"
+    )
+    hit = F.col("jaccard") >= F.col("thr")
+    return (
+        jac.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.countDistinct(F.when(hit, F.col("doc_b")))
+            .cast("long")
+            .alias("n_docs_flagged"),
+        )
+        .select(
+            F.col("thr").alias("threshold"), "n_pairs", "n_docs_flagged"
+        )
+    )
+
+
+# ---------------------------------------------- IVF balance audit
+_IVF_AUDIT_K = 8
+
+
+def _ivf_balance_oracle() -> str:
+    from open_tlm_spark.plans.pipeline_queries import NORMED_CTE
+
+    return f"""{NORMED_CTE},
+    c AS (SELECT vec_id AS centroid_id, nvec AS cnvec FROM normed
+          WHERE vec_id < {_IVF_AUDIT_K}),
+    assigned AS (
+      SELECT vec_id, centroid_id
+      FROM (
+        SELECT a.vec_id, c.centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> a.nvec[i] * c.cnvec[i])), 6) AS cs
+        FROM normed a, c) s
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, centroid_id) = 1
+    ),
+    cell AS (SELECT centroid_id, count(*) AS n_vecs
+             FROM assigned GROUP BY centroid_id),
+    tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n FROM cell)
+    SELECT centroid_id,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           floor(n_vecs / CAST(n AS DOUBLE) * 1000000 + 0.5)
+             / 1000000.0 AS share,
+           floor(n_vecs * {_IVF_AUDIT_K} / CAST(n AS DOUBLE) * 1000000
+                 + 0.5) / 1000000.0 AS load_factor
+    FROM cell, tot
+    """
+
+
+@register("sim_ivf_balance_audit", oracle=_ivf_balance_oracle())
+def sim_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index balance audit — the operational check an ANN serving
+    layer runs after (re)training: per cell, the vector count, corpus
+    share, and load factor (share x k; 1.0 = perfectly balanced). A
+    hot cell (load >> 1) serializes every query routed to it and is
+    the signal to retrain or split — the IVF analogue of partition
+    skew. Same deterministic lowest-id centroids as the gated
+    sim_ivf_assign, so the audit describes exactly the index the
+    serving queries use.
+
+    Plan: the broadcast-centroid assignment pass (narrow), one
+    k-group count, a 1-row total frame broadcast back. Ratios use the
+    floor-based half-up rounding — n/total is exactly the rational
+    tie case where engine round() rules disagree."""
+    from open_tlm_spark.operators import similarity as S
+
+    emb = spark.table("embeddings")
+    centroids = emb.filter(F.col("vec_id") < _IVF_AUDIT_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    cell = (
+        S.ivf_assign(emb, centroids)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    tot = cell.agg(F.sum("n_vecs").cast("long").alias("n"))
+
+    def _half_up(x):
+        return F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000.0
+
+    frac = F.col("n_vecs") / F.col("n").cast("double")
+    return cell.join(F.broadcast(tot)).select(
+        "centroid_id",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        _half_up(frac).alias("share"),
+        _half_up(F.col("n_vecs") * _IVF_AUDIT_K / F.col("n").cast("double")).alias(
+            "load_factor"
+        ),
+    )
