@@ -221,3 +221,33 @@ def test_dft_power_finds_planted_period():
     x = math.pi * 1000 / 3600
     expected = 6.25 * (math.sin(x) / x) ** 2
     assert abs(out[3600] - expected) < 0.5
+
+
+def test_threshold_yield_is_monotone(spark):
+    """Raising the Jaccard cutoff can only shrink the surviving pair
+    set and the flagged-document set; the full threshold grid is
+    present."""
+    out = {r.threshold: (r.n_pairs, r.n_docs_flagged) for r in rows(spark, "dedup_threshold_yield")}
+    ts = sorted(out)
+    assert len(ts) == 9 and abs(ts[0] - 0.1) < 1e-9
+    for a, b in zip(ts, ts[1:]):
+        assert out[b][0] <= out[a][0]
+        assert out[b][1] <= out[a][1]
+    assert out[ts[0]][1] <= out[ts[0]][0] * 2  # flagged docs <= 2x pairs
+
+
+def test_ivf_balance_shares_sum_to_one(spark):
+    """Cell shares partition the corpus; load factors average 1."""
+    out = rows(spark, "sim_ivf_balance_audit")
+    assert len(out) >= 2
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-3
+    mean_load = sum(r.load_factor for r in out) / len(out)
+    assert abs(mean_load - 1.0) < 0.05
+    total = sum(r.n_vecs for r in out)
+    emb_n = (
+        REGISTRY["sim_ivf_balance_audit"]
+        .fn(spark, SF)
+        .sparkSession.table("embeddings")
+        .count()
+    )
+    assert total == emb_n
