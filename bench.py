@@ -28,14 +28,14 @@ BENCH_CORE = [
     "approx_distinct_stats", "asof_align_series", "basket_part_pairs",
     "bpe_pair_counts", "curation_yield_by_source",
     "decontaminate_ngrams", "dedup_clusters", "dedup_containment",
-    "dedup_embedding_cosine", "dedup_exact",
+    "dedup_embedding_cosine",
     "dedup_minhash_est_vs_exact", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_simhash_hamming",
     "dedup_substring_spans", "docs_bm25_topk", "docs_clean_pipeline",
     "docs_collocations_pmi", "docs_ngram_novelty", "docs_tfidf_topk",
     "embedding_label_cohesion", "event_funnel",
     "event_funnel_windowed", "orders_fulfillment_sla",
-    "orders_open_backlog_daily", "orders_pareto_share", "pq_quantize",
+    "orders_open_backlog_daily", "pq_quantize",
     "quality_bigram_logprob", "quality_repetition",
     "quality_unigram_logprob", "sem_dedup_cells", "sessionize_events",
     "sim_ivf_recall_eval", "sim_ivf_topk", "sim_ivf_train",
@@ -43,9 +43,13 @@ BENCH_CORE = [
     "sim_pq_recall_eval", "source_overlap_matrix",
     "tpch_q16_supplier_part_counts", "tpch_q18_large_orders",
     "tpch_q1_pricing_summary", "tpch_q21_waiting_suppliers",
-    "tpch_q9_profit_by_nation_year", "ts_histogram",
+    "ts_histogram",
     "ts_histogram_per_series", "ts_incremental_merge",
 ]
+# Trimmed in round 6 (payload-cap margin, ADVICE r5): dedup_exact,
+# orders_pareto_share, tpch_q9_profit_by_nation_year — the three
+# fastest members (0.26-0.89 s, scheduling-noise-dominated). They
+# remain in BENCH_FULL_LOCAL.json; bench_compare uses the full map.
 
 
 def main() -> int:
@@ -97,8 +101,17 @@ def main() -> int:
     full = {**payload, "queries": dict(per_query)}
     by_speed = sorted(core, key=core.get)  # fastest first (guard only)
     while len(json.dumps(payload)) > 1800 and by_speed:
-        payload["queries"].pop(by_speed.pop(0))
+        dropped = by_speed.pop(0)
+        payload["queries"].pop(dropped)
         payload["queries_omitted"] = len(core) - len(payload["queries"])
+        # The whole point of BENCH_CORE is a fixed like-for-like set;
+        # evicting a member silently would defeat it. Shout.
+        print(
+            f"WARNING: BENCH_CORE payload over 1800B cap — dropped "
+            f"{dropped!r} from the inline dict (full map still in "
+            f"BENCH_FULL_LOCAL.json). Trim BENCH_CORE.",
+            file=sys.stderr,
+        )
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LOCAL.json"),
         "w",

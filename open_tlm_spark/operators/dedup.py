@@ -462,12 +462,22 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     from open_tlm_spark.operators.text import tokens
 
     w = tokens(F.lower(F.col("text")))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - WINNOW_K),
-        lambda i: F.array_join(F.slice(w, i + 1, WINNOW_K), " "),
-    )
+    # Guard docs shorter than K tokens: sequence(0, size-K) with a
+    # negative stop is descending and the slice throws — mirror the
+    # oracle's len(w) >= K predicate with an empty gram array.
+    grams = F.when(
+        F.size(w) >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - WINNOW_K),
+            lambda i: F.array_join(F.slice(w, i + 1, WINNOW_K), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     kg = (
         docs.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+        # pos must fit in the pack's low POS_BITS; truncate the gram
+        # stream (deterministically, both engines) past 2^20 grams so
+        # a pathologically long doc can't bleed pos bits into the hash.
+        .filter(F.col("pos") < (1 << _WINNOW_POS_BITS))
         .select(
             "doc_id",
             "pos",
@@ -492,9 +502,12 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
         F.min("pack").over(frame).alias("sel"),
         F.count(F.lit(1)).over(n).alias("n_grams"),
     ).filter(F.col("pos") <= F.col("n_grams") - WINNOW_W)
+    # Integer shift, not double division: packs above 2^53 lose low
+    # bits on the double round-trip, shifting the recovered hash by 1
+    # near pos ~ 2^20 boundaries.
     return sel.select(
         "doc_id",
-        (F.col("sel") / (1 << _WINNOW_POS_BITS)).cast("long").alias("fp"),
+        F.shiftright(F.col("sel"), _WINNOW_POS_BITS).alias("fp"),
     ).distinct()
 
 

@@ -1015,7 +1015,7 @@ _WINNOW_MAX_DF = 50
                  list_slice(w, u.i + 1, u.i + 3), ' ')), 1, 9))::BIGINT
                * 1048576 + u.i AS pack
       FROM tok, UNNEST(range(0, len(w) - 2)) AS u(i)
-      WHERE len(w) >= 3
+      WHERE len(w) >= 3 AND u.i < 1048576
     ),
     sel AS (
       SELECT doc_id, pos,
@@ -1026,8 +1026,7 @@ _WINNOW_MAX_DF = 50
       FROM kg
     ),
     fps AS (
-      SELECT DISTINCT doc_id,
-             CAST(floor(sel / 1048576.0) AS BIGINT) AS fp
+      SELECT DISTINCT doc_id, sel // 1048576 AS fp
       FROM sel WHERE pos <= n_grams - 4
     ),
     dfc AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),

@@ -191,6 +191,61 @@ def test_winnowing_guarantee(spark):
     assert len(by_doc[1]) < n_grams_1
 
 
+def test_winnowing_short_and_empty_docs(spark):
+    """Docs with fewer than K=3 tokens (or empty/whitespace text) must
+    yield zero fingerprints, not a slice crash (ADVICE r5: a negative
+    sequence stop fed F.slice a descending range). Mirrors the
+    oracle's len(w) >= 3 guard."""
+    from open_tlm_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "one"),
+            (3, "one two"),
+            (4, "   "),
+            (5, "alpha beta gamma delta epsilon zeta eta"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(docs).collect()
+    assert {r.doc_id for r in rows} == {5}
+
+
+def test_winnowing_pack_integer_recovery(spark):
+    """The packed (hash<<20|pos) fingerprint must recover the hash by
+    integer shift: packs above 2^53 lose low bits on a double
+    round-trip (ADVICE r5). Plant a doc whose first gram hashes above
+    2^33 and check fp == pack >> 20 exactly."""
+    from open_tlm_spark.operators.dedup import (
+        _WINNOW_POS_BITS,
+        winnow_fingerprints,
+    )
+
+    # 40 distinct tokens -> 38 grams; md5-derived 36-bit hashes are
+    # uniform, so ~7/8 land above 2^33 (the double-lossy zone).
+    text = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    )
+    fps = {r.fp for r in winnow_fingerprints(docs).collect()}
+    assert fps, "expected fingerprints from a 40-token doc"
+    # recompute expected fps in pure python (same md5 36-bit hash)
+    import hashlib
+
+    toks = text.lower().split()
+    hashes = []
+    for i in range(len(toks) - 2):
+        gram = " ".join(toks[i : i + 3])
+        h = int(hashlib.md5(gram.encode()).hexdigest()[:9], 16)
+        hashes.append((h << _WINNOW_POS_BITS) + i)
+    expected = set()
+    for i in range(len(hashes) - 3):
+        expected.add(min(hashes[i : i + 4]) >> _WINNOW_POS_BITS)
+    assert fps == expected
+    assert any(f > (1 << 33) for f in fps), "test corpus too small"
+
+
 def test_dft_power_finds_planted_period():
     """Semantic check of the periodogram formula on a planted pure
     1-hour sinusoid (run through the DuckDB oracle — diffcheck pins
