@@ -401,3 +401,348 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         exp.alias("exp_share"),
         F.round(F.abs(obs - exp), 6).alias("abs_dev"),
     )
+
+
+# ----------------------------------------------- Bollinger bands
+_BB_BIN_S = 3600  # hourly bins
+_BB_N = 20  # rolling window length (the classic 20-period band)
+_BB_K = 2  # band half-width in rolling stddevs
+_BB_SCALE = 1000  # 3-dp fixed-point bin means -> all-integer moments
+
+
+@register(
+    "ts_bollinger_bands",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type AS dataset_id,
+             CAST(floor(epoch_us(ts) / ({_BB_BIN_S} * 1000000.0))
+               AS BIGINT) AS bin,
+             CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                             AS DOUBLE) / count(*)
+                        * {_BB_SCALE} + 0.5) AS BIGINT) AS vi
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT dataset_id, bin, vi,
+             CAST(sum(vi) OVER win AS BIGINT) AS s1,
+             CAST(sum(vi * vi) OVER win AS BIGINT) AS s2,
+             CAST(count(*) OVER win AS BIGINT) AS nw
+      FROM b
+      WINDOW win AS (PARTITION BY dataset_id ORDER BY bin
+                     ROWS BETWEEN {_BB_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT dataset_id,
+           bin * {_BB_BIN_S} AS bin_ts,
+           vi / {_BB_SCALE}.0 AS v,
+           round(s1 / ({_BB_N} * {_BB_SCALE}.0), 6) AS mid,
+           round(s1 / ({_BB_N} * {_BB_SCALE}.0)
+                 - {_BB_K} * sqrt(CAST({_BB_N} * s2 - s1 * s1 AS DOUBLE))
+                   / ({_BB_N} * {_BB_SCALE}.0), 6) AS lower,
+           round(s1 / ({_BB_N} * {_BB_SCALE}.0)
+                 + {_BB_K} * sqrt(CAST({_BB_N} * s2 - s1 * s1 AS DOUBLE))
+                   / ({_BB_N} * {_BB_SCALE}.0), 6) AS upper,
+           vi * {_BB_N} * {_BB_SCALE} > s1 * {_BB_SCALE}
+             + CAST(round({_BB_K} * sqrt(CAST({_BB_N} * s2 - s1 * s1
+                                              AS DOUBLE))) AS BIGINT)
+             AS above_upper
+    FROM w WHERE nw = {_BB_N}
+    """,
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (John Bollinger, 1980s — public): rolling
+    {_BB_N}-bin mean of each series' hourly level with a +/-{_BB_K}
+    rolling-sigma envelope, plus an upper-breakout flag — the
+    volatility-adaptive complement to the fixed z-score anomaly query
+    (ts_anomaly_zscore uses GLOBAL moments; these bands move with
+    local regime).
+
+    Determinism: bin means are snapped to {_BB_SCALE}-scaled integers
+    (half-up floor), so the rolling first/second moments are EXACT
+    BIGINT sums and n*s2 - s1^2 is an exact integer (max ~1.3e14 <
+    2^53 at this value range — exact in double); sqrt of that integer
+    is one IEEE op. The breakout flag compares scaled integers (one
+    rounded sqrt term), never two rounded doubles. Plan: one binning
+    aggregate + one sorted window per series partition — identical
+    exchange for both; no join. At 100 TB the window partitions by
+    series, so parallelism = series count (same contract as every
+    rolling-window query here)."""
+    ev = spark.table("events")
+    b = ev.groupBy(
+        F.col("event_type").alias("dataset_id"),
+        F.floor(
+            F.unix_micros("ts") / F.lit(_BB_BIN_S * 1_000_000.0)
+        )
+        .cast("long")
+        .alias("bin"),
+    ).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+            * _BB_SCALE
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("vi")
+    )
+    win = (
+        Window.partitionBy("dataset_id")
+        .orderBy("bin")
+        .rowsBetween(-(_BB_N - 1), Window.currentRow)
+    )
+    w = b.select(
+        "dataset_id",
+        "bin",
+        "vi",
+        F.sum("vi").over(win).cast("long").alias("s1"),
+        F.sum(F.col("vi") * F.col("vi")).over(win).cast("long").alias("s2"),
+        F.count(F.lit(1)).over(win).cast("long").alias("nw"),
+    ).filter(F.col("nw") == _BB_N)
+    denom = float(_BB_N * _BB_SCALE)
+    spread = F.sqrt(
+        (_BB_N * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    )
+    mid = F.col("s1") / denom
+    return w.select(
+        "dataset_id",
+        (F.col("bin") * _BB_BIN_S).alias("bin_ts"),
+        (F.col("vi") / float(_BB_SCALE)).alias("v"),
+        F.round(mid, 6).alias("mid"),
+        F.round(mid - _BB_K * spread / denom, 6).alias("lower"),
+        F.round(mid + _BB_K * spread / denom, 6).alias("upper"),
+        (
+            F.col("vi") * _BB_N * _BB_SCALE
+            > F.col("s1") * _BB_SCALE
+            + F.round(_BB_K * spread).cast("long")
+        ).alias("above_upper"),
+    )
+
+
+# ------------------------------------------- log-return volatility
+_LRV_BIN_S = 3600
+
+
+@register(
+    "ts_log_returns_vol",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type AS dataset_id,
+             CAST(floor(epoch_us(ts) / ({_LRV_BIN_S} * 1000000.0))
+               AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT dataset_id,
+             CAST(round(ln(CAST(cnt AS DOUBLE)
+                           / lag(cnt) OVER (PARTITION BY dataset_id
+                                            ORDER BY h)), 6)
+               AS DECIMAL(18,6)) AS r
+      FROM c QUALIFY lag(cnt) OVER (PARTITION BY dataset_id
+                                    ORDER BY h) IS NOT NULL
+    ),
+    s AS (
+      SELECT dataset_id,
+             CAST(count(*) AS BIGINT) AS n_returns,
+             CAST(sum(r) AS DOUBLE) AS s1,
+             CAST(sum(CAST(r * r AS DECIMAL(38,12))) AS DOUBLE) AS s2
+      FROM r GROUP BY dataset_id
+    )
+    SELECT dataset_id, n_returns,
+           floor(s1 / n_returns * 1000000 + 0.5) / 1000000.0
+             AS mean_return,
+           round(sqrt((s2 - s1 * s1 / n_returns) / (n_returns - 1)), 6)
+             AS volatility
+    FROM s
+    """,
+)
+def ts_log_returns_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series log-return volatility of the hourly event-rate
+    signal: r_t = ln(c_t / c_(t-1)) over consecutive bins, reported
+    as mean return and sample standard deviation (the realized-
+    volatility estimator of quantitative finance, applied to traffic
+    rates — "how bursty is this stream, hour over hour", the number
+    that sizes rate-limiter headroom and autoscaler margins).
+
+    Determinism: each return is ln of an exact integer ratio, rounded
+    to 6 dp and cast DECIMAL, so both moment sums are exact decimal
+    arithmetic (r*r is DECIMAL x DECIMAL — no double rounding); the
+    final mean uses the half-up floor form (exact rational / count
+    lands on round() ties), while the volatility is an irrational
+    sqrt (no tie risk). Plan: one binning aggregate, one lag window,
+    one moment aggregate — series-partitioned throughout."""
+    ev = spark.table("events")
+    c = ev.groupBy(
+        F.col("event_type").alias("dataset_id"),
+        F.floor(
+            F.unix_micros("ts") / F.lit(_LRV_BIN_S * 1_000_000.0)
+        )
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    lw = Window.partitionBy("dataset_id").orderBy("h")
+    r = (
+        c.select(
+            "dataset_id",
+            F.col("cnt"),
+            F.lag("cnt").over(lw).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "dataset_id",
+            F.round(
+                F.log(F.col("cnt").cast("double") / F.col("prev")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("r"),
+        )
+    )
+    s = r.groupBy("dataset_id").agg(
+        F.count(F.lit(1)).alias("n_returns"),
+        F.sum("r").cast("double").alias("s1"),
+        F.sum((F.col("r") * F.col("r")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    n = F.col("n_returns")
+    return s.select(
+        "dataset_id",
+        n,
+        (
+            F.floor(F.col("s1") / n * 1_000_000 + F.lit(0.5))
+            / 1_000_000.0
+        ).alias("mean_return"),
+        F.round(
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+            ),
+            6,
+        ).alias("volatility"),
+    )
+
+
+# ------------------------------------------- cross-correlation lag
+_XC_BIN_S = 3600
+_XC_MAX_LAG = 3
+
+
+@register(
+    "ts_cross_corr_lag",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / ({_XC_BIN_S} * 1000000.0))
+               AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (SELECT CAST(unnest(range(0, {_XC_MAX_LAG + 1})) AS BIGINT)
+            AS lag),
+    p AS (
+      SELECT a.event_type AS series_a, b.event_type AS series_b,
+             l.lag, a.cnt AS x, b.cnt AS y
+      FROM c a
+      JOIN l ON TRUE
+      JOIN c b ON b.event_type > a.event_type AND b.h = a.h + l.lag
+    ),
+    s AS (
+      SELECT series_a, series_b, lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM p GROUP BY 1, 2, 3
+    ),
+    x AS (
+      SELECT series_a, series_b, lag, n_pairs,
+             round((n_pairs * sxy - sx * sy)
+                   / sqrt((n_pairs * sxx - sx * sx)
+                          * (n_pairs * syy - sy * sy)), 6) AS xcorr
+      FROM s
+    )
+    SELECT series_a, series_b, lag, n_pairs, xcorr,
+           row_number() OVER (PARTITION BY series_a, series_b
+                              ORDER BY xcorr DESC, lag) = 1 AS is_best
+    FROM x
+    """,
+)
+def ts_cross_corr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation lag scan: Pearson correlation of every
+    ordered series pair's hourly count signals at lags 0..{_XC_MAX_LAG}
+    with the best lag flagged — the lead/lag detector ("errors follow
+    deploys by one hour") behind root-cause timelines; the pairwise
+    generalization of ts_autocorr_lags and the lagged sibling of
+    ts_pairwise_corr (which only measures lag 0).
+
+    Determinism: counts are integers so every moment is exact; the
+    correlation is computed from exact moments with identical
+    association, rounded to 6 dp; the best-lag row_number breaks ties
+    on the rounded value then lag. Plan: one binning aggregate; the
+    {_XC_MAX_LAG + 1}-row lag spec broadcasts (fixed constant); the
+    pair join is an equi-join on the shifted bin key (series_b >
+    series_a halves the work); one moment aggregate + one 4-row
+    window per pair. Pairs scale as |series|^2 — the same contract
+    as ts_pairwise_corr (use a series allowlist at fleet scale)."""
+    ev = spark.table("events")
+    c = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros("ts") / F.lit(_XC_BIN_S * 1_000_000.0)
+        )
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    lags = spark.range(0, _XC_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    p = (
+        a.join(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") > F.col("a.event_type"))
+            & (F.col("b.h") == F.col("a.h") + F.col("lag")),
+        )
+        .select(
+            F.col("a.event_type").alias("series_a"),
+            F.col("b.event_type").alias("series_b"),
+            "lag",
+            F.col("a.cnt").alias("x"),
+            F.col("b.cnt").alias("y"),
+        )
+    )
+    s = p.groupBy("series_a", "series_b", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n_pairs")
+    x = s.select(
+        "series_a",
+        "series_b",
+        "lag",
+        "n_pairs",
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("xcorr"),
+    )
+    bw = Window.partitionBy("series_a", "series_b").orderBy(
+        F.col("xcorr").desc(), "lag"
+    )
+    return x.select(
+        "series_a",
+        "series_b",
+        "lag",
+        "n_pairs",
+        "xcorr",
+        (F.row_number().over(bw) == 1).alias("is_best"),
+    )
