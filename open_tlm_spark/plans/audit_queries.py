@@ -746,3 +746,345 @@ def ts_cross_corr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "xcorr",
         (F.row_number().over(bw) == 1).alias("is_best"),
     )
+
+
+# --------------------------------------- reciprocal-rank fusion
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_PROBE = 0  # vec_id of the probe vector for the dense arm
+_RRF_TOP = 50  # candidates per arm (reuses the BM25 query's top-k)
+
+
+def _rrf_oracle() -> str:
+    from open_tlm_spark.plans.pipeline_queries import NORMED_CTE
+    from open_tlm_spark.plans.retrieval_queries import _bm25_oracle
+
+    return f"""
+    WITH bm AS ({_bm25_oracle()}),
+    dense AS (
+      {NORMED_CTE},
+      p AS (SELECT nvec AS pvec FROM normed WHERE vec_id = {_RRF_PROBE}),
+      scored AS (
+        SELECT a.vec_id AS doc_id,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> p.pvec[i] * a.nvec[i])), 6) AS cs
+        FROM normed a, p WHERE a.vec_id <> {_RRF_PROBE}
+      )
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cs DESC, doc_id) AS rank
+      FROM scored QUALIFY rank <= {_RRF_TOP}
+    )
+    SELECT coalesce(bm.doc_id, dense.doc_id) AS doc_id,
+           CAST(bm.rank AS BIGINT) AS lex_rank,
+           CAST(dense.rank AS BIGINT) AS vec_rank,
+           floor((coalesce(1.0 / ({_RRF_K} + bm.rank), 0.0)
+                  + coalesce(1.0 / ({_RRF_K} + dense.rank), 0.0))
+                 * 1000000 + 0.5) / 1000000.0 AS rrf
+    FROM bm FULL OUTER JOIN dense ON dense.doc_id = bm.doc_id
+    """
+
+
+@register("retrieval_rrf_fusion", oracle=_rrf_oracle())
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009 — public) of a lexical and a dense ranking: score(d) =
+    sum over arms of 1/({_RRF_K} + rank_arm(d)) — the standard
+    hybrid-retrieval merge (BM25 recall + embedding recall) that
+    needs no score calibration because it only consumes ranks.
+    Composes the gated docs_bm25_topk ranking with an exact cosine
+    ranking against a fixed probe vector (doc_id == vec_id identity
+    mapping; docs without an embedding simply never enter the dense
+    arm — the realistic partial-coverage case at sf0.1).
+
+    Determinism: both arms rank by (6-dp score, doc_id); the fused
+    score is a sum of two exact rationals snapped half-up at 6 dp
+    (1/(60+r) can land EXACTLY on the .5 ulp — r=68 gives 1/128 —
+    so round()'s engine-specific tie rules are unusable here).
+    Plan: each arm is a distributed top-{_RRF_TOP} (TakeOrdered);
+    ranks attach via a {_RRF_TOP}-row window; the fusion join touches
+    at most 2x{_RRF_TOP} rows. Corpus-side cost = the two arm scans,
+    unchanged at any scale."""
+    from open_tlm_spark.operators import similarity as S
+    from open_tlm_spark.plans.retrieval_queries import docs_bm25_topk
+
+    bm = docs_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    emb = spark.table("embeddings")
+    probe = emb.filter(F.col("vec_id") == _RRF_PROBE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    dense = S.brute_force_topk(emb, probe, k=_RRF_TOP).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("vec_rank"),
+    )
+    fused = bm.join(dense, "doc_id", "full_outer")
+    term = lambda r: F.coalesce(  # noqa: E731
+        1.0 / (_RRF_K + F.col(r)), F.lit(0.0)
+    )
+    return fused.select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.floor(
+                (term("lex_rank") + term("vec_rank")) * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("rrf"),
+    )
+
+
+# ------------------------------------- Matryoshka truncation recall
+_MRL_DIM = 16  # truncated prefix dims (of 64)
+_MRL_K = 5
+_MRL_NQ = 5  # queries: vec_id < 5 (the recall-eval family convention)
+
+
+def _mrl_oracle() -> str:
+    def arm(d: int, prefix: str) -> str:
+        return f"""
+    {prefix}v AS (
+      SELECT vec_id, list_slice(vec, 1, {d}) AS tv FROM vecs
+    ),
+    {prefix}n AS (
+      SELECT vec_id, list_transform(tv, x -> x / n) AS nvec
+      FROM (SELECT vec_id, tv,
+                   sqrt(list_sum(list_transform(range(1, {d + 1}),
+                        i -> tv[i] * tv[i]))) AS n
+            FROM {prefix}v)
+    ),
+    {prefix}q AS (
+      SELECT vec_id AS query_id, nvec AS qvec
+      FROM {prefix}n WHERE vec_id < {_MRL_NQ}
+    ),
+    {prefix}top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, a.vec_id,
+               round(list_sum(list_transform(range(1, {d + 1}),
+                     i -> q.qvec[i] * a.nvec[i])), 6) AS cs
+        FROM {prefix}n a, {prefix}q q
+        WHERE a.vec_id <> q.query_id
+      ) QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cs DESC, vec_id) <= {_MRL_K}
+    )"""
+
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    {arm(64, "g")},
+    {arm(_MRL_DIM, "t")}
+    SELECT g.query_id,
+           count(*) AS n_gt,
+           CAST(count(t.vec_id) AS BIGINT) AS n_hit,
+           round(count(t.vec_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+    FROM gtop g LEFT JOIN ttop t
+      ON t.query_id = g.query_id AND t.vec_id = g.vec_id
+    GROUP BY g.query_id
+    """
+
+
+@register("sim_matryoshka_recall_eval", oracle=_mrl_oracle())
+def sim_matryoshka_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka truncation recall (Kusupati et al., "Matryoshka
+    Representation Learning", NeurIPS 2022 — public): recall@{_MRL_K}
+    of cosine search over the first {_MRL_DIM} of 64 dims against the
+    full-dimension exact ranking — the eval that decides whether a
+    4x cheaper truncated index is good enough as a first-stage
+    retriever (these embeddings are NOT MRL-trained, so the measured
+    recall is the honest baseline cost of naive truncation). Fourth
+    member of the ANN recall-audit family (LSH / PQ / IVF / MRL),
+    same query set and tiebreak conventions.
+
+    Plan: both arms are brute_force_topk subtrees ({_MRL_NQ}
+    broadcast queries, one corpus scan each — the truncated arm
+    scans {_MRL_DIM}/64 of the vector bytes, which is the point);
+    the recall join touches {_MRL_K} rows per query."""
+    from open_tlm_spark.operators import similarity as S
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < _MRL_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    gt = S.brute_force_topk(emb, q, k=_MRL_K).select(
+        "query_id", "vec_id"
+    )
+    t_emb = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding")
+    )
+    t_q = q.select(
+        "query_id", F.slice("query_vec", 1, _MRL_DIM).alias("query_vec")
+    )
+    cand = S.brute_force_topk(t_emb, t_q, k=_MRL_K).select(
+        "query_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    j = gt.join(cand, ["query_id", "vec_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_gt"),
+        F.count("_hit").cast("long").alias("n_hit"),
+        F.round(
+            F.count("_hit") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("recall"),
+    )
+
+
+# --------------------------------- int8 scalar-quantization audit
+@register(
+    "embedding_sq8_error",
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    x AS (
+      SELECT vec_id, u.i AS dim, vec[u.i + 1] AS x
+      FROM vecs, UNNEST(range(0, 64)) AS u(i)
+    ),
+    st AS (
+      SELECT dim, min(x) AS mn, max(x) AS mx
+      FROM x GROUP BY dim
+    ),
+    qd AS (
+      SELECT x.dim, x.x, st.mn, st.mx,
+             CASE WHEN st.mx > st.mn
+                  THEN floor((x.x - st.mn) / (st.mx - st.mn) * 255
+                             + 0.5)
+                  ELSE 0 END AS code
+      FROM x JOIN st USING (dim)
+    ),
+    e AS (
+      SELECT dim, mn, mx,
+             x - (mn + code * (mx - mn) / 255) AS err
+      FROM qd
+    )
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n_vals,
+           round(min(mn), 6) AS dim_min,
+           round(max(mx), 6) AS dim_max,
+           round(sqrt(CAST(sum(CAST(round(err * err, 12)
+                                    AS DECIMAL(28,12))) AS DOUBLE)
+                      / count(*)), 6) AS rmse,
+           round(max(abs(err)), 6) AS max_abs_err
+    FROM e GROUP BY dim
+    """,
+)
+def embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization audit: quantize each embedding
+    dimension to 256 levels over its observed [min, max] (the SQ8
+    storage mode of FAISS/Milvus — public technique) and report
+    per-dimension RMSE and worst-case reconstruction error — the
+    4x-compression sibling of pq_quantize (codebook-free, byte per
+    dim), and the audit that decides whether SQ8 or PQ carries the
+    serving index.
+
+    Determinism: min/max over float32 values are exact; code =
+    floor(t*255 + .5) of an engine-identical IEEE double (float32
+    inputs can never land a 6-dp round on a tie — 5e-7 is not a
+    binary rational); squared errors are rounded to 12 dp and
+    DECIMAL-summed (order-independent; magnitudes ~1e-5 keep the
+    scaled sum far under 2^53). Plan: one posexplode scan -> 64-group
+    min/max (a FIXED-size frame — broadcast is legitimate) -> one
+    rejoin + moment aggregate. Two scans of the vector column, no
+    shuffle beyond the 64-key aggregates."""
+    from open_tlm_spark.operators import similarity as S
+
+    emb = fan_out(spark.table("embeddings"))
+    x = emb.select(
+        "vec_id",
+        F.posexplode(S.as_double(F.col("embedding"))).alias("dim", "x"),
+    )
+    st = x.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    jd = x.join(F.broadcast(st), "dim")
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.floor(
+            (F.col("x") - F.col("mn"))
+            / (F.col("mx") - F.col("mn"))
+            * 255
+            + F.lit(0.5)
+        ),
+    ).otherwise(F.lit(0))
+    err = F.col("x") - (
+        F.col("mn") + code * (F.col("mx") - F.col("mn")) / 255
+    )
+    e = jd.select("dim", "mn", "mx", err.alias("err"))
+    return e.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vals"),
+        F.round(F.min("mn"), 6).alias("dim_min"),
+        F.round(F.max("mx"), 6).alias("dim_max"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("err") * F.col("err"), 12).cast(
+                        "decimal(28,12)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("rmse"),
+        F.round(F.max(F.abs("err")), 6).alias("max_abs_err"),
+    )
+
+
+# ------------------------------- weighted sampling (hash-determined)
+_WS_K = 100
+
+
+@register(
+    "sample_weighted_hash",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 10))::BIGINT + 1)
+                      / (1099511627776.0 + 1))
+                   / n_chars, 9) AS skey
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars AS weight, skey
+    FROM keyed
+    ORDER BY skey DESC, doc_id
+    LIMIT {_WS_K}
+    """,
+)
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via exponential keys
+    (Efraimidis & Spirtakis, IPL 2006 — public): each item draws
+    u ~ U(0,1) and the {_WS_K} largest u^(1/w) win — equivalently the
+    largest ln(u)/w, monotone-identical and overflow-free. Here u is
+    a HASH-derived uniform (40-bit md5 of doc_id), so the sample is
+    reproducible across engines and runs — the deterministic variant
+    of the weighted reservoir used to draw length-weighted eval
+    slices (weight = n_chars: P[selected] proportional to document
+    length, the token-budget-faithful sampling).
+
+    Determinism: u = (h+1)/(2^40+1) is an exact rational in (0,1);
+    ln(u)/w is one IEEE log + divide, rounded at 9 dp (finer than the
+    usual 6 — keys for heavy docs differ in the 7th decimal), doc_id
+    tiebreak. Plan: one narrow scan + a distributed
+    top-{_WS_K} (TakeOrderedAndProject — per-partition heaps, no
+    global sort) at any corpus size."""
+    docs = spark.table("documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    skey = F.round(
+        F.log((h + 1) / F.lit(1099511627776.0 + 1)) / F.col("n_chars"), 9
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").alias("weight"),
+            skey.alias("skey"),
+        )
+        .orderBy(F.col("skey").desc(), "doc_id")
+        .limit(_WS_K)
+    )
