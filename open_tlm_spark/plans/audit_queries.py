@@ -1088,3 +1088,50 @@ def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("skey").desc(), "doc_id")
         .limit(_WS_K)
     )
+
+
+# --------------------------------------- dedup cluster-size profile
+def _cluster_hist_oracle() -> str:
+    from open_tlm_spark.plans.curation_queries import _clusters_oracle
+
+    return f"""
+    WITH cl AS ({_clusters_oracle()}),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM cl GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           count(*) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           CAST(sum(cluster_size - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY cluster_size
+    """
+
+
+@register("dedup_cluster_size_histogram", oracle=_cluster_hist_oracle())
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-cluster size profile over the connected-components
+    output: how many clusters of each size exist, how many documents
+    they hold, and how many a keep-one-per-cluster policy removes —
+    the yield forecast a dedup run is judged by (SlimPajama/RefinedWeb
+    publish exactly this table), and the skew check that catches a
+    degenerate giant component before it deletes half the corpus.
+
+    Plan: composes the gated dedup_clusters subtree (linear star
+    edges + hash-min CC), then two tiny keyed aggregates
+    (cluster_id -> size -> histogram). The histogram has at most
+    max-cluster-size rows; all heavy lifting is in the already-
+    audited CC. Oracle nests the recursive-CTE mirror."""
+    from open_tlm_spark.plans.curation_queries import dedup_clusters
+
+    cl = dedup_clusters(spark, sf_dir)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
+    )
