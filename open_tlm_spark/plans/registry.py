@@ -59,108 +59,70 @@ def register(name: str, oracle: str | None = None, bench: bool = True):
 
 # The driver checks ~50 queries per round in dict order, so the head
 # of this list chooses what gets an in-round correctness row.
-# Round-5 head, in priority order:
-#   1. The 11 round-3 queries that have NEVER had a driver row in any
-#      round (overflowed the r3 and r4 windows; VERDICT r4 item #1) —
-#      a green r5 makes the r1–r5 union cover the whole registry.
-#   2. Queries whose code CHANGED this round (broadcast-hint removal
-#      and lazy corpus-stats rewrites; VERDICT r4 items #2/#3).
-#   3. Queries NEW in round 5.
-#   4. The r1/r2-era rotation block (code unchanged since last green;
-#      enforced by tests/test_evidence_freshness.py). With a 50-slot
-#      window the tail of this block overflows to r6 — keep rotating.
+# Round-6 head, in priority order:
+#   1. Queries whose code CHANGED this round (winnowing short-doc
+#      guard + integer fingerprint recovery, ADVICE r5).
+#   2. Queries NEW in round 6 (plans/audit_queries.py).
+#   3. The r2-era rotation block (last green row in round 2, code
+#      unchanged since — enforced by tests/test_evidence_freshness.py
+#      + tools/evidence.py fingerprints).
+#   4. The oldest r3-era rows that fit the remaining slots; the rest
+#      of the r3 block rotates in r7.
 _CHECK_FIRST = [
-    # 1. never driver-checked (added r3, overflowed r3+r4 windows)
-    "ts_cusum_changepoints",
-    "cap_per_source",
-    "docs_tfidf_topk",  # also changed this round (lazy n_docs, AQE df join)
-    "bpe_pair_counts",
-    "ts_seasonal_residual",
-    "quality_unigram_logprob",
-    "ts_downsample_m4",
-    "ts_anomaly_zscore",
-    "ts_pairwise_corr",
-    "stratified_split",
-    "event_funnel",
-    # 2. changed in round 5: forced-broadcast removal on corpus-sized
-    # frames (dedup.py sizes/signature frames, PMI marginals) and
-    # lazy 1-row stats frames replacing eager .first()/.count()
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_minhash_est_vs_exact",
-    "docs_collocations_pmi",
-    "docs_bm25_topk",
-    # 2b. flagged stale by tools/evidence.py (seeded from the r1–r4
-    # CORRECTNESS files at their boundary commits): these queries'
-    # definitions or operator-symbol closures changed during round 4
-    # (shared-fingerprint refactor, similarity max_by rewrite,
-    # text.py tokenizer adaptation) AFTER their last green row — the
-    # comment-based "code unchanged" rotation missed them; the ledger
-    # caught it.
-    "dedup_simhash",
-    "dedup_fingerprint",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "decontaminate_ngrams",
-    "text_rolling_fingerprint",
-    "quality_repetition",
-    "vocab_doc_freq",
-    "sim_ivf_assign",
-    "sim_ivf_topk",
-    "sim_ivf_train",
-    "sim_lsh_topk",
-    "sim_topk_bruteforce",
-    # 3. new in round 5 (plans/selection_queries.py + LM-bucket fix)
-    "docs_dsir_importance",
-    "docs_ccnet_lm_buckets",
-    "mixture_temperature_allocation",
-    "embedding_pca_covariance",
-    "lsh_scurve_table",
-    "ts_ohlc_bars",
-    "events_hash_sample",
-    "ts_downsample_lttb",
-    "ts_percentile_bands",
-    "docs_rake_keyphrases",
+    # 1. changed in round 6 (ADVICE r5 winnowing fixes)
     "dedup_winnowing",
-    "ts_dft_power",
-    "dedup_threshold_yield",
-    "sim_ivf_balance_audit",
-    "quality_bigram_logprob",  # vocab-marginal broadcast hints removed
-    "ts_anomaly_mad",  # per-series stats broadcast hints removed
-    "ts_seasonality_strength",  # per-series profile broadcast hint removed
-    # 4. r1/r2-era rotation block: code unchanged since last green row
-    "ts_comment_tag_filter",
-    "ts_incremental_merge",
-    "ts_histogram_per_series",
-    "ts_derivative",
-    "ts_gap_fill",
-    "ts_ewma",
+    # 2. new in round 6 (plans/audit_queries.py)
+    "source_unigram_kl",
+    "tokenizer_fertility_by_source",
+    "docs_heaps_law_fit",
+    "orders_benford_audit",
+    "ts_bollinger_bands",
+    "ts_log_returns_vol",
+    "ts_cross_corr_lag",
+    "retrieval_rrf_fusion",
+    "sim_matryoshka_recall_eval",
+    "embedding_sq8_error",
+    "sample_weighted_hash",
+    "dedup_cluster_size_histogram",
+    # 3. r2-era rotation block (28 queries, oldest greens first)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
     "top_customers_by_revenue",
+    "customers_without_orders",
+    "parts_above_brand_average",
     "window_user_running_stats",
     "set_ops_purchasers_vs_errors",
     "pivot_event_type_daily",
-    "tpch_q4_order_priority",
-    "customers_without_orders",
-    "parts_above_brand_average",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q10_returned_items",
-    "tpch_q7_volume_shipping",
-    "tpch_q21_waiting_suppliers",
     "dedup_exact",
     "sessionize_events",
     "multimodal_decode",
-    "tpch_q13_order_distribution",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_dormant_customers",
     "events_json_props",
     "interval_join_error_windows",
+    "ts_derivative",
+    "ts_gap_fill",
+    "ts_ewma",
+    # 4. oldest r3-era rows that fit (rest rotate in r7)
+    "store_roundtrip_rollup",
+    "metrics_loop_series",
+    "asof_align_series",
+    "ts_agg_1000s",
+    "ts_range_scan",
+    "ts_rollup_cascade",
+    "ts_fidelity_route",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
 ]
 
 
