@@ -1135,3 +1135,390 @@ def dedup_cluster_size_histogram(
         F.sum("cluster_size").cast("long").alias("n_docs"),
         F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
     )
+
+
+# --------------------------------------------- quality filter funnel
+def _funnel_oracle() -> str:
+    from open_tlm_spark.plans.curation_queries import (
+        _GOPHER_STOPS,
+        _clusters_oracle,
+    )
+
+    return rf"""
+    WITH {_TOKS_CTE},
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             round(list_sum(list_transform(w, t -> len(t)))
+                   / len(w), 6) AS mean_word_len,
+             round(len(list_filter(w, t -> regexp_matches(t, '[a-z]')))
+                   / len(w), 6) AS pct_alpha_words,
+             CAST(len(list_filter(w,
+                   t -> list_contains([{_GOPHER_STOPS}], t)))
+               AS BIGINT) AS n_stopwords,
+             round(1 - len(list_distinct(w)) / len(w), 6)
+               AS dup_word_frac
+      FROM toks
+    ),
+    hits AS (
+      SELECT doc_id, lang,
+        len(regexp_extract_all(lower(text), '\b(der|die|und|von|das)\b')) AS h_de,
+        len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b'))    AS h_en,
+        len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b'))    AS h_es,
+        len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b'))    AS h_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, lang,
+        CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+             WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+             WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+             WHEN h_en >= h_de THEN 'en'
+             ELSE 'de' END AS lang_pred
+      FROM hits
+    ),
+    cl AS ({_clusters_oracle()}),
+    g AS (
+      SELECT (m.n_words BETWEEN 30 AND 100000
+              AND m.mean_word_len BETWEEN 3 AND 10
+              AND m.pct_alpha_words >= 0.8
+              AND m.n_stopwords >= 2) AS gq,
+             m.dup_word_frac <= 0.3 AS gr,
+             p.lang_pred = p.lang AS gl,
+             cl.is_keeper AS gk
+      FROM m
+      JOIN pred p ON p.doc_id = m.doc_id
+      JOIN cl ON cl.doc_id = m.doc_id
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS s0,
+             CAST(count(*) FILTER (WHERE gq) AS BIGINT) AS s1,
+             CAST(count(*) FILTER (WHERE gq AND gr) AS BIGINT) AS s2,
+             CAST(count(*) FILTER (WHERE gq AND gr AND gl) AS BIGINT)
+               AS s3,
+             CAST(count(*) FILTER (WHERE gq AND gr AND gl AND gk)
+               AS BIGINT) AS s4
+      FROM g
+    ),
+    stages AS (
+      SELECT 0 AS stage, 'ingested' AS stage_name, s0 AS n_surviving,
+             s0 AS prev FROM agg
+      UNION ALL SELECT 1, 'gopher_quality', s1, s0 FROM agg
+      UNION ALL SELECT 2, 'repetition', s2, s1 FROM agg
+      UNION ALL SELECT 3, 'lang_consistency', s3, s2 FROM agg
+      UNION ALL SELECT 4, 'fuzzy_dedup', s4, s3 FROM agg
+    )
+    SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_surviving,
+           CAST(prev - n_surviving AS BIGINT) AS n_dropped,
+           floor(CAST(n_surviving AS DOUBLE)
+                 / (SELECT s0 FROM agg) * 1000000 + 0.5) / 1000000.0
+             AS survival_rate
+    FROM stages
+    """
+
+
+@register("quality_filter_funnel", oracle=_funnel_oracle())
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential curation funnel: documents surviving each pipeline
+    stage in the canonical order — Gopher quality rules, repetition
+    gate, language consistency, fuzzy-dedup keeper — with per-stage
+    drops and cumulative survival rate. This is the headline table
+    of every corpus paper (C4, Gopher, RefinedWeb, FineWeb all
+    publish one): unlike curation_yield_by_source (independent
+    per-gate failures), the funnel applies gates IN SEQUENCE, so it
+    shows the marginal cost of each stage given the previous ones.
+
+    Plan: gate signals come from one tokenize pass and one regex
+    pass (narrow, codegen'd); the dedup stage composes the gated
+    dedup_clusters subtree (linear star edges + hash-min CC); all
+    five cumulative counts come from ONE aggregate over the joined
+    flags, exploded to stage rows from a literal 1-row frame —
+    corpus-side cost is one scan + the CC rounds regardless of
+    corpus size."""
+    from open_tlm_spark.operators import text as T
+    from open_tlm_spark.plans.curation_queries import (
+        _GOPHER_STOPS,
+        dedup_clusters,
+    )
+
+    stops = [s.strip().strip("'") for s in _GOPHER_STOPS.split(",")]
+    w = T.tokens(F.lower(F.col("text")))
+    d = fan_out(spark.table("documents")).select(
+        "doc_id",
+        "lang",
+        F.size(w).cast("long").alias("n_words"),
+        F.round(
+            F.aggregate(
+                F.transform(w, lambda t: F.length(t)),
+                F.lit(0),
+                lambda a, x: a + x,
+            )
+            / F.size(w),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter(w, lambda t: t.rlike("[a-z]"))) / F.size(w),
+            6,
+        ).alias("pct_alpha_words"),
+        F.size(F.filter(w, lambda t: t.isin(stops)))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.round(
+            F.lit(1) - F.size(F.array_distinct(w)) / F.size(w), 6
+        ).alias("dup_word_frac"),
+        T.language_id(F.col("text")).alias("lang_pred"),
+    )
+    keep = dedup_clusters(spark, sf_dir).select("doc_id", "is_keeper")
+    gq = (
+        F.col("n_words").between(30, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("pct_alpha_words") >= 0.8)
+        & (F.col("n_stopwords") >= 2)
+    )
+    gr = F.col("dup_word_frac") <= 0.3
+    gl = F.col("lang_pred") == F.col("lang")
+    gk = F.col("is_keeper")
+    agg = d.join(keep, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("s0"),
+        F.count(F.when(gq, 1)).cast("long").alias("s1"),
+        F.count(F.when(gq & gr, 1)).cast("long").alias("s2"),
+        F.count(F.when(gq & gr & gl, 1)).cast("long").alias("s3"),
+        F.count(F.when(gq & gr & gl & gk, 1)).cast("long").alias("s4"),
+    )
+    stage = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("stage"),
+                    F.lit(name).alias("stage_name"),
+                    F.col(cur).alias("n_surviving"),
+                    F.col(prev).alias("prev"),
+                )
+                for i, (name, cur, prev) in enumerate(
+                    [
+                        ("ingested", "s0", "s0"),
+                        ("gopher_quality", "s1", "s0"),
+                        ("repetition", "s2", "s1"),
+                        ("lang_consistency", "s3", "s2"),
+                        ("fuzzy_dedup", "s4", "s3"),
+                    ]
+                )
+            ]
+        )
+    ).alias("st")
+    return agg.select("s0", stage).select(
+        F.col("st.stage").alias("stage"),
+        F.col("st.stage_name").alias("stage_name"),
+        F.col("st.n_surviving").alias("n_surviving"),
+        (F.col("st.prev") - F.col("st.n_surviving"))
+        .cast("long")
+        .alias("n_dropped"),
+        (
+            F.floor(
+                F.col("st.n_surviving").cast("double")
+                / F.col("s0")
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("survival_rate"),
+    )
+
+
+# ------------------------------------------------ IVF nprobe sweep
+_NPS_PROBES = (1, 2, 4, 8)
+_NPS_K = 5
+_NPS_PROBES_SQL = ", ".join(str(p) for p in _NPS_PROBES)
+
+
+def _nprobe_sweep_oracle() -> str:
+    from open_tlm_spark.plans.pipeline_queries import NORMED_CTE
+
+    return f"""{NORMED_CTE},
+    c AS (SELECT vec_id AS centroid_id, nvec AS cnvec FROM normed
+          WHERE vec_id < 8),
+    qn AS (SELECT vec_id AS query_id, nvec AS qvec FROM normed
+           WHERE vec_id >= 8 AND vec_id < 12),
+    cellrank AS (
+      SELECT query_id, centroid_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, centroid_id)
+               AS cell_rank
+      FROM (
+        SELECT q.query_id, c.centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> q.qvec[i] * c.cnvec[i])), 6) AS cs
+        FROM qn q, c)
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id
+      FROM (
+        SELECT a.vec_id, c.centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> a.nvec[i] * c.cnvec[i])), 6) AS cs
+        FROM normed a, c) s
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, centroid_id) = 1
+    ),
+    cand AS (
+      SELECT cr.query_id, a.vec_id, cr.cell_rank,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> q.qvec[i] * an.nvec[i])), 6) AS cos_sim
+      FROM cellrank cr
+      JOIN assigned a ON a.centroid_id = cr.centroid_id
+                     AND a.vec_id <> cr.query_id
+      JOIN normed an ON an.vec_id = a.vec_id
+      JOIN qn q ON q.query_id = cr.query_id
+    ),
+    probes AS (SELECT CAST(unnest([{_NPS_PROBES_SQL}]) AS BIGINT)
+                 AS nprobe),
+    ranked AS (
+      SELECT p.nprobe, query_id, vec_id,
+             row_number() OVER (PARTITION BY p.nprobe, query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM cand, probes p WHERE cell_rank <= p.nprobe
+      QUALIFY rank <= {_NPS_K}
+    ),
+    gt AS (
+      SELECT query_id, vec_id
+      FROM (
+        SELECT qn.query_id, a.vec_id,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> qn.qvec[i] * a.nvec[i])), 6) AS cos_sim
+        FROM normed a, qn WHERE a.vec_id <> qn.query_id)
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id)
+              <= {_NPS_K}
+    ),
+    gtp AS (SELECT p.nprobe, g.query_id, g.vec_id FROM gt g, probes p)
+    SELECT gtp.nprobe,
+           count(*) AS n_gt,
+           CAST(count(r.vec_id) AS BIGINT) AS n_hit,
+           round(count(r.vec_id) / CAST(count(*) AS DOUBLE), 6)
+             AS recall
+    FROM gtp LEFT JOIN ranked r
+      ON r.nprobe = gtp.nprobe AND r.query_id = gtp.query_id
+     AND r.vec_id = gtp.vec_id
+    GROUP BY gtp.nprobe
+    """
+
+
+@register("sim_ivf_nprobe_sweep", oracle=_nprobe_sweep_oracle())
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe tuning sweep: recall@{_NPS_K} against the exact
+    cosine ground truth at nprobe in {_NPS_PROBES} — the
+    latency/recall trade-off curve every IVF deployment tunes before
+    serving (FAISS's nprobe parameter; at nprobe = n_cells the search
+    is exhaustive and recall must hit 1.0, which doubles as a sanity
+    anchor for the whole pipeline). Extends sim_ivf_recall_eval
+    (nprobe=1 only) to the full tuning table.
+
+    Plan: ONE corpus scoring pass — queries' cells are RANKED once
+    (4 queries x 8 centroids, broadcast), candidates carry their
+    cell_rank, and each nprobe level is a filter + re-rank over the
+    same scored frame (probe spec is a fixed literal — broadcast);
+    per-query work at nprobe=p is p/|cells| of the corpus, the IVF
+    contract. The ground-truth arm is the deliberate brute-force
+    audit baseline."""
+    from open_tlm_spark.operators import similarity as S
+    from open_tlm_spark.operators.similarity import (
+        as_double,
+        dot,
+        normalized,
+    )
+
+    emb = spark.table("embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cn = (
+        normalized(
+            centroids.select(
+                "centroid_id", as_double(F.col("cvec")).alias("vec")
+            ),
+            "vec",
+        )
+        .select("centroid_id", F.col("nvec").alias("cnvec"))
+        .localCheckpoint(eager=False)
+    )
+    qn = (
+        normalized(
+            queries.select(
+                "query_id", as_double(F.col("query_vec")).alias("vec")
+            ),
+            "vec",
+        )
+        .select("query_id", F.col("nvec").alias("qvec"))
+        .localCheckpoint(eager=False)
+    )
+    cw = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), "centroid_id"
+    )
+    cellrank = (
+        qn.join(F.broadcast(cn))
+        .select(
+            "query_id",
+            "centroid_id",
+            F.round(dot(F.col("qvec"), F.col("cnvec")), 6).alias("cs"),
+        )
+        .select(
+            "query_id",
+            "centroid_id",
+            F.row_number().over(cw).alias("cell_rank"),
+        )
+    )
+    corpus = (
+        normalized(S.ivf_assign(emb, centroids), "vec")
+        .select("vec_id", "centroid_id", "nvec")
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        corpus.join(F.broadcast(cellrank), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "cell_rank",
+            F.round(dot(F.col("qvec"), F.col("nvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    probes = spark.createDataFrame(
+        [(p,) for p in _NPS_PROBES], "nprobe long"
+    )
+    rw = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    ranked = (
+        cand.join(F.broadcast(probes))
+        .filter(F.col("cell_rank") <= F.col("nprobe"))
+        .select(
+            "nprobe",
+            "query_id",
+            "vec_id",
+            F.row_number().over(rw).alias("rank"),
+        )
+        .filter(F.col("rank") <= _NPS_K)
+        .select("nprobe", "query_id", "vec_id", F.lit(1).alias("_hit"))
+    )
+    gt = S.brute_force_topk(emb, queries, k=_NPS_K).select(
+        "query_id", "vec_id"
+    )
+    gtp = gt.join(F.broadcast(probes))
+    j = gtp.join(ranked, ["nprobe", "query_id", "vec_id"], "left")
+    return j.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_gt"),
+        F.count("_hit").cast("long").alias("n_hit"),
+        F.round(
+            F.count("_hit") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("recall"),
+    )

@@ -84,6 +84,8 @@ _CHECK_FIRST = [
     "embedding_sq8_error",
     "sample_weighted_hash",
     "dedup_cluster_size_histogram",
+    "quality_filter_funnel",
+    "sim_ivf_nprobe_sweep",
     # 3. r2-era rotation block (28 queries, oldest greens first)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -121,8 +123,6 @@ _CHECK_FIRST = [
     "ts_range_scan",
     "ts_rollup_cascade",
     "ts_fidelity_route",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
 ]
 
 
