@@ -780,3 +780,41 @@ def test_bench_core_is_subset_of_registry():
     missing = [n for n in bench.BENCH_CORE if n not in REGISTRY]
     assert not missing, f"BENCH_CORE names not in registry: {missing}"
     assert len(set(bench.BENCH_CORE)) == len(bench.BENCH_CORE)
+
+
+def test_bollinger_two_exchanges_one_window(spark):
+    """Bollinger: one (series, bin) aggregate exchange + one series
+    repartition for the rolling window — no join anywhere."""
+    plan = plan_of(spark, "ts_bollinger_bands")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_sq8_stats_broadcast_back(spark):
+    """SQ8 audit: the 64-row per-dim min/max frame broadcasts back
+    onto the exploded scan (fixed-size frame — hint is legitimate);
+    no sort-merge join, no cartesian."""
+    plan = plan_of(spark, "embedding_sq8_error")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_arms_are_take_ordered(spark):
+    """RRF fusion: both arms reach their candidate sets via
+    distributed top-k (TakeOrderedAndProject), never a global sort
+    of a corpus-sized frame."""
+    plan = plan_of(spark, "retrieval_rrf_fusion")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_weighted_sample_take_ordered(spark):
+    """Weighted hash sampling: the top-100 is a
+    TakeOrderedAndProject over the narrow scan — one stage, no
+    shuffle, no global sort."""
+    plan = plan_of(spark, "sample_weighted_hash")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
