@@ -80,6 +80,14 @@ def main() -> int:
         n = len(df.collect())
         per_query[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {per_query[name]:.3f}s rows={n}", file=sys.stderr)
+        # The CC/ANN queries localCheckpoint shared subtrees; those
+        # blocks outlive the query and squeeze the block manager for
+        # every query after them (measured: ~11 lingering RDDs from 3
+        # composing queries, a uniform +0.2-0.5 s tax on later
+        # queries). Release them so each query is measured against a
+        # clean session — the same hygiene a long-lived service needs.
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(False)
     total = round(time.perf_counter() - t_total, 4)
 
     # The driver records only the LAST ~2000 chars of stdout and

@@ -169,6 +169,44 @@ def main() -> int:
             f"({n / t_bm25:,.0f} docs/s)  topk_rows={n_rows}"
         )
 
+    # ---- round-6 audit family at the same decades -----------------
+    # KL / fertility / Heaps over the docs corpus (reuses the parquet
+    # written by the dedup section; adds the source/n_chars columns
+    # the audit queries expect). All three are tokenize + keyed
+    # aggregates — the checks here are (a) wall time grows ~linearly
+    # in docs and (b) no plan degenerates (the queries are imported
+    # UNWRAPPED, so they read this temp view, not the gate tables).
+    from open_tlm_spark.plans.audit_queries import (
+        docs_heaps_law_fit,
+        source_unigram_kl,
+        tokenizer_fertility_by_source,
+    )
+
+    for n in sizes:
+        docs = spark.read.parquet(os.path.join(tmp, f"docs_{n}"))
+        docs.select(
+            "doc_id",
+            "text",
+            F.concat(
+                F.lit("src"), (F.col("doc_id") % 20).cast("string")
+            ).alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        ).createOrReplaceTempView("documents")
+        t0 = time.perf_counter()
+        n_kl = source_unigram_kl(spark, "").count()
+        t_kl = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        n_f = tokenizer_fertility_by_source(spark, "").count()
+        t_f = time.perf_counter() - t1
+        t2 = time.perf_counter()
+        n_h = docs_heaps_law_fit(spark, "").count()
+        t_h = time.perf_counter() - t2
+        print(
+            f"audit={n:>9,}  kl={t_kl:6.1f}s  fertility={t_f:6.1f}s "
+            f"heaps={t_h:6.1f}s  ({n / (t_kl + t_f + t_h):,.0f} docs/s "
+            f"across all three)  rows={n_kl}/{n_f}/{n_h}"
+        )
+
     # Plan shape proof: the banding self-view join must be a hash
     # equi-join on the band key (no cartesian/BNLJ at any size).
     docs = synth_docs(spark, 10_000)
