@@ -66,8 +66,11 @@ def register(name: str, oracle: str | None = None, bench: bool = True):
 #   3. The r2-era rotation block (last green row in round 2, code
 #      unchanged since — enforced by tests/test_evidence_freshness.py
 #      + tools/evidence.py fingerprints).
-#   4. The oldest r3-era rows that fit the remaining slots; the rest
-#      of the r3 block rotates in r7.
+# The r3-era block (including store_roundtrip_rollup,
+# metrics_loop_series, asof_align_series, ts_agg_1000s,
+# ts_range_scan, ts_rollup_cascade, ts_fidelity_route, which briefly
+# held the r6 tail before the round-6b queries displaced them)
+# rotates in r7.
 _CHECK_FIRST = [
     # 1. changed in round 6 (ADVICE r5 winnowing fixes)
     "dedup_winnowing",
@@ -86,6 +89,14 @@ _CHECK_FIRST = [
     "dedup_cluster_size_histogram",
     "quality_filter_funnel",
     "sim_ivf_nprobe_sweep",
+    # 2b. new in round 6b (plans/mining_queries.py)
+    "events_attribution_linear",
+    "orders_association_rules",
+    "ts_sax_symbols",
+    "ts_spectral_entropy",
+    "shards_assignment_balance",
+    "ts_theil_sen_slope",
+    "customers_kanonymity_audit",
     # 3. r2-era rotation block (28 queries, oldest greens first)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -115,14 +126,6 @@ _CHECK_FIRST = [
     "ts_derivative",
     "ts_gap_fill",
     "ts_ewma",
-    # 4. oldest r3-era rows that fit (rest rotate in r7)
-    "store_roundtrip_rollup",
-    "metrics_loop_series",
-    "asof_align_series",
-    "ts_agg_1000s",
-    "ts_range_scan",
-    "ts_rollup_cascade",
-    "ts_fidelity_route",
 ]
 
 

@@ -818,3 +818,55 @@ def test_weighted_sample_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_attribution_join_is_equi_keyed(spark):
+    """Linear attribution: purchase->touch associates via a user_id
+    EQUI-join (range residual as a post-filter), never a cartesian;
+    the fan-out count windows by purchase id (hash partition, no
+    global sort)."""
+    plan = plan_of(spark, "events_attribution_linear")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Window" in plan
+
+
+def test_association_rules_single_basket_pass(spark):
+    """Association rules: the basket aggregate materializes ONCE
+    (lazy checkpoint) and feeds pairs/item-counts/total; ranking is
+    distributed top-k, not a global sort."""
+    plan = plan_of(spark, "orders_association_rules")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    # the lineitem scan appears only inside the (single) checkpoint;
+    # the executed plan reads the materialized basket RDD
+    assert plan.count("Scan parquet") == 0
+
+
+def test_sax_is_joinless(spark):
+    """Quantile-SAX: one bin aggregate + per-series windows — no
+    join of any kind at any scale."""
+    plan = plan_of(spark, "ts_sax_symbols")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_theil_sen_pairs_are_equi_joined(spark):
+    """Theil-Sen: the pairwise stage equi-joins the FIXED-size
+    bucket frame on the series key; the only nested-loop is the
+    1-row min/max stats broadcast."""
+    plan = plan_of(spark, "ts_theil_sen_slope")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_kanonymity_no_global_sort_no_smj(spark):
+    """k-anonymity: arithmetic banding (no ntile) keeps the plan to
+    two hash aggregates + a 1-row broadcast — no global sort, no
+    sort-merge join."""
+    plan = plan_of(spark, "customers_kanonymity_audit")
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -98,6 +98,22 @@ AUDITED = {
         "Both arms are distributed top-k (TakeOrderedAndProject); "
         "the fusion join touches at most 2k rows."
     ),
+    "events_attribution_linear": (
+        "Purchase->touch is a user_id equi-join with a bounded "
+        "24 h range residual (output linear in purchases); the "
+        "fan-out count windows by purchase id, never globally."
+    ),
+    "orders_association_rules": (
+        "ONE basket aggregate feeds pair expansion AND item counts; "
+        "the basket total is a lazy 1-row broadcast; item-count "
+        "joins are unhinted (AQE); ranking is "
+        "TakeOrderedAndProject."
+    ),
+    "ts_theil_sen_slope": (
+        "Fixed 48-bucket grid caps the pairwise stage at "
+        "48*48/2 rows per series regardless of corpus size; grid "
+        "bounds come from a lazy 1-row broadcast frame."
+    ),
 }
 
 
