@@ -6,10 +6,12 @@ from open_tlm_spark.streaming.ingest import (
     streaming_rollup,
     streaming_sessions,
 )
+from open_tlm_spark.streaming.joins import streaming_touch_attribution
 
 __all__ = [
     "start_file_ingest",
     "start_metrics_stream",
     "streaming_rollup",
     "streaming_sessions",
+    "streaming_touch_attribution",
 ]
