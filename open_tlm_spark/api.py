@@ -217,6 +217,32 @@ class TlmHandler(BaseHTTPRequestHandler):
                 self._gen[0] += 1  # in-flight GETs must not memoize
                 self._data_memo.clear()  # new points invalidate windows
             return self._send(200, {"message": f"{count} datapoints were posted"})
+        if url.path == "/api/admin/compact":
+            # maintenance (extension beyond the reference): O8
+            # file-sizing as an operator-triggered table service
+            with self.write_lock:
+                self.store.compact()
+                self._gen[0] += 1
+                self._data_memo.clear()
+            return self._send(200, {"message": "store compacted"})
+        if url.path == "/api/admin/expire":
+            # maintenance (extension): O9 downsample-then-expire —
+            # drops raw days before 'before', rollups keep serving
+            from open_tlm_spark.store.retention import expire_raw
+
+            body = self._body()
+            try:
+                cutoff = _dt.datetime.fromisoformat(body["before"])
+            except (KeyError, ValueError, TypeError) as e:
+                return self._send(400, {"message": f"invalid cutoff: {e}"})
+            with self.write_lock:
+                n = expire_raw(self.store, cutoff)
+                self._gen[0] += 1
+                self._data_memo.clear()
+            return self._send(
+                200,
+                {"message": f"{n} partitions expired", "partitions": n},
+            )
         if url.path == "/api/comment/new":
             body = self._body()
             c = body.get("comment")

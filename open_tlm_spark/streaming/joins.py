@@ -76,3 +76,36 @@ def streaming_touch_attribution(
             """
         ),
     ).select("pid", "p_user", "p_ts", "value", "touch", "t_ts")
+
+
+def streaming_attribution_rates(
+    events_stream: DataFrame,
+    lookback_seconds: int = 86_400,
+    watermark: str = "10 seconds",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Chained stateful operators: the watermarked interval join
+    flows DIRECTLY into a watermarked tumbling count of touches per
+    channel — join state and window state in ONE query, no
+    foreachBatch round-trip (Spark's multiple-stateful-operator
+    support, public since 3.5 / SPARK-42376).
+
+    Emission is append-mode: a (window, channel) row emits once the
+    global watermark — the MIN across both join inputs — passes the
+    window end, so it is final-by-construction (no retractions
+    downstream, safe to append straight into the store)."""
+    pairs = streaming_touch_attribution(
+        events_stream, lookback_seconds, watermark
+    )
+    return (
+        pairs.groupBy(
+            F.window("p_ts", window).alias("w"),
+            F.col("touch").alias("channel"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_touches"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "channel",
+            "n_touches",
+        )
+    )

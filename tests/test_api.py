@@ -182,3 +182,50 @@ def test_two_servers_do_not_share_memo(spark, tmp_path):
     finally:
         for srv in srvs:
             srv.shutdown()
+
+
+def test_admin_maintenance_routes(api):
+    # ingest two days of points
+    for day, val in ((1, 1.0), (2, 2.0)):
+        status, _ = _req(
+            f"{api}/api/data",
+            "POST",
+            {
+                "data": [
+                    {
+                        "dataset_id": "admin.test",
+                        "points": [
+                            {"date": f"2024-01-0{day}T03:00:0{i}", "value": val}
+                            for i in range(3)
+                        ],
+                    }
+                ]
+            },
+        )
+        assert status == 200
+
+    # compaction: 200 and queries unchanged
+    status, body = _req(f"{api}/api/admin/compact", "POST", {})
+    assert status == 200 and body["message"] == "store compacted"
+    status, body = _req(
+        f"{api}/api/data/admin.test?start=2024-01-01T02:59:00&end=2024-01-01T03:01:00"
+    )
+    assert status == 200 and len(body["data"]["points"]) == 3
+
+    # expiry: day-1 raw drops, day-2 survives
+    status, body = _req(
+        f"{api}/api/admin/expire", "POST", {"before": "2024-01-02T00:00:00"}
+    )
+    assert status == 200 and body["partitions"] > 0
+    status, body = _req(
+        f"{api}/api/data/admin.test?start=2024-01-01T02:59:00&end=2024-01-01T03:01:00"
+    )
+    assert status == 200 and body["data"]["points"] == []
+    status, body = _req(
+        f"{api}/api/data/admin.test?start=2024-01-02T02:59:00&end=2024-01-02T03:01:00"
+    )
+    assert status == 200 and len(body["data"]["points"]) == 3
+
+    # bad cutoff -> 400
+    status, _ = _req(f"{api}/api/admin/expire", "POST", {"before": "nope"})
+    assert status == 400

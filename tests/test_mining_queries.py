@@ -128,3 +128,44 @@ def test_kanonymity_covers_every_row(spark):
     assert sum(r.n_rows for r in out) == n
     assert abs(sum(r.frac_rows for r in out) - 1.0) <= len(out) * 1e-6
     assert {r.k_bucket for r in out} <= {"1=unique", "2-4", "5-19", "20+"}
+
+
+def test_theil_sen_resists_outliers(spark):
+    """The point of Theil-Sen: two fully-corrupted buckets (of 48)
+    leave the median pairwise slope EXACTLY on the true trend, while
+    OLS is pulled far off. Synthetic series: value == bucket index
+    (true slope 1.0/bucket), +1000 on every point of two buckets."""
+    from pyspark.sql import functions as F
+
+    from open_tlm_spark.plans.mining_queries import ts_theil_sen_slope
+
+    n = 4800
+    df = (
+        spark.range(n)
+        .select(
+            F.timestamp_micros(F.col("id") * 1000).alias("ts"),
+            F.lit("synthetic").alias("event_type"),
+            (
+                F.floor(F.col("id") / 100).cast("double")
+                + F.when(
+                    F.floor(F.col("id") / 100).isin(10, 30), 1000.0
+                ).otherwise(0.0)
+            ).alias("value"),
+        )
+    )
+    df.createOrReplaceTempView("events")
+    try:
+        r = ts_theil_sen_slope(spark, "").collect()[0]
+        assert r.n_buckets == 48
+        assert abs(r.theil_sen_slope - 1.0) < 1e-9
+        # OLS is dragged ~0.76 off the true slope by the two outlier
+        # buckets (1 + 1000*((10-23.5)+(30-23.5))/Sxx, Sxx=9212)
+        assert abs(r.ols_slope - 1.0) > 0.5
+    finally:
+        # this view SHADOWED the shared testdata view and
+        # load_tables memoizes per (session, sf_dir) — drop the
+        # override AND clear the memo so later tests re-register
+        spark.catalog.dropTempView("events")
+        from open_tlm_spark import session as S
+
+        S._LOADED.clear()

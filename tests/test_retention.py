@@ -67,3 +67,51 @@ def test_expire_raw_drops_partitions_keeps_rollups(spark, tmp_path):
         )
     )
     assert [raw_count(d) for d in (1, 2, 3)] == [1, 0, 10]
+
+
+def test_expire_and_compact_compose(spark, tmp_path):
+    """Maintenance jobs run together in production: compaction after
+    expiry must not resurrect dropped days, and expiry after
+    compaction must still drop whole (rewritten) partitions."""
+    store = TelemetryStore(spark, str(tmp_path))
+    for day in (1, 2, 3):
+        for batch in range(2):  # two puts/day -> small-file buildup
+            rows = [
+                (
+                    "rc.s",
+                    _dt(f"2024-01-0{day}T1{batch}:00:0{i}"),
+                    float(i),
+                )
+                for i in range(5)
+            ]
+            store.put(spark.createDataFrame(rows, POINTS_SCHEMA))
+
+    # compact first, then expire day 1: the rewritten partitions
+    # must still be droppable as directories
+    store.compact()
+    assert expire_raw(store, _dt("2024-01-02T00:00:00")) > 0
+
+    def day_count(day: int) -> int:
+        return store.get(
+            "rc.s",
+            _dt(f"2024-01-0{day}T09:00:00"),
+            _dt(f"2024-01-0{day}T13:00:00"),
+            None,
+        ).count()
+
+    assert [day_count(d) for d in (1, 2, 3)] == [0, 10, 10]
+
+    # now expire day 2, then compact: the dropped day must STAY
+    # dropped through the rewrite
+    assert expire_raw(store, _dt("2024-01-03T00:00:00")) > 0
+    store.compact()
+    assert [day_count(d) for d in (1, 2, 3)] == [0, 0, 10]
+
+    # rollups still serve all three days at every point
+    bins = store.get(
+        "rc.s",
+        _dt("2024-01-01T00:00:00"),
+        _dt("2024-01-04T00:00:00"),
+        1000,
+    ).collect()
+    assert sum(r["count"] for r in bins) == 30

@@ -35,12 +35,20 @@ _EVENTS = [
 ]
 
 
+_mtime_seq = [1_700_000_000]
+
+
 def _write_file(d: str, rows, name: str) -> None:
     tmp = os.path.join(d, f".{name}.tmp")
     with open(tmp, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
-    os.rename(tmp, os.path.join(d, f"{name}.json"))
+    dst = os.path.join(d, f"{name}.json")
+    os.rename(tmp, dst)
+    # stagger mtimes: the file source breaks ms-granularity mtime
+    # ties arbitrarily, and these tests depend on arrival order
+    _mtime_seq[0] += 10
+    os.utime(dst, (_mtime_seq[0], _mtime_seq[0]))
 
 
 def test_interval_join_matches_batch_semantics(spark, tmp_path):
@@ -103,3 +111,56 @@ def test_interval_join_matches_batch_semantics(spark, tmp_path):
         (r.pid, r.touch, r.t_ts.isoformat()) for r in batch.collect()
     }
     assert got == expect
+
+
+def test_chained_join_then_window_agg(spark, tmp_path):
+    """Multiple stateful operators in one query: interval join ->
+    watermarked tumbling count. The 09:00 window must emit (append,
+    final) once BOTH join inputs' watermarks pass its end — driven
+    here by far-future sentinel events that join to nothing."""
+    from open_tlm_spark.streaming import streaming_attribution_rates
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _write_file(str(landing), _EVENTS, "a_data")
+    # sentinels: a lone purchase + a lone touch for DISJOINT users,
+    # days later — they advance both sides' watermarks without
+    # producing join output
+    sent = [
+        {"event_id": 90, "ts": "2024-01-05T00:00:00", "user_id": 98,
+         "event_type": "purchase", "value": 1.0},
+        {"event_id": 91, "ts": "2024-01-05T00:00:00", "user_id": 99,
+         "event_type": "click", "value": 0.0},
+    ]
+    _write_file(str(landing), sent, "b_sentinel")
+    sent2 = [
+        {"event_id": 92, "ts": "2024-01-06T00:00:00", "user_id": 98,
+         "event_type": "purchase", "value": 1.0},
+        {"event_id": 93, "ts": "2024-01-06T00:00:00", "user_id": 99,
+         "event_type": "click", "value": 0.0},
+    ]
+    _write_file(str(landing), sent2, "c_sentinel2")
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(landing))
+    )
+    rates = streaming_attribution_rates(stream, lookback_seconds=3600)
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("attr_rates")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.window_start.isoformat(), r.channel, r.n_touches)
+        for r in spark.table("attr_rates").collect()
+    }
+    # purchase id 4 at 10:00 had 2 in-window touches -> the
+    # [10:00, 11:00) window holds one view + one click credit
+    assert ("2024-01-01T10:00:00", "view", 1) in got
+    assert ("2024-01-01T10:00:00", "click", 1) in got
