@@ -113,20 +113,31 @@ def events_attribution_linear(
         & (F.col("t_us") < F.col("p_us")),
         "left",
     )
-    w = Window.partitionBy("pid")
-    c = j.select(
+    # Collapse the (linear-but-large) join output to AT MOST 2-3
+    # rows per purchase BEFORE any window: the per-(purchase,
+    # channel) aggregate is map-side combinable, so the pid window
+    # (for the total fan-out) runs over the tiny collapsed frame —
+    # at 30M synthetic events this is the difference between 80 s
+    # (windowing 78M wide join rows) and ~linear cost. Credit is
+    # constant within a (pid, channel) group, so summing
+    # credit x n_rows is DECIMAL-identical to summing per-row.
+    pc = j.groupBy(
         "pid",
         "value",
-        "touch",
-        F.count("touch").over(w).alias("n_t"),
-    )
-    cr = c.select(
         F.coalesce(F.col("touch"), F.lit("direct")).alias("channel"),
+    ).agg(
+        F.count("touch").alias("n_pc"),  # touches in this channel (0=direct)
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    w = Window.partitionBy("pid")
+    cr = pc.select(
+        "channel",
         "pid",
+        "n_rows",
         (
             F.floor(
                 F.col("value") * F.lit(1e6)
-                / F.greatest(F.col("n_t"), F.lit(1))
+                / F.greatest(F.sum("n_pc").over(w), F.lit(1))
                 + F.lit(0.5)
             )
             / F.lit(1e6)
@@ -134,8 +145,8 @@ def events_attribution_linear(
     )
     return cr.groupBy("channel").agg(
         F.countDistinct("pid").alias("n_purchases"),
-        F.count(F.lit(1)).alias("n_credits"),
-        F.sum(F.col("credit").cast("decimal(18,6)"))
+        F.sum("n_rows").cast("long").alias("n_credits"),
+        F.sum(F.col("credit").cast("decimal(18,6)") * F.col("n_rows"))
         .cast("double")
         .alias("attributed_value"),
     )

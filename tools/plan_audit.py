@@ -100,8 +100,10 @@ AUDITED = {
     ),
     "events_attribution_linear": (
         "Purchase->touch is a user_id equi-join with a bounded "
-        "24 h range residual (output linear in purchases); the "
-        "fan-out count windows by purchase id, never globally."
+        "24 h range residual (output linear in purchases); the join "
+        "output collapses to <=3 rows/purchase via a map-side "
+        "combinable aggregate BEFORE the pid fan-out window — the "
+        "window never sees the wide join frame."
     ),
     "orders_association_rules": (
         "ONE basket aggregate feeds pair expansion AND item counts; "
