@@ -1108,7 +1108,11 @@ def _cluster_hist_oracle() -> str:
     """
 
 
-@register("dedup_cluster_size_histogram", oracle=_cluster_hist_oracle())
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=_cluster_hist_oracle(),
+    stateful=True,
+)
 def dedup_cluster_size_histogram(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1217,7 +1221,7 @@ def _funnel_oracle() -> str:
     """
 
 
-@register("quality_filter_funnel", oracle=_funnel_oracle())
+@register("quality_filter_funnel", oracle=_funnel_oracle(), stateful=True)
 def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential curation funnel: documents surviving each pipeline
     stage in the canonical order — Gopher quality rules, repetition

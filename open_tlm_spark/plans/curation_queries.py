@@ -104,7 +104,7 @@ def _clusters_oracle() -> str:
     """
 
 
-@register("dedup_clusters", oracle=_clusters_oracle())
+@register("dedup_clusters", oracle=_clusters_oracle(), stateful=True)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level fuzzy-dedup clustering — the step every production
     corpus pipeline runs after MinHash-LSH: union the star edges of

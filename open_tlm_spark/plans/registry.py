@@ -30,6 +30,12 @@ class QueryDef:
     bench: bool = True  # False: correctness-only (e.g. writes state)
     module: str = ""  # defining module (for evidence freshness)
     func_name: str = ""  # defining function name in that module
+    # True: the builder DELIBERATELY runs driver-side actions while
+    # being built (iterative convergence loops, store round-trips,
+    # self-telemetry harnesses). Exempted — explicitly, by name — from
+    # tests/test_plan_quality.py::test_builders_never_call_driver_actions;
+    # every other builder must be fully lazy.
+    stateful: bool = False
 
 
 REGISTRY: dict[str, QueryDef] = {}
@@ -41,7 +47,12 @@ REGISTRY: dict[str, QueryDef] = {}
 CHECK_WINDOW = 50
 
 
-def register(name: str, oracle: str | None = None, bench: bool = True):
+def register(
+    name: str,
+    oracle: str | None = None,
+    bench: bool = True,
+    stateful: bool = False,
+):
     """Register a query under SURVEY.md §2's inventory name."""
 
     def deco(fn):
@@ -50,7 +61,7 @@ def register(name: str, oracle: str | None = None, bench: bool = True):
             return fn(spark, sf_dir)
 
         REGISTRY[name] = QueryDef(
-            wrapped, oracle, bench, fn.__module__, fn.__name__
+            wrapped, oracle, bench, fn.__module__, fn.__name__, stateful
         )
         return fn
 

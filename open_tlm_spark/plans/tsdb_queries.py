@@ -468,6 +468,7 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "store_roundtrip_rollup",
     bench=False,  # ingests state each run — correctness gate only
+    stateful=True,  # drives TelemetryStore.put at build time
     oracle=f"""
     SELECT event_type AS dataset_id,
            (epoch_us(ts) // (1000::BIGINT * 1000000)) * 1000 AS bin_ts,
@@ -515,6 +516,7 @@ def store_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "metrics_loop_series",
     bench=False,  # ingests state each run — correctness gate only
+    stateful=True,  # put/get/flush harness loop runs driver actions
     oracle="""
     WITH n AS (
       SELECT CAST(least(3, count(DISTINCT CAST(ts AS DATE))) AS BIGINT) AS d
