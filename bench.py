@@ -71,6 +71,11 @@ def main() -> int:
         spark.table(t).count()
 
     per_query: dict[str, float] = {}
+    # RDDs persisted before the query loop (none today, but the scoped
+    # cleanup below must never release a future warmup-owned cache).
+    baseline_rdds = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
     t_total = time.perf_counter()
     for name, q in sorted(REGISTRY.items()):
         if not q.bench:
@@ -85,8 +90,18 @@ def main() -> int:
         # every query after them (measured: ~11 lingering RDDs from 3
         # composing queries, a uniform +0.2-0.5 s tax on later
         # queries). Release them so each query is measured against a
-        # clean session — the same hygiene a long-lived service needs.
-        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        # clean session — but ONLY the blocks this query created:
+        # pre-loop persists and the cross-query shared caches
+        # (operators/shared_cache.py cached views, named
+        # "In-memory table tlm_shared_*") survive, or "cluster once,
+        # audit many" would silently become "cluster thrice".
+        for rid, rdd in list(
+            dict(spark.sparkContext._jsc.getPersistentRDDs()).items()
+        ):
+            if rid in baseline_rdds:
+                continue
+            if "In-memory table tlm_shared_" in (rdd.name() or ""):
+                continue
             rdd.unpersist(False)
     total = round(time.perf_counter() - t_total, 4)
 

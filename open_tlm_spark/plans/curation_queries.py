@@ -118,8 +118,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: edges are LINEAR in corpus size (star per bucket, never
     within-bucket pairs — a spanning subgraph of the bucket clique
     yields identical components); each CC round is one equi-join +
-    one min-aggregate over checkpointed frames.
+    one min-aggregate over checkpointed frames. The label table is
+    published as a session-shared cached view ("cluster once, audit
+    many", VERDICT r6 #3): dedup_cluster_size_histogram and
+    quality_filter_funnel scan the cached labels instead of
+    re-running the CC subtree — the same shape as a 100 TB run
+    persisting the labels as a parquet artifact between jobs.
     """
+    from open_tlm_spark.operators.shared_cache import shared_view
+
+    return shared_view(
+        spark, "cc_labels", sf_dir, lambda: _build_cluster_labels(spark)
+    )
+
+
+def _build_cluster_labels(spark: SparkSession) -> DataFrame:
+    """The actual CC pipeline (see dedup_clusters docstring)."""
     docs = spark.table("documents")
     bag = fan_out(docs).select("doc_id", T.fingerprint(F.col("text")).alias("k"))
     bands = D.lsh_bands(D.minhash_signatures(D.shingle_table(docs))).select(

@@ -70,73 +70,69 @@ def register(
 
 # The driver checks ~50 queries per round in dict order, so the head
 # of this list chooses what gets an in-round correctness row.
-# Round-6 head, in priority order:
-#   1. Queries whose code CHANGED this round (winnowing short-doc
-#      guard + integer fingerprint recovery, ADVICE r5).
-#   2. Queries NEW in round 6 (plans/audit_queries.py).
-#   3. The r2-era rotation block (last green row in round 2, code
+# Round-7 head, in priority order:
+#   1. Queries whose code CHANGED this round (CC-subtree sharing via
+#      operators/shared_cache.py, VERDICT r6 #3, plus the stateful
+#      registry flag added with the fixed laziness test).
+#   2. Queries NEW in round 7.
+#   3. The r3-era rotation block (last green row in round 3, code
 #      unchanged since — enforced by tests/test_evidence_freshness.py
 #      + tools/evidence.py fingerprints).
-# The r3-era block (including store_roundtrip_rollup,
-# metrics_loop_series, asof_align_series, ts_agg_1000s,
-# ts_range_scan, ts_rollup_cascade, ts_fidelity_route, which briefly
-# held the r6 tail before the round-6b queries displaced them)
-# rotates in r7.
+# The r4-era block rotates in r8.
 _CHECK_FIRST = [
-    # 1. changed in round 6 (ADVICE r5 winnowing fixes)
-    "dedup_winnowing",
-    # 2. new in round 6 (plans/audit_queries.py)
-    "source_unigram_kl",
-    "tokenizer_fertility_by_source",
-    "docs_heaps_law_fit",
-    "orders_benford_audit",
-    "ts_bollinger_bands",
-    "ts_log_returns_vol",
-    "ts_cross_corr_lag",
-    "retrieval_rrf_fusion",
-    "sim_matryoshka_recall_eval",
-    "embedding_sq8_error",
-    "sample_weighted_hash",
+    # 1. changed in round 7 (shared CC label cache + stateful flag)
+    "dedup_clusters",
     "dedup_cluster_size_histogram",
     "quality_filter_funnel",
-    "sim_ivf_nprobe_sweep",
-    # 2b. new in round 6b (plans/mining_queries.py)
-    "events_attribution_linear",
-    "orders_association_rules",
-    "ts_sax_symbols",
-    "ts_spectral_entropy",
-    "shards_assignment_balance",
-    "ts_theil_sen_slope",
-    "customers_kanonymity_audit",
-    # 3. r2-era rotation block (28 queries, oldest greens first)
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    "top_customers_by_revenue",
-    "customers_without_orders",
-    "parts_above_brand_average",
-    "window_user_running_stats",
-    "set_ops_purchasers_vs_errors",
-    "pivot_event_type_daily",
-    "dedup_exact",
-    "sessionize_events",
-    "multimodal_decode",
-    "events_json_props",
-    "interval_join_error_windows",
-    "ts_derivative",
-    "ts_gap_fill",
-    "ts_ewma",
+    # 2. new in round 7
+    "decontaminate_minhash_fuzzy",
+    "corpus_snapshot_diff",
+    "dedup_incremental_minhash",
+    "docs_mad_outlier_lengths",
+    "customers_fuzzy_linkage",
+    "parts_skyline_pareto",
+    "orders_cohort_ltv",
+    "lineitem_equidepth_histogram",
+    "events_top_paths",
+    "events_dedup_time_window",
+    # 3. r3-era rotation block (37 queries, oldest greens first)
+    "store_roundtrip_rollup",
+    "metrics_loop_series",
+    "ts_range_scan",
+    "ts_agg_1000s",
+    "ts_rollup_cascade",
+    "ts_fidelity_route",
+    "ts_dataset_search",
+    "ts_value_projection",
+    "ts_histogram",
+    "ts_minmax_range",
+    "ts_topk_latest",
+    "asof_align_series",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_suppliers",
+    "cube_order_stats",
+    "distinct_stats_exact",
+    "approx_distinct_stats",
+    "percentiles_by_event_type",
+    "rank_parts_in_brand",
+    "skew_salted_agg",
+    "unpivot_part_metrics",
+    "pack_sequences",
+    "sample_domain_mix",
+    "docs_clean_pipeline",
+    "text_langid",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_token_stats",
+    "multimodal_frame_sample",
+    "multimodal_metadata_stats",
+    "multimodal_resize",
 ]
 
 
