@@ -231,6 +231,17 @@ class TlmHandler(BaseHTTPRequestHandler):
             from open_tlm_spark.store.retention import expire_raw
 
             body = self._body()
+            # the only route that irreversibly deletes data on an
+            # unauthenticated shim: demand an explicit opt-in so a
+            # single stray request can't destroy raw history
+            if body.get("confirm") is not True:
+                return self._send(
+                    400,
+                    {
+                        "message": "expire deletes raw partitions "
+                        "permanently; resend with 'confirm': true"
+                    },
+                )
             try:
                 cutoff = _dt.datetime.fromisoformat(body["before"])
             except (KeyError, ValueError, TypeError) as e:

@@ -212,9 +212,21 @@ def test_admin_maintenance_routes(api):
     )
     assert status == 200 and len(body["data"]["points"]) == 3
 
-    # expiry: day-1 raw drops, day-2 survives
+    # expiry without the explicit confirm opt-in -> 400, nothing lost
     status, body = _req(
         f"{api}/api/admin/expire", "POST", {"before": "2024-01-02T00:00:00"}
+    )
+    assert status == 400 and "confirm" in body["message"]
+    status, body = _req(
+        f"{api}/api/data/admin.test?start=2024-01-01T02:59:00&end=2024-01-01T03:01:00"
+    )
+    assert status == 200 and len(body["data"]["points"]) == 3
+
+    # expiry: day-1 raw drops, day-2 survives
+    status, body = _req(
+        f"{api}/api/admin/expire",
+        "POST",
+        {"before": "2024-01-02T00:00:00", "confirm": True},
     )
     assert status == 200 and body["partitions"] > 0
     status, body = _req(
@@ -227,5 +239,9 @@ def test_admin_maintenance_routes(api):
     assert status == 200 and len(body["data"]["points"]) == 3
 
     # bad cutoff -> 400
-    status, _ = _req(f"{api}/api/admin/expire", "POST", {"before": "nope"})
+    status, _ = _req(
+        f"{api}/api/admin/expire",
+        "POST",
+        {"before": "nope", "confirm": True},
+    )
     assert status == 400

@@ -25,8 +25,22 @@ def _build_reference_store(base) -> dict[str, list[tuple[float, float]]]:
     data: dict[str, list[tuple[float, float]]] = {}
     for s in range(3):
         sid = f"mig.series.{s}"
-        t0 = day0.timestamp()
-        pts = [(t0 + i * 2.0, float(s * 1000 + i) / 10.0) for i in range(500)]
+        # fractional-microsecond timestamps (ADVICE r6): the double
+        # product ts*1e6 lands just BELOW the true integer for ~1% of
+        # these, so a truncating cast would migrate them 1 µs early —
+        # the round-to-nearest path must keep them exact
+        pts = [
+            (
+                (
+                    day0
+                    + dt.timedelta(
+                        seconds=i * 2, microseconds=(i * 997 + s) % 1_000_000
+                    )
+                ).timestamp(),
+                float(s * 1000 + i) / 10.0,
+            )
+            for i in range(500)
+        ]
         data[sid] = pts
         index.put(
             sid,

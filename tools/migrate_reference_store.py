@@ -23,6 +23,7 @@ Usage: python tools/migrate_reference_store.py REF_BASE OUT_BASE
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(
@@ -61,14 +62,22 @@ def migrate(
         .option("recursiveFileLookup", "true")
         .csv(full)
     )
+    # anchor the extract to THIS full/ tree: a stray directory named
+    # "full" higher up the absolute path (e.g. /srv/full/ref/data/
+    # full/<ds>/...) must not capture the wrong segment (ADVICE r6)
+    full_abs = os.path.abspath(full)
+    ds_pattern = re.escape(full_abs) + r"/([^/]+)/"
     pts = raw.select(
         F.regexp_extract(
-            F.input_file_name(), r"/full/([^/]+)/", 1
+            F.input_file_name(), ds_pattern, 1
         ).alias("dataset_id"),
         # reference timestamps are epoch SECONDS as python float
-        # repr — microsecond-exact through the *1e6 long cast
+        # repr — ROUND to micros (ADVICE r6: a bare long cast
+        # truncates the ~1% of fractional-second values whose
+        # double product lands just below the integer, producing
+        # 1 µs-offset duplicates on re-post after migration)
         F.timestamp_micros(
-            (F.col("ts") * F.lit(1_000_000.0)).cast("long")
+            F.round(F.col("ts") * F.lit(1_000_000.0), 0).cast("long")
         ).alias("ts"),
         "value",
     )
