@@ -18,5 +18,6 @@ from open_tlm_spark.plans import eval_queries  # noqa: F401
 from open_tlm_spark.plans import selection_queries  # noqa: F401
 from open_tlm_spark.plans import audit_queries  # noqa: F401
 from open_tlm_spark.plans import mining_queries  # noqa: F401
+from open_tlm_spark.plans import hygiene_queries  # noqa: F401
 
 __all__ = ["REGISTRY", "register", "spark_queries", "oracle_queries"]
