@@ -25,12 +25,13 @@ from __future__ import annotations
 
 import datetime as _dt
 import json
+import mimetypes
+import os
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from pyspark.sql import functions as F
 
 from open_tlm_spark.schemas import POINTS_SCHEMA
 from open_tlm_spark.store import CommentStore, TelemetryStore
@@ -54,6 +55,14 @@ def _us_iso(us: int) -> str:
 class TlmHandler(BaseHTTPRequestHandler):
     store: TelemetryStore
     comments: CommentStore
+    # Optional reference-style browser app: a directory holding the
+    # reference's static tree (templates/index.html + public/*). When
+    # set, the shim serves `/` and `/public/<path>` exactly like the
+    # reference server (server.py:47-53), so a deployment migrated
+    # with tools/migrate_reference_store.py keeps its UI unchanged —
+    # graph.js's fetches (/api/datasets, /api/data/<id>, /api/comment)
+    # land on the byte-compatible JSON routes below.
+    ui_root: str | None = None
     # ThreadingHTTPServer runs one thread per request; the stores'
     # read-merge-overwrite paths are not concurrent-writer-safe, so
     # mutations serialize on this lock (reads stay lock-free — single
@@ -102,10 +111,41 @@ class TlmHandler(BaseHTTPRequestHandler):
         except Exception:
             return None
 
+    def _send_file(self, fs_path: str) -> None:
+        try:
+            with open(fs_path, "rb") as f:
+                body = f.read()
+        except OSError:
+            return self._send(404, {"message": "not found"})
+        ctype = (
+            mimetypes.guess_type(fs_path)[0] or "application/octet-stream"
+        )
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     # --------------------------------------------------------- routes
     def do_GET(self):
         url = urlparse(self.path)
         q = parse_qs(url.query)
+        if self.ui_root is not None:
+            if url.path == "/":
+                return self._send_file(
+                    os.path.join(self.ui_root, "templates", "index.html")
+                )
+            if url.path.startswith("/public/"):
+                base = os.path.realpath(
+                    os.path.join(self.ui_root, "public")
+                )
+                fs = os.path.realpath(
+                    os.path.join(base, url.path[len("/public/"):])
+                )
+                # realpath containment: no ../ escape from the tree
+                if not fs.startswith(base + os.sep):
+                    return self._send(404, {"message": "not found"})
+                return self._send_file(fs)
         if url.path == "/api/datasets":
             text = q.get("text", [""])[0]
             rows = self.store.datasets(text).collect()
@@ -120,23 +160,17 @@ class TlmHandler(BaseHTTPRequestHandler):
             if hit is not None:
                 return self._send(200, hit)
             gen0 = self._gen[0]
-            # ordered=False: the result is bounded (store fan-out
-            # guard), so ordering happens here instead of paying a
-            # Spark range-exchange per interactive read
-            df = self.store.get(m.group(1), *rng, ordered=False)
-            if "value" in df.columns:
-                # epoch-derived formatting: collected naive datetimes
-                # are OS-local, which would shift on non-UTC hosts and
-                # differ from the (UTC) aggregate branch
-                rows = df.select(
-                    F.unix_micros("ts").alias("us"), "value"
-                ).collect()
+            # read_window: one-statement warm fast path, bounded rows
+            # sorted driver-side (a Spark range-exchange per
+            # interactive read would double the latency). Raw rows
+            # carry epoch micros (us) — formatting from the epoch
+            # avoids OS-local naive-datetime shifts on non-UTC hosts.
+            rows = self.store.read_window(m.group(1), *rng)
+            if rows and "us" in rows[0].__fields__:
                 points = [
-                    {"date": _us_iso(r.us), "value": r.value}
-                    for r in sorted(rows, key=lambda r: r.us)
+                    {"date": _us_iso(r.us), "value": r.value} for r in rows
                 ]
             else:
-                rows = df.collect()
                 points = [
                     {
                         "date": _us_iso(r.bin_ts * 1_000_000),
@@ -144,7 +178,7 @@ class TlmHandler(BaseHTTPRequestHandler):
                         "mean_value": r.mean_value,
                         "max_value": r.max_value,
                     }
-                    for r in sorted(rows, key=lambda r: r.bin_ts)
+                    for r in rows
                 ]
             payload = {"data": {"dataset": m.group(1), "points": points}}
             with self.write_lock:
@@ -301,6 +335,7 @@ def serve(
     comments: CommentStore,
     port: int = 0,
     warm: bool = True,
+    ui_root: str | None = None,
 ) -> ThreadingHTTPServer:
     """Start the API server on a daemon thread; returns the server
     (server.server_address[1] is the bound port; shutdown() to stop).
@@ -308,7 +343,11 @@ def serve(
     warm=True pins the rollup levels + catalog (and raw points) in
     memory so interactive reads serve from InMemoryRelation instead of
     re-listing/re-decoding parquet — ingest invalidates touched levels
-    and they re-warm on next read (store.warm)."""
+    and they re-warm on next read (store.warm).
+
+    ui_root: path to a reference-style static tree (templates/ +
+    public/) to serve the browser app at / — completes the switching
+    path for stores migrated with tools/migrate_reference_store.py."""
     if warm:
         store.warm(points=True)
     handler = type(
@@ -317,6 +356,7 @@ def serve(
         {
             "store": store,
             "comments": comments,
+            "ui_root": ui_root,
             # per-server state — never shared across serve() calls
             "_data_memo": {},
             "_gen": [0],

@@ -245,3 +245,65 @@ def test_admin_maintenance_routes(api):
         {"before": "nope", "confirm": True},
     )
     assert status == 400
+
+
+def test_reference_ui_served(spark, tmp_path):
+    """VERDICT r6 #6: serving the reference's browser app against the
+    shim completes the switching path — a store migrated with
+    tools/migrate_reference_store.py keeps its UI unchanged. Drives
+    the exact URLs graph.js/index.html request (/, /public/<asset>,
+    /api/datasets, /api/data/<id>) against the served tree."""
+    import urllib.error
+
+    store = TelemetryStore(spark, str(tmp_path))
+    comments = CommentStore(spark, str(tmp_path))
+    srv = serve(store, comments, ui_root="/root/reference")
+    api = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        def raw(path):
+            with urllib.request.urlopen(api + path) as r:
+                return r.status, r.headers.get("Content-Type"), r.read()
+
+        # the app shell, as the reference's "/" route serves it
+        status, ctype, body = raw("/")
+        assert status == 200 and ctype == "text/html"
+        assert b"public/index.js" in body and b"public/style.css" in body
+
+        # assets index.html/graph.js actually reference
+        for path, want_type in [
+            ("/public/index.js", "text/javascript"),
+            ("/public/graph.js", "text/javascript"),
+            ("/public/style.css", "text/css"),
+            ("/public/icons/logo-small.svg", "image/svg+xml"),
+        ]:
+            status, ctype, body = raw(path)
+            assert status == 200 and ctype == want_type and body
+
+        # traversal out of the public tree is refused
+        status, _ = _req(f"{api}/public/%2e%2e/server.py")
+        assert status == 404
+
+        # the fetches graph.js issues hit the JSON routes
+        _req(
+            f"{api}/api/data",
+            "POST",
+            {
+                "data": [
+                    {
+                        "dataset_id": "ui.test",
+                        "points": [
+                            {"date": "2024-01-01T03:00:00", "value": 1.0}
+                        ],
+                    }
+                ]
+            },
+        )
+        status, names = _req(f"{api}/api/datasets?text=ui")
+        assert status == 200 and names == ["ui.test"]
+        status, body = _req(
+            f"{api}/api/data/ui.test"
+            "?start=2024-01-01T02:59:00&end=2024-01-01T03:01:00"
+        )
+        assert status == 200 and len(body["data"]["points"]) == 1
+    finally:
+        srv.shutdown()

@@ -351,3 +351,56 @@ def test_comment_gc_keeps_previous_version(spark, tmp_path):
     v3 = versions()
     assert len(v3) == 2 and v3[0] == v2[1]  # N-2 gone, N-1 kept
     assert {r.text for r in cs._read().collect()} == {"one", "two", "three"}
+
+
+def test_read_window_matches_get_warm_and_cold(spark, tmp_path):
+    """read_window (the interactive serving fast path: registered
+    warm views, one-statement SQL, AQE-skipped micro-plan) must return
+    exactly get()'s rows — cold, warm, raw, and rollup — plus the
+    epoch-us column on raw rows."""
+    store = make_store(spark, tmp_path, "test_rw", PUT_GET_POINTS)
+
+    def raw_set(rows):
+        return {(r.dataset_id, r.us, r.value) for r in rows}
+
+    def agg_set(rows):
+        return {
+            (r.dataset_id, r.bin_ts, r.min_value, r.mean_value,
+             r.max_value, r.sum_values, r["count"])
+            for r in rows
+        }
+
+    want_raw = raw_set(
+        store.get("test_rw", START, END, fidelity=None)
+        .selectExpr("dataset_id", "unix_micros(ts) AS us", "value")
+        .collect()
+    )
+    want_agg = agg_set(store.get("test_rw", START, END, 100).collect())
+    assert len(want_raw) == 9 and want_agg
+
+    # cold
+    assert raw_set(store.read_window("test_rw", START, END, None)) == want_raw
+    assert agg_set(store.read_window("test_rw", START, END, 100)) == want_agg
+
+    # warm: the registered-view SQL path
+    store.warm(points=True)
+    got_raw = store.read_window("test_rw", START, END, None)
+    got_agg = store.read_window("test_rw", START, END, 100)
+    assert raw_set(got_raw) == want_raw
+    assert agg_set(got_agg) == want_agg
+    # driver-side sort contract
+    assert [r.us for r in got_raw] == sorted(r.us for r in got_raw)
+    assert [r.bin_ts for r in got_agg] == sorted(r.bin_ts for r in got_agg)
+    # AQE conf restored
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    # post-warm ingest invalidates, next read re-warms + re-registers
+    extra = spark.createDataFrame(
+        [("test_rw", _dt("2024-01-01T03:10:00"), 42.0)], POINTS_SCHEMA
+    )
+    store.put(extra)
+    got = store.read_window("test_rw", START, END, None)
+    assert len(got) == 10 and any(r.value == 42.0 for r in got)
+
+    # a quote in the id must not break (or inject into) the SQL path
+    assert store.read_window("o'brien", START, END, None) == []
