@@ -37,16 +37,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
-def curate(spark, sf_dir: str):
-    """Build the full curation plan; returns (kept_docs, packs) —
-    both lazy DataFrames."""
+def curate_stages(spark, sf_dir: str, docs=None) -> dict:
+    """Build the curation plan and return every stage frame (ordered
+    dict: gated -> deduped -> clean -> packs), all lazy. `docs`
+    overrides the corpus (tools/curate_scale_smoke.py feeds synthetic
+    decades through the SAME code path)."""
     from open_tlm_spark.operators import curation as C
     from open_tlm_spark.operators import dedup as D
     from open_tlm_spark.operators import text as T
     from open_tlm_spark.session import fan_out, load_tables
 
-    load_tables(spark, sf_dir)
-    docs = fan_out(spark.table("documents"))
+    if docs is None:
+        load_tables(spark, sf_dir)
+        docs = spark.table("documents")
+    docs = fan_out(docs)
 
     # 1. quality gates: Gopher-ish thresholds on the cheap features
     q = T.quality_features(docs)
@@ -93,7 +97,19 @@ def curate(spark, sf_dir: str):
         tokens_col="chunk_tokens",
         budget=256,
     )
-    return clean, packs
+    return {
+        "gated": gated,
+        "deduped": deduped,
+        "clean": clean,
+        "packs": packs,
+    }
+
+
+def curate(spark, sf_dir: str):
+    """Build the full curation plan; returns (kept_docs, packs) —
+    both lazy DataFrames."""
+    stages = curate_stages(spark, sf_dir)
+    return stages["clean"], stages["packs"]
 
 
 def main() -> int:

@@ -926,3 +926,34 @@ def test_kanonymity_no_global_sort_no_smj(spark):
     assert "Exchange rangepartitioning" not in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_corpus_scan_and_shared_cc_cache(spark):
+    """VERDICT r6 #7: the funnel's docstring claims ONE tokenize pass
+    feeds every gate signal, and (r6 #3) the dedup stage reads the
+    session-shared CC label cache instead of re-running the
+    connected-components subtree. Pin both: exactly one parquet scan
+    of the corpus in the executed plan, the labels arriving via an
+    InMemoryTableScan of the tlm_shared_* cached view, and no
+    cartesian products."""
+    plan = plan_of(spark, "quality_filter_funnel")
+
+    # ONE FileScan reads the text payload (the signal pass). The
+    # cached label view renders its stored lineage inside the plan
+    # string, so count text-reading scans, not scan nodes.
+    def text_scans(p: str) -> int:
+        return sum(
+            1
+            for ln in p.splitlines()
+            if "FileScan parquet" in ln and ",text#" in ln
+        )
+
+    assert text_scans(plan) == 1, plan
+    assert "Scan In-memory table tlm_shared_cc_labels" in plan
+    assert "CartesianProduct" not in plan
+
+    # the histogram auditor reads the SAME cache — its corpus-side
+    # cost is zero text scans once the labels exist
+    plan2 = plan_of(spark, "dedup_cluster_size_histogram")
+    assert "Scan In-memory table tlm_shared_cc_labels" in plan2
+    assert text_scans(plan2) == 0, plan2
