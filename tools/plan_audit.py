@@ -116,6 +116,30 @@ AUDITED = {
         "48*48/2 rows per series regardless of corpus size; grid "
         "bounds come from a lazy 1-row broadcast frame."
     ),
+    "decontaminate_minhash_fuzzy": (
+        "Training bands probe the FIXED-SMALL benchmark band table "
+        "(equi-join) — the corpus never self-joins; exact-Jaccard "
+        "verification touches candidate pairs only."
+    ),
+    "dedup_incremental_minhash": (
+        "One band self-join pruned by the arrival-order predicate; "
+        "per-doc min() collapses partners inside the aggregate — "
+        "flags are linear in the candidate set."
+    ),
+    "parts_skyline_pareto": (
+        "O(n log n) sweep: per-price max first (map-side), then a "
+        "running-max window over DISTINCT prices — the oracle's "
+        "quadratic NOT EXISTS never executes on the Spark side."
+    ),
+    "lineitem_equidepth_histogram": (
+        "One distributed exact-percentile pass; the 15-cut array "
+        "rides a 1-row crossJoin (literal broadcast) into a "
+        "map-side-combinable bucket count."
+    ),
+    "customers_fuzzy_linkage": (
+        "Blocking key (nation) bounds the quadratic: the levenshtein "
+        "filter runs inside equi-join blocks, never across the table."
+    ),
 }
 
 
