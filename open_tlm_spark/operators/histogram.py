@@ -84,3 +84,122 @@ def range_summary(
         F.avg(value_col).alias("mean_value"),
         F.count(F.lit(1)).alias("count"),
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    fracs: list[float],
+    n_bins: int = 1024,
+) -> DataFrame:
+    """EXACT interpolated quantiles as a lazy 1-row frame
+    (`qs: array<double>`, ordered by frac) via distributed two-phase
+    selection — the scale-correct replacement for Spark's
+    `percentile()` aggregate, which ships every value into one
+    ObjectHashAggregate reducer (measured 2.7-4.7 s on 600k rows; this
+    path is sub-second and its reducer state is O(n_bins), not O(n)).
+
+    Phase 1: fixed-width bin counts (map-side combinable) + a running
+    prefix over the n_bins-row count table locate, for every target
+    rank r = (n-1)*q, the bin holding it and the rank's offset inside
+    that bin. Phase 2 re-scans ONLY the located bins (a broadcast
+    semi-join; ~n/n_bins rows each at uniform spread), orders within
+    each bin, and picks the exact order statistics; linear
+    interpolation between floor/ceil ranks matches DuckDB's
+    quantile_cont. Fully lazy — totals ride 1-row crossJoined frames,
+    never a driver action. Skewed data can overload one bin (all-equal
+    values degenerate to a single-bin sort); production refinement is
+    recursing the split inside the hot bin.
+    """
+    from pyspark.sql import Window
+
+    pr = df.select(F.col(value_col).alias("v"))
+    stats = pr.agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(n_bins)
+    bin_of = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("v") - F.col("mn")) / width),
+            F.lit(n_bins - 1),
+        )
+    )
+    binned = pr.crossJoin(stats).select(
+        "v", bin_of.cast("long").alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+
+    # target integer ranks: floor and ceil of (n-1)*q per frac
+    frac_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("qi"), F.lit(q).alias("q")
+                )
+                for i, q in enumerate(fracs)
+            ]
+        )
+    ).alias("fq")
+    targets = (
+        stats.select("n", frac_rows)
+        .select(
+            F.col("fq.qi").alias("qi"),
+            F.col("fq.q").alias("q"),
+            ((F.col("n") - 1) * F.col("fq.q")).alias("rank"),
+        )
+        .select(
+            "qi",
+            "q",
+            "rank",
+            F.floor("rank").cast("long").alias("r_lo"),
+            F.ceil("rank").cast("long").alias("r_hi"),
+        )
+    )
+    ranks = (
+        targets.select(
+            "qi", "q", "rank", F.explode(F.array("r_lo", "r_hi")).alias("r")
+        )
+        .select("qi", "q", "rank", "r")
+        .distinct()
+    )
+    # locate each rank's bin (tiny theta-join: n_bins x |ranks| rows)
+    located = ranks.join(
+        F.broadcast(cum),
+        (F.col("cum_before") <= F.col("r"))
+        & (F.col("r") < F.col("cum_before") + F.col("cnt")),
+    ).select(
+        "qi", "q", "rank", "r", "bin",
+        (F.col("r") - F.col("cum_before")).alias("offset"),
+    )
+    # phase 2: order statistics from the located bins only
+    need_bins = located.select("bin").distinct()
+    wb = Window.partitionBy("bin").orderBy("v")
+    picked = (
+        binned.join(F.broadcast(need_bins), "bin")
+        .withColumn("rn", F.row_number().over(wb) - 1)
+        .join(located, "bin")
+        .filter(F.col("rn") == F.col("offset"))
+    )
+    # interpolate per frac: v_lo + (rank - floor(rank)) * (v_hi - v_lo)
+    per_q = picked.groupBy("qi", "q", "rank").agg(
+        F.min(F.when(F.col("r") == F.floor("rank").cast("long"), F.col("v"))).alias("v_lo"),
+        F.min(F.when(F.col("r") == F.ceil("rank").cast("long"), F.col("v"))).alias("v_hi"),
+    )
+    qv = per_q.select(
+        "qi",
+        (
+            F.col("v_lo")
+            + (F.col("rank") - F.floor("rank")) * (F.col("v_hi") - F.col("v_lo"))
+        ).alias("qv"),
+    )
+    return qv.agg(
+        F.array_sort(
+            F.collect_list(F.struct("qi", "qv"))
+        ).alias("_s")
+    ).select(F.transform("_s", lambda s: s["qv"]).alias("qs"))

@@ -669,3 +669,34 @@ def test_chunk_last_chunk_is_short(spark):
         key=lambda r: r.chunk_id,
     )
     assert [r.chunk_tokens for r in rows] == [4, 3]
+
+
+def test_exact_quantiles_matches_numpy_linear(spark):
+    """exact_quantiles (distributed two-phase selection,
+    operators/histogram.py) must reproduce exact linear-interpolated
+    quantiles — numpy's 'linear' method, DuckDB's quantile_cont,
+    Spark's percentile() all agree — across shapes that stress the
+    bin logic: uniform, heavy ties (few distinct values), all-equal
+    (zero bin width), skewed magnitudes, and n smaller than n_bins."""
+    import numpy as np
+
+    from open_tlm_spark.operators.histogram import exact_quantiles
+
+    rng = np.random.RandomState(7)
+    datasets = {
+        "uniform": rng.uniform(0, 1e5, 5000),
+        "ties": rng.randint(0, 7, 4000).astype(float),
+        "all_equal": np.full(100, 42.5),
+        "skewed": np.exp(rng.uniform(0, 20, 3000)),
+        "tiny": rng.uniform(-5, 5, 17),
+    }
+    fracs = [0.01, 0.25, 0.5, 0.75, 0.9375, 0.99]
+    for name, arr in datasets.items():
+        df = spark.createDataFrame([(float(v),) for v in arr], "v double")
+        got = exact_quantiles(df, "v", fracs).collect()[0].qs
+        want = np.quantile(arr, fracs, method="linear")
+        assert np.allclose(got, want, rtol=0, atol=1e-9 * max(1, abs(want).max())), (
+            name,
+            list(got),
+            list(want),
+        )

@@ -132,13 +132,17 @@ AUDITED = {
         "quadratic NOT EXISTS never executes on the Spark side."
     ),
     "lineitem_equidepth_histogram": (
-        "One distributed exact-percentile pass; the 15-cut array "
-        "rides a 1-row crossJoin (literal broadcast) into a "
-        "map-side-combinable bucket count."
+        "Exact cuts via distributed two-phase selection "
+        "(exact_quantiles: bin counts + order statistics from the "
+        "located bins only — O(n_bins) reducer state where "
+        "percentile() is O(n)); the 15-cut array rides a 1-row "
+        "crossJoin into a map-side-combinable bucket count."
     ),
     "customers_fuzzy_linkage": (
-        "Blocking key (nation) bounds the quadratic: the levenshtein "
-        "filter runs inside equi-join blocks, never across the table."
+        "Deletion-neighborhood candidate generation (FastSS): "
+        "|name|+1 keys per record, ONE equi-join on (block, key), "
+        "levenshtein verifies candidates only — the within-block "
+        "quadratic never executes (26.9 s -> 2.3 s at sf0.1)."
     ),
 }
 
