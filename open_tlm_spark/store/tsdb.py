@@ -32,7 +32,9 @@ Physical layout (designed for 100 TB):
 from __future__ import annotations
 
 import datetime as _dt
+import contextlib
 import os
+import threading
 import zlib
 
 from pyspark.sql import DataFrame, SparkSession
@@ -580,14 +582,37 @@ class TelemetryStore:
                 f"{id_pred}"
             )
             key = lambda r: (r.dataset_id, r.bin_ts)  # noqa: E731
-        conf = self.spark.conf
-        prev = conf.get("spark.sql.adaptive.enabled")
-        conf.set("spark.sql.adaptive.enabled", "false")
-        try:
+        with self._no_aqe():
             rows = self.spark.sql(sql).collect()
-        finally:
-            conf.set("spark.sql.adaptive.enabled", prev)
         return sorted(rows, key=key)
+
+    # ThreadingHTTPServer serves reads concurrently; a naive
+    # save/set/restore of the AQE flag races (reader B can snapshot
+    # reader A's temporary "false" as its restore value and disable
+    # AQE for the whole session). Depth-counted: only the outermost
+    # reader toggles and restores.
+    _aqe_lock = threading.Lock()
+    _aqe_depth = 0
+    _aqe_prev = "true"
+
+    @contextlib.contextmanager
+    def _no_aqe(self):
+        cls = TelemetryStore
+        conf = self.spark.conf
+        with cls._aqe_lock:
+            if cls._aqe_depth == 0:
+                cls._aqe_prev = conf.get("spark.sql.adaptive.enabled")
+                conf.set("spark.sql.adaptive.enabled", "false")
+            cls._aqe_depth += 1
+        try:
+            yield
+        finally:
+            with cls._aqe_lock:
+                cls._aqe_depth -= 1
+                if cls._aqe_depth == 0:
+                    conf.set(
+                        "spark.sql.adaptive.enabled", cls._aqe_prev
+                    )
 
     # --------------------------------------------------------- maintenance
     def compact(self, max_records_per_file: int = 5_000_000) -> None:

@@ -1,0 +1,136 @@
+"""Misra-Gries heavy hitters (streaming/heavy_hitters.py): the
+classic guarantees must hold through the distributed per-partition
+fold, the driver-side merge, and the streaming foreachBatch path —
+never exact equality with true counts (the sketch undercounts by
+design), always the two MG invariants:
+
+  1. no overcount: estimate(key) <= true_count(key);
+  2. bounded undercount: true_count(key) - estimate(key) <= n/(k+1);
+     hence every key with true count > n/(k+1) is PRESENT.
+"""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_tlm_spark.streaming.heavy_hitters import (
+    HeavyHittersStore,
+    _mg_update,
+    mg_collect,
+    mg_merge,
+    mg_summarize,
+    start_heavy_hitters,
+)
+
+
+def _check_invariants(est: dict[str, int], true: dict[str, int], k: int):
+    n = sum(true.values())
+    bound = n / (k + 1)
+    for key, w in est.items():
+        assert w <= true.get(key, 0), (key, w, true.get(key, 0))
+    for key, cnt in true.items():
+        assert cnt - est.get(key, 0) <= bound + 1e-9, (key, cnt, est.get(key))
+        if cnt > bound:
+            assert key in est, f"guaranteed heavy key {key} missing"
+
+
+def test_mg_update_and_merge_invariants_pure_python():
+    import random
+
+    rng = random.Random(5)
+    # zipf-ish stream: few hot keys, long tail
+    keys = [f"hot{i}" for i in range(3)] * 200 + [
+        f"cold{rng.randrange(500)}" for _ in range(600)
+    ]
+    rng.shuffle(keys)
+    k = 8
+    # split into two halves, summarize each, merge — the mergeable path
+    halves = keys[: len(keys) // 2], keys[len(keys) // 2:]
+    summaries = []
+    for half in halves:
+        c: dict[str, int] = {}
+        for key in half:
+            _mg_update(c, key, 1, k)
+        summaries.append(c)
+    est = mg_merge(summaries[0], summaries[1], k)
+    true: dict[str, int] = {}
+    for key in keys:
+        true[key] = true.get(key, 0) + 1
+    assert len(est) <= k
+    _check_invariants(est, true, k)
+
+
+def test_mg_summarize_distributed(spark):
+    # 40k rows, planted heavy keys across 8 partitions
+    df = (
+        spark.range(40_000, numPartitions=8)
+        .select(
+            F.when(F.col("id") % 4 == 0, F.lit("heavy_a"))
+            .when(F.col("id") % 7 == 0, F.lit("heavy_b"))
+            .otherwise(F.concat(F.lit("tail"), (F.col("id") % 997)))
+            .alias("k")
+        )
+    )
+    k = 16
+    summaries = mg_summarize(df, "k", k)
+    # per-partition summaries stay bounded
+    per_part = summaries.groupBy(F.spark_partition_id()).count().collect()
+    assert all(r["count"] <= k for r in per_part)
+    est = mg_collect(summaries, k)
+    true = {
+        r.k: r["count"]
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("count")).collect()
+    }
+    assert len(est) <= k
+    _check_invariants(est, true, k)
+    # the planted heavies are far above n/(k+1) — must be the top keys
+    top2 = sorted(est, key=est.get, reverse=True)[:2]
+    assert set(top2) == {"heavy_a", "heavy_b"}
+
+
+def test_heavy_hitters_streaming_end_to_end(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    k = 8
+
+    def write_file(name, rows, mtime):
+        p = os.path.join(str(landing), name)
+        with open(p, "w") as f:
+            for key in rows:
+                f.write(json.dumps({"k": key}) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    batch1 = ["hot"] * 300 + [f"t{i}" for i in range(100)]
+    batch2 = ["hot"] * 200 + ["warm"] * 150 + [f"u{i}" for i in range(100)]
+    t0 = time.time() - 60
+    write_file("b1.json", batch1, t0)
+    write_file("b2.json", batch2, t0 + 10)
+
+    q, store = start_heavy_hitters(
+        spark,
+        str(landing),
+        "k",
+        str(tmp_path / "state.json"),
+        str(tmp_path / "ckpt"),
+        k=k,
+        trigger_seconds=0.5,
+    )
+    try:
+        true: dict[str, int] = {}
+        for key in batch1 + batch2:
+            true[key] = true.get(key, 0) + 1
+        deadline = time.time() + 90
+        est: dict[str, int] = {}
+        while time.time() < deadline:
+            est = store.load()
+            if "hot" in est and "warm" in est:
+                break
+            time.sleep(0.5)
+        assert len(est) <= k
+        _check_invariants(est, true, k)
+        assert sorted(est, key=est.get, reverse=True)[0] == "hot"
+    finally:
+        q.stop()
