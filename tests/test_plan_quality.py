@@ -957,3 +957,23 @@ def test_funnel_single_corpus_scan_and_shared_cc_cache(spark):
     plan2 = plan_of(spark, "dedup_cluster_size_histogram")
     assert "Scan In-memory table tlm_shared_cc_labels" in plan2
     assert text_scans(plan2) == 0, plan2
+
+
+def test_shared_view_invalidate_and_rebuild(spark):
+    """operators/shared_cache.py: invalidate() drops this session's
+    shared views (test hygiene), and the next consumer rebuilds the
+    cache rather than erroring on the dropped view."""
+    from open_tlm_spark.operators import shared_cache as sc
+
+    # prime the cache through the registered consumer
+    REGISTRY["dedup_clusters"].fn(spark, SF).count()
+    primed = [v for (sid, v) in sc._MEMO if sid == id(spark)]
+    assert any("cc_labels" in v for v in sc._MEMO.values())
+
+    sc.invalidate(spark)
+    assert not [1 for (sid, _) in sc._MEMO if sid == id(spark)]
+
+    # rebuild path: consumer works again and re-registers the view
+    n = REGISTRY["dedup_cluster_size_histogram"].fn(spark, SF).count()
+    assert n > 0
+    assert [1 for (sid, _) in sc._MEMO if sid == id(spark)]

@@ -404,3 +404,33 @@ def test_read_window_matches_get_warm_and_cold(spark, tmp_path):
 
     # a quote in the id must not break (or inject into) the SQL path
     assert store.read_window("o'brien", START, END, None) == []
+
+
+def test_read_window_concurrent_aqe_restore(spark, tmp_path):
+    """The AQE toggle is depth-counted: concurrent read_window calls
+    (the ThreadingHTTPServer serving pattern) must never snapshot each
+    other's temporary 'false' as the restore value — after any number
+    of overlapping reads, the session flag is back to its original."""
+    import threading
+
+    store = make_store(spark, tmp_path, "test_conc", PUT_GET_POINTS)
+    store.warm(points=True)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    errors = []
+
+    def reader():
+        try:
+            for _ in range(5):
+                rows = store.read_window("test_conc", START, END, None)
+                assert len(rows) == 9
+        except Exception as e:  # surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=reader) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
