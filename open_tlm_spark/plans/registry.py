@@ -70,69 +70,84 @@ def register(
 
 # The driver checks ~50 queries per round in dict order, so the head
 # of this list chooses what gets an in-round correctness row.
-# Round-7 head, in priority order:
-#   1. Queries whose code CHANGED this round (CC-subtree sharing via
-#      operators/shared_cache.py, VERDICT r6 #3, plus the stateful
-#      registry flag added with the fixed laziness test).
-#   2. Queries NEW in round 7.
-#   3. The r3-era rotation block (last green row in round 3, code
+#
+# ROTATION SCHEDULE (the evidence ledger's round counts drive this;
+# "no green older than ~3 rounds" is the freshness line):
+#   r8  — the r4-era block (43 queries) + queries changed in r8
+#         (skyline de-serialization, exact_quantiles tie fix,
+#         shared-cache/tsdb ADVICE fixes) ≈ 48-50: consolidation
+#         round, ~2 new-query slots.
+#   r9  — the r5-era block (48 queries) + changed: ZERO new slots.
+#   r10 — the r6-era block (48 queries) + changed: ZERO new slots.
+#   r11 — the r7-era block (50 queries): oversized; split oldest-47
+#         in r11, remainder + r8 block (~50) in r12.
+# New capability in r9/r10 must therefore be non-registry
+# (pytest-pinned) or displace a rotation slot with a documented IOU.
+#
+# Round-8 head, in priority order:
+#   1. Queries whose code CHANGED this round: parts_skyline_pareto
+#      (two-level range-partitioned skyline sweep, VERDICT r7 #2),
+#      lineitem_equidepth_histogram (exact_quantiles tie-recursion,
+#      VERDICT r7 #3), dedup_clusters (shared_cache memo keyed by
+#      session UUID + tableExists guard, ADVICE r7), metrics_loop_series
+#      + store_roundtrip_rollup (tsdb per-session AQE guard, ADVICE r7).
+#   2. Queries NEW in round 8 (IVF index persist/serve path).
+#   3. The r4-era rotation block (last green row in round 4, code
 #      unchanged since — enforced by tests/test_evidence_freshness.py
 #      + tools/evidence.py fingerprints).
-# The r4-era block rotates in r8.
 _CHECK_FIRST = [
-    # 1. changed in round 7 (shared CC label cache + stateful flag)
-    "dedup_clusters",
-    "dedup_cluster_size_histogram",
-    "quality_filter_funnel",
-    # 2. new in round 7
-    "decontaminate_minhash_fuzzy",
-    "corpus_snapshot_diff",
-    "dedup_incremental_minhash",
-    "docs_mad_outlier_lengths",
-    "customers_fuzzy_linkage",
+    # 1. changed in round 8
     "parts_skyline_pareto",
-    "orders_cohort_ltv",
     "lineitem_equidepth_histogram",
-    "events_top_paths",
-    "events_dedup_time_window",
-    # 3. r3-era rotation block (37 queries, oldest greens first)
-    "store_roundtrip_rollup",
+    "dedup_clusters",
     "metrics_loop_series",
-    "ts_range_scan",
-    "ts_agg_1000s",
-    "ts_rollup_cascade",
-    "ts_fidelity_route",
-    "ts_dataset_search",
-    "ts_value_projection",
-    "ts_histogram",
-    "ts_minmax_range",
-    "ts_topk_latest",
-    "asof_align_series",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation_year",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_shipments",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_excess_suppliers",
-    "cube_order_stats",
-    "distinct_stats_exact",
-    "approx_distinct_stats",
-    "percentiles_by_event_type",
-    "rank_parts_in_brand",
-    "skew_salted_agg",
-    "unpivot_part_metrics",
-    "pack_sequences",
-    "sample_domain_mix",
-    "docs_clean_pipeline",
-    "text_langid",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_token_stats",
-    "multimodal_frame_sample",
-    "multimodal_metadata_stats",
-    "multimodal_resize",
+    "store_roundtrip_rollup",
+    # 2. new in round 8
+    "sim_ivf_persisted_topk",
+    # 3. r4-era rotation block (43 queries)
+    "basket_part_pairs",
+    "bucketed_colocated_join",
+    "chunk_documents",
+    "curation_yield_by_source",
+    "dedup_simhash_hamming",
+    "dedup_substring_spans",
+    "docs_length_histogram",
+    "docs_ngram_novelty",
+    "docs_template_detection",
+    "documents_zipf_fit",
+    "embedding_dim_stats",
+    "embedding_label_cohesion",
+    "event_funnel_windowed",
+    "events_ab_test_lift",
+    "events_markov_transitions",
+    "events_retention_cohorts",
+    "lineitem_discount_elasticity",
+    "multimodal_exact_dedup",
+    "orders_fulfillment_sla",
+    "orders_open_backlog_daily",
+    "orders_pareto_share",
+    "orders_rfm_segments",
+    "pq_quantize",
+    "privacy_delete_propagation",
+    "quality_gopher_rules",
+    "sem_dedup_cells",
+    "sim_ivf_recall_eval",
+    "sim_ivfpq_topk",
+    "sim_lsh_recall_eval",
+    "sim_pq_adc_topk",
+    "sim_pq_recall_eval",
+    "source_overlap_matrix",
+    "text_code_detection",
+    "text_langid_confusion",
+    "ts_autocorr_lags",
+    "ts_counter_rate",
+    "ts_error_budget_burn",
+    "ts_heatmap_2d",
+    "ts_holt_linear",
+    "ts_inter_arrival_stats",
+    "ts_staleness_report",
+    "ts_time_weighted_avg",
+    "user_activity_entropy",
 ]
 
 
