@@ -410,6 +410,12 @@ def customers_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------- skyline operator
+# Fixed range-partition fan-out for the two-level skyline sweep: the
+# level-2 maxima frame is bounded by this constant, which is what
+# makes its broadcast policy-compliant.
+_SKYLINE_RANGE_PARTS = 32
+
+
 @register(
     "parts_skyline_pareto",
     oracle="""
@@ -432,26 +438,57 @@ def parts_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly cheaper group reaches its size (prev_cummax >= size) or
     a same-price part strictly exceeds it (gmax > size).
 
-    Scale: the window runs over DISTINCT PRICES (already aggregated),
-    not rows — a single ordered pass over a frame that is orders of
-    magnitude smaller than the table. For a truly dense price domain,
-    range-partition the sort and merge per-partition frontiers."""
+    Scale (VERDICT r7 #2): the running max is a TWO-LEVEL sweep, not a
+    global-order window. Distinct prices are range-partitioned into
+    _SKYLINE_RANGE_PARTS ranges (range partitioning makes partition id
+    monotone in price); level 1 is a per-partition running max (local
+    sort, no single-partition exchange); level 2 combines the
+    per-partition maxima — a frame bounded by the FIXED partition
+    constant — via a broadcast triangular self-join, so the prefix
+    maxima never funnel through `Exchange SinglePartition`. Dense
+    price domains (millions of distinct prices at 100x) now sort in
+    parallel; the only all-to-one data movement is the
+    <= _SKYLINE_RANGE_PARTS-row maxima table."""
     part = spark.table("part")
     grp = part.groupBy("p_retailprice").agg(
         F.max("p_size").alias("gmax")
     )
-    w = (
-        Window.orderBy("p_retailprice")
+    rng = grp.repartitionByRange(
+        _SKYLINE_RANGE_PARTS, "p_retailprice"
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("p_retailprice")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    grp = grp.withColumn("prev_cummax", F.max("gmax").over(w))
+    rng = rng.withColumn("prev_local", F.max("gmax").over(w_local))
+    # level 2: per-partition maxima (<= _SKYLINE_RANGE_PARTS rows, a
+    # fixed constant — broadcast is policy-compliant) -> prefix max of
+    # every strictly-earlier range via a triangular self-join.
+    pmax = rng.groupBy("pid").agg(F.max("gmax").alias("pmax"))
+    prefix = (
+        pmax.alias("a")
+        .join(
+            F.broadcast(pmax.alias("b")),
+            F.col("b.pid") < F.col("a.pid"),
+            "left",
+        )
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.max(F.col("b.pmax")).alias("prefix_max"))
+    )
+    swept = rng.join(F.broadcast(prefix), "pid").withColumn(
+        "prev_cummax", F.greatest("prev_local", "prefix_max")
+    )
     dominated = (
         F.coalesce(
             F.col("prev_cummax") >= F.col("p_size"), F.lit(False)
         )
     ) | (F.col("gmax") > F.col("p_size"))
     return (
-        part.join(grp, "p_retailprice")
+        part.join(
+            swept.select("p_retailprice", "gmax", "prev_cummax"),
+            "p_retailprice",
+        )
         .filter(~dominated)
         .select("p_partkey", "p_retailprice", "p_size")
     )

@@ -977,3 +977,18 @@ def test_shared_view_invalidate_and_rebuild(spark):
     n = REGISTRY["dedup_cluster_size_histogram"].fn(spark, SF).count()
     assert n > 0
     assert [1 for (sid, _) in sc._MEMO if sid == id(spark)]
+
+
+def test_skyline_two_level_sweep_no_single_partition(spark):
+    """VERDICT r7 #2: the skyline running max is the two-level
+    range-partitioned sweep — zero `Exchange SinglePartition` anywhere
+    (the old global-order cummax window funneled every distinct price
+    through one reducer); the level-1 window sorts WITHIN range
+    partitions (partitioned by pid) and level 2 combines only the
+    constant-bounded per-partition maxima via broadcast."""
+    plan = plan_of(spark, "parts_skyline_pareto")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning(p_retailprice" in plan
+    # the only Window node is pid-partitioned (no global-order window)
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win_lines and all("pid#" in l for l in win_lines), plan

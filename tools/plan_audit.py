@@ -128,7 +128,9 @@ AUDITED = {
     ),
     "parts_skyline_pareto": (
         "O(n log n) sweep: per-price max first (map-side), then a "
-        "running-max window over DISTINCT prices — the oracle's "
+        "TWO-LEVEL running max — range-partitioned local windows plus "
+        "a broadcast combine of the constant-bounded per-partition "
+        "maxima. Zero Exchange SinglePartition (r8 fix); the oracle's "
         "quadratic NOT EXISTS never executes on the Spark side."
     ),
     "lineitem_equidepth_histogram": (
