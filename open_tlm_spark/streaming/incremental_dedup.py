@@ -15,11 +15,16 @@ Beyond reference parity: the reference ingests duplicates verbatim
 (src/index.py:39-40); this is north-star pipeline capability.
 
 Scale (100 TB): the signature store holds BANDS, not text — 4 rows of
-~40 bytes per document, append-only parquet. The per-batch probe is an
-equi-join keyed on (band_id, band_key); with the store bucketed by
-band_key the probe co-locates without a full shuffle, and the batch
-side is micro-batch-sized. State never revisits old text: a document's
-storage cost in the dedup path is its band rows, period.
+~40 bytes per document, parquet partitioned by arrival epoch. The
+per-batch probe is an equi-join keyed on (band_id, band_key); with the
+store bucketed by band_key the probe co-locates without a full
+shuffle, and the batch side is micro-batch-sized. State never revisits
+old text: a document's storage cost in the dedup path is its band
+rows, period. Writes use dynamic partition overwrite on the epoch
+partition and the store probe excludes rows of the current epoch, so a
+micro-batch replayed after a crash (foreachBatch is at-least-once)
+replaces its own partition instead of double-appending and never
+matches against its own earlier attempt.
 """
 
 from __future__ import annotations
@@ -36,6 +41,7 @@ from open_tlm_spark.operators import dedup as D
 _EPOCH_BASE = 1_000_000_000
 
 BAND_SCHEMA = "doc_id bigint, epoch bigint, band_id int, band_key string"
+FLAG_SCHEMA = "doc_id bigint, epoch bigint, first_partner_key bigint"
 
 
 class IncrementalDeduper:
@@ -83,9 +89,16 @@ class IncrementalDeduper:
         probes = [intra]
         stored = self._stored_bands()
         if stored is not None:
-            # everything in the store arrived in an earlier epoch
+            # Only STRICTLY-EARLIER epochs count as earlier arrivals.
+            # Under foreachBatch's at-least-once contract a crashed
+            # batch replays with the same batch_id after its writes may
+            # already have landed — without this filter the replay
+            # would join against its own stored bands and flag every
+            # doc as a duplicate of itself.
             probes.append(
-                stored.alias("e").join(
+                stored.filter(F.col("epoch") < F.lit(epoch))
+                .alias("e")
+                .join(
                     d,
                     (F.col("e.band_id") == F.col("d.band_id"))
                     & (F.col("e.band_key") == F.col("d.band_key")),
@@ -104,18 +117,28 @@ class IncrementalDeduper:
         flags = hits.groupBy("doc_id", "epoch").agg(
             F.min("partner_key").alias("first_partner_key")
         )
-        flags.write.mode("append").parquet(self.flags_path)
-        new.write.mode("append").parquet(self.bands_path)
+        # Idempotent under replay: both tables are partitioned by
+        # epoch and written with DYNAMIC partition overwrite, so a
+        # replayed batch REPLACES its own epoch partition (with the
+        # identical deterministic content) instead of appending a
+        # second copy. Combined with the epoch<current probe filter
+        # above this keeps live == batch across crash/restart — the
+        # scenario checkpointing exists for.
+        for frame, path in ((flags, self.flags_path), (new, self.bands_path)):
+            (
+                frame.write.mode("overwrite")
+                .partitionBy("epoch")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(path)
+            )
 
     def flags(self) -> DataFrame:
         """All duplicates flagged so far: (doc_id, epoch,
         first_partner_key) — directly comparable to the batch gate
         query when epochs align."""
         if not os.path.exists(self.flags_path):
-            return self.spark.createDataFrame(
-                [], "doc_id bigint, epoch bigint, first_partner_key bigint"
-            )
-        return self.spark.read.parquet(self.flags_path)
+            return self.spark.createDataFrame([], FLAG_SCHEMA)
+        return self.spark.read.schema(FLAG_SCHEMA).parquet(self.flags_path)
 
 
 def start_incremental_dedup(

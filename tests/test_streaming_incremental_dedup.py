@@ -120,3 +120,28 @@ def test_streaming_file_source_end_to_end(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """ADVICE r7: foreachBatch is at-least-once — a batch whose writes
+    landed but whose checkpoint did not commit is re-run with the SAME
+    epoch. The replay must (a) not flag docs against their own earlier
+    attempt's bands, and (b) replace its epoch partition rather than
+    appending a second copy of every row."""
+    load_tables(spark, SF)
+    docs = spark.table("documents").select("doc_id", "text")
+    dedup = IncrementalDeduper(spark, str(tmp_path / "store"))
+
+    dedup.process_batch(docs.filter(docs.doc_id % 2 == 0), epoch=0)
+    dedup.process_batch(docs.filter(docs.doc_id % 2 == 1), epoch=1)
+    want_flags = _flag_set(dedup.flags())
+    want_bands = dedup._stored_bands().count()
+
+    # crash-replay of the LAST batch (writes landed, checkpoint lost)
+    dedup.process_batch(docs.filter(docs.doc_id % 2 == 1), epoch=1)
+    assert _flag_set(dedup.flags()) == want_flags
+    assert dedup._stored_bands().count() == want_bands
+
+    # and the result still matches the batch gate query
+    want = _flag_set(REGISTRY["dedup_incremental_minhash"].fn(spark, SF))
+    assert _flag_set(dedup.flags()) == want
