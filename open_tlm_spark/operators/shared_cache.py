@@ -67,6 +67,12 @@ def shared_view(
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
     view = f"{SHARED_VIEW_PREFIX}{name}_{tag}"
     key = (id(spark), view)
+    # id(spark) can be REUSED by CPython after the original session is
+    # garbage-collected (ADVICE r7), so a memo hit is only trusted if
+    # the view actually exists in THIS session's catalog; otherwise the
+    # stale entry is pruned and the cache rebuilt.
+    if key in _MEMO and not spark.catalog.tableExists(view):
+        del _MEMO[key]
     if key not in _MEMO:
         df = build()
         df.createOrReplaceTempView(view)

@@ -590,29 +590,37 @@ class TelemetryStore:
     # save/set/restore of the AQE flag races (reader B can snapshot
     # reader A's temporary "false" as its restore value and disable
     # AQE for the whole session). Depth-counted: only the outermost
-    # reader toggles and restores.
+    # reader toggles and restores. spark.conf is PER-SESSION, so the
+    # depth/prev state is keyed by the SparkSession too (ADVICE r7:
+    # class-global state let stores bound to two sessions restore the
+    # wrong session with the wrong snapshot); entries evict when the
+    # outermost reader of that session exits.
     _aqe_lock = threading.Lock()
-    _aqe_depth = 0
-    _aqe_prev = "true"
+    _aqe_state: dict[int, list] = {}  # id(session) -> [depth, prev]
 
     @contextlib.contextmanager
     def _no_aqe(self):
         cls = TelemetryStore
         conf = self.spark.conf
+        sid = id(self.spark)
         with cls._aqe_lock:
-            if cls._aqe_depth == 0:
-                cls._aqe_prev = conf.get("spark.sql.adaptive.enabled")
+            st = cls._aqe_state.get(sid)
+            if st is None:
+                st = cls._aqe_state[sid] = [
+                    0,
+                    conf.get("spark.sql.adaptive.enabled"),
+                ]
                 conf.set("spark.sql.adaptive.enabled", "false")
-            cls._aqe_depth += 1
+            st[0] += 1
         try:
             yield
         finally:
             with cls._aqe_lock:
-                cls._aqe_depth -= 1
-                if cls._aqe_depth == 0:
-                    conf.set(
-                        "spark.sql.adaptive.enabled", cls._aqe_prev
-                    )
+                st = cls._aqe_state[sid]
+                st[0] -= 1
+                if st[0] == 0:
+                    conf.set("spark.sql.adaptive.enabled", st[1])
+                    del cls._aqe_state[sid]
 
     # --------------------------------------------------------- maintenance
     def compact(self, max_records_per_file: int = 5_000_000) -> None:

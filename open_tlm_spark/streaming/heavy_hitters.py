@@ -110,26 +110,52 @@ def mg_collect(summaries: DataFrame, k: int) -> dict[str, int]:
 
 class HeavyHittersStore:
     """Persistent stream summary: fold each micro-batch's distributed
-    summary into a JSON-backed k-counter state (atomic rename)."""
+    summary into a JSON-backed k-counter state (atomic rename).
+
+    Replay-safe (ADVICE r7): the state file records the last applied
+    batch id; foreachBatch is at-least-once, and a micro-batch replayed
+    after a crash (state written, checkpoint not committed) must NOT
+    merge a second time — double-merging inflates weights past the
+    documented n/(k+1) error bound. Batch ids from Structured Streaming
+    are monotonically increasing, so `batch_id <= last applied` means
+    "already folded in; skip"."""
 
     def __init__(self, path: str, k: int):
         self.path = path
         self.k = k
 
-    def load(self) -> dict[str, int]:
+    def _read(self) -> tuple[int | None, dict[str, int]]:
         if not os.path.exists(self.path):
-            return {}
+            return None, {}
         with open(self.path, encoding="utf-8") as f:
-            return {k: int(v) for k, v in json.load(f).items()}
+            data = json.load(f)
+        if "counters" in data:
+            last = data.get("last_batch_id")
+            return last, {k: int(v) for k, v in data["counters"].items()}
+        return None, {k: int(v) for k, v in data.items()}  # legacy flat
 
-    def update(self, batch: DataFrame, key_col: str) -> dict[str, int]:
+    def load(self) -> dict[str, int]:
+        return self._read()[1]
+
+    def update(
+        self, batch: DataFrame, key_col: str, batch_id: int | None = None
+    ) -> dict[str, int]:
+        last, counters = self._read()
+        if batch_id is not None and last is not None and batch_id <= last:
+            return counters  # at-least-once replay: already applied
         batch_summary = mg_collect(
             mg_summarize(batch, key_col, self.k), self.k
         )
-        merged = mg_merge(self.load(), batch_summary, self.k)
+        merged = mg_merge(counters, batch_summary, self.k)
         tmp = self.path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(merged, f)
+            json.dump(
+                {
+                    "last_batch_id": batch_id if batch_id is not None else last,
+                    "counters": merged,
+                },
+                f,
+            )
         os.replace(tmp, self.path)
         return merged
 
@@ -154,7 +180,7 @@ def start_heavy_hitters(
     )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        store.update(batch, key_col)
+        store.update(batch, key_col, batch_id=batch_id)
 
     return (
         stream.writeStream.foreachBatch(_sink)

@@ -134,3 +134,21 @@ def test_heavy_hitters_streaming_end_to_end(spark, tmp_path):
         assert sorted(est, key=est.get, reverse=True)[0] == "hot"
     finally:
         q.stop()
+
+
+def test_store_skips_replayed_batch(spark, tmp_path):
+    """ADVICE r7: at-least-once replay of a micro-batch (state file
+    written, checkpoint not committed) must not double-merge — the
+    stored last_batch_id gates re-application."""
+    from open_tlm_spark.streaming.heavy_hitters import HeavyHittersStore
+
+    store = HeavyHittersStore(str(tmp_path / "hh.json"), k=8)
+    b0 = spark.createDataFrame([("a",)] * 10 + [("b",)] * 3, "key string")
+    b1 = spark.createDataFrame([("a",)] * 5 + [("c",)] * 4, "key string")
+
+    store.update(b0, "key", batch_id=0)
+    once = store.update(b1, "key", batch_id=1)
+    replay = store.update(b1, "key", batch_id=1)  # crash-replay
+    assert replay == once
+    assert store.load() == once
+    assert once["a"] == 15  # k=8 > distinct keys: counts stay exact

@@ -992,3 +992,24 @@ def test_skyline_two_level_sweep_no_single_partition(spark):
     # the only Window node is pid-partitioned (no global-order window)
     win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert win_lines and all("pid#" in l for l in win_lines), plan
+
+
+def test_shared_view_stale_memo_entry_rebuilds(spark):
+    """ADVICE r7: id(spark) can be reused by CPython after a session is
+    GC'd — a memo hit is only trusted when the view exists in THIS
+    session's catalog. A planted stale entry must rebuild, not error."""
+    from open_tlm_spark.operators import shared_cache as sc
+
+    sc.invalidate(spark)
+    # plant a memo entry whose view is absent from the catalog (what a
+    # reused id would produce)
+    probe = REGISTRY["dedup_clusters"]
+    df = probe.fn(spark, SF)  # primes the real entry
+    df.count()
+    keys = [k for k in sc._MEMO if k[0] == id(spark)]
+    assert keys
+    view = keys[0][1]
+    spark.catalog.dropTempView(view)  # catalog loses the view, memo keeps it
+    n = REGISTRY["dedup_cluster_size_histogram"].fn(spark, SF).count()
+    assert n > 0
+    assert spark.catalog.tableExists(view)

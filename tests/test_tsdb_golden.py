@@ -434,3 +434,45 @@ def test_read_window_concurrent_aqe_restore(spark, tmp_path):
         t.join()
     assert not errors, errors
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_read_window_two_sessions_restore_independently(spark, tmp_path):
+    """ADVICE r7: spark.conf is per-session, so the AQE depth/prev
+    state must be too. Overlapping read_window calls from stores bound
+    to two different SparkSessions must restore EACH session to ITS
+    OWN original flag — not the last exiter's value into the first
+    enterer's session."""
+    import threading
+
+    spark2 = spark.newSession()
+    store1 = make_store(spark, tmp_path / "s1", "test_ms", PUT_GET_POINTS)
+    store2 = make_store(spark2, tmp_path / "s2", "test_ms", PUT_GET_POINTS)
+    store1.warm(points=True)
+    store2.warm(points=True)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark2.conf.set("spark.sql.adaptive.enabled", "false")
+
+    errors = []
+
+    def reader(store):
+        try:
+            for _ in range(4):
+                rows = store.read_window("test_ms", START, END, None)
+                assert len(rows) == 9
+        except Exception as e:
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=reader, args=(s,))
+        for s in (store1, store2, store1, store2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark2.conf.get("spark.sql.adaptive.enabled") == "false"
+    from open_tlm_spark.store.tsdb import TelemetryStore
+
+    assert TelemetryStore._aqe_state == {}  # guard state fully evicted
