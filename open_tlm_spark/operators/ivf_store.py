@@ -1,0 +1,167 @@
+"""Persisted IVF index: train once, serve top-k forever after.
+
+VERDICT r7 #5b: `sim_ivf_topk` recomputes the corpus cell assignment
+on every call — fine for a gate query, wrong for a serving path. A
+real ANN deployment trains centroids once, materializes the cell
+assignment as a parquet artifact PARTITIONED BY CELL, and every
+subsequent query probes only its cell's files. This module is the
+serving-path analog of the band store in
+`streaming/incremental_dedup.py`: the index outlives the session, and
+reloads serve without retraining.
+
+Scale (100 TB): the assignments table is the corpus (vec_id, cell,
+normalized vector) written `partitionBy(centroid_id)` — a probe with
+nprobe=1 reads 1/n_cells of the files via partition pruning (the
+`PartitionFilters` line in the scan, plan-pinned in
+tests/test_ivf_store.py), and the per-query join is a broadcast of the
+tiny query frame against one cell's rows. Centroids are k rows —
+broadcast by construction. Retraining cost is paid exactly once per
+corpus version.
+
+Equivalence contract: serving from the store returns byte-identical
+results to the direct `ivf_topk` computation (same normalization, same
+rounding, same tiebreaks; parquet round-trips doubles exactly) —
+proven by tests/test_ivf_store.py::test_store_matches_direct_topk and
+gated end-to-end by the `sim_ivf_persisted_topk` registry query
+against the same DuckDB oracle as `sim_ivf_topk`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from open_tlm_spark.operators.similarity import (
+    dot,
+    ivf_assign,
+    kmeans_train,
+    normalized,
+)
+
+CENTROIDS_SCHEMA = "centroid_id bigint, cvec array<double>"
+ASSIGN_SCHEMA = "vec_id bigint, nvec array<double>, centroid_id bigint"
+
+
+class IVFIndex:
+    """Parquet-backed IVF index under `path`:
+
+    * ``centroids/``   — (centroid_id, cvec): the trained centroids.
+    * ``assignments/`` — (vec_id, nvec) partitioned by centroid_id:
+      every corpus vector, L2-normalized, in its cell's partition.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.centroids_path = os.path.join(path, "centroids")
+        self.assignments_path = os.path.join(path, "assignments")
+
+    # ------------------------------------------------------------ build
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        embeddings: DataFrame,
+        path: str,
+        k: int = 8,
+        iters: int = 2,
+        dim: int = 64,
+        centroids: DataFrame | None = None,
+    ) -> "IVFIndex":
+        """Train (unless `centroids` is given), assign, persist.
+
+        Runs actions (kmeans iterations + two writes) — build is
+        pipeline-side, like the CC loop. Pass `centroids` to skip
+        training (e.g. the gate query's deterministic lowest-vec_id
+        centroids, so the DuckDB oracle can reproduce them)."""
+        idx = cls(spark, path)
+        if centroids is None:
+            centroids = kmeans_train(
+                embeddings, k=k, iters=iters, dim=dim
+            ).select("centroid_id", F.col("cnvec").alias("cvec"))
+        cents = centroids.select("centroid_id", "cvec")
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            idx.centroids_path
+        )
+        stored_cents = idx.centroids()
+        assigned = normalized(
+            ivf_assign(embeddings, stored_cents, dim=dim), "vec", dim=dim
+        ).select("vec_id", "nvec", "centroid_id")
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(idx.assignments_path)
+        )
+        return idx
+
+    def exists(self) -> bool:
+        return os.path.exists(self.centroids_path) and os.path.exists(
+            self.assignments_path
+        )
+
+    # ------------------------------------------------------------- read
+    def centroids(self) -> DataFrame:
+        return self.spark.read.schema(CENTROIDS_SCHEMA).parquet(
+            self.centroids_path
+        )
+
+    def assignments(self) -> DataFrame:
+        return self.spark.read.schema(ASSIGN_SCHEMA).parquet(
+            self.assignments_path
+        )
+
+    # ------------------------------------------------------------ serve
+    def topk(
+        self, queries: DataFrame, k: int = 5, dim: int | None = None
+    ) -> DataFrame:
+        """IVF top-k from the persisted artifacts — NO retraining, no
+        corpus re-assignment: queries route to cells via the stored
+        centroids (broadcast), then probe only their cell's partition
+        of the stored assignments. Same math/tiebreaks as
+        `similarity.ivf_topk` (operators/similarity.py:332), so the
+        results are identical; that tail is restated here rather than
+        imported so the serving path depends only on the artifacts,
+        not on the corpus frame.
+
+        queries: (query_id, query_vec). Lazy — safe for registered
+        builders once the index exists."""
+        q = (
+            normalized(
+                ivf_assign(
+                    queries.select(
+                        F.col("query_id").alias("vec_id"),
+                        F.col("query_vec").alias("embedding"),
+                    ),
+                    self.centroids(),
+                    dim=dim,
+                ),
+                "vec",
+                dim=dim,
+            )
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("centroid_id").alias("qcell"),
+                F.col("nvec").alias("qvec"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        scored = self.assignments().join(
+            F.broadcast(q),
+            (F.col("centroid_id") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select(
+            "query_id",
+            "vec_id",
+            F.round(dot(F.col("qvec"), F.col("nvec"), dim), 6).alias(
+                "cos_sim"
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), "vec_id"
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cos_sim", "rank")
+        )
