@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from open_tlm_spark.operators.similarity import (
+    as_double,
     dot,
     ivf_assign,
     kmeans_train,
@@ -125,26 +126,46 @@ class IVFIndex:
         not on the corpus frame.
 
         queries: (query_id, query_vec). Lazy — safe for registered
-        builders once the index exists."""
+        builders once the index exists.
+
+        The query-side cell assignment is inlined WITHOUT the lineage
+        cut `ivf_assign` applies to corpus-sized inputs: the query
+        frame is tiny (the cut buys nothing), and keeping its filters
+        visible to the optimizer is what lets the DYNAMIC PARTITION
+        PRUNING rule inject the cell subquery into the assignments
+        scan (a `localCheckpoint` hides the selective predicate and
+        silently degrades the probe to a full-corpus scan — found by
+        reading the plan, pinned by the pruning test)."""
+        cents = normalized(
+            self.centroids().select(
+                "centroid_id", as_double(F.col("cvec")).alias("vec")
+            ),
+            "vec",
+            dim=dim,
+        ).select("centroid_id", F.col("nvec").alias("cnvec"))
+        qn = normalized(
+            queries.select(
+                "query_id", as_double(F.col("query_vec")).alias("vec")
+            ),
+            "vec",
+            dim=dim,
+        )
+        qscored = qn.join(F.broadcast(cents)).select(
+            "query_id",
+            F.col("nvec").alias("qv"),
+            "centroid_id",
+            F.round(dot(F.col("nvec"), F.col("cnvec"), dim), 6).alias("cs"),
+        )
+        # deterministic argmax — same tiebreak as similarity.ivf_assign
+        key = F.struct(F.col("cs"), (-F.col("centroid_id")).alias("nid"))
         q = (
-            normalized(
-                ivf_assign(
-                    queries.select(
-                        F.col("query_id").alias("vec_id"),
-                        F.col("query_vec").alias("embedding"),
-                    ),
-                    self.centroids(),
-                    dim=dim,
-                ),
-                "vec",
-                dim=dim,
-            )
+            qscored.groupBy("query_id")
+            .agg(F.max_by(F.struct("centroid_id", "qv"), key).alias("best"))
             .select(
-                F.col("vec_id").alias("query_id"),
-                F.col("centroid_id").alias("qcell"),
-                F.col("nvec").alias("qvec"),
+                "query_id",
+                F.col("best.centroid_id").alias("qcell"),
+                F.col("best.qv").alias("qvec"),
             )
-            .localCheckpoint(eager=False)
         )
         scored = self.assignments().join(
             F.broadcast(q),

@@ -739,6 +739,10 @@ def test_builders_never_call_driver_actions(spark):
         "quality_filter_funnel",
         "store_roundtrip_rollup",
         "metrics_loop_series",
+        # r8: IVFIndex.build writes the centroid/assignment parquet
+        # artifacts at build time — a store harness like
+        # store_roundtrip_rollup, not a lazy builder
+        "sim_ivf_persisted_topk",
     }, f"unexpected stateful registrations: {sorted(stateful)}"
     with _ActionTrap() as trap:
         for name, q in REGISTRY.items():
