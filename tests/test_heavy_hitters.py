@@ -152,3 +152,54 @@ def test_store_skips_replayed_batch(spark, tmp_path):
     assert replay == once
     assert store.load() == once
     assert once["a"] == 15  # k=8 > distinct keys: counts stay exact
+
+
+def test_mg_property_randomized_streams():
+    """Hypothesis sweep of the MG kernel over adversarial shapes:
+    weighted updates, many partitions, tiny k — the three guarantees
+    (no overcount, bounded undercount, all-heavy-present) must hold
+    for EVERY stream, not just the hand-built zipf case."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),  # key id
+                st.integers(min_value=1, max_value=9),  # weight
+            ),
+            min_size=1,
+            max_size=300,
+        ),
+        st.integers(min_value=2, max_value=12),  # k
+        st.integers(min_value=1, max_value=5),  # partitions
+    )
+    def check(stream, k, n_parts):
+        true: dict[str, int] = {}
+        for kid, w in stream:
+            true[f"k{kid}"] = true.get(f"k{kid}", 0) + w
+        n = sum(true.values())
+        # partition the stream, summarize each, merge pairwise
+        summaries = []
+        for p in range(n_parts):
+            c: dict[str, int] = {}
+            for i, (kid, w) in enumerate(stream):
+                if i % n_parts == p:
+                    _mg_update(c, f"k{kid}", w, k)
+            summaries.append(c)
+        est: dict[str, int] = {}
+        for s in summaries:
+            est = mg_merge(est, s, k)
+        assert len(est) <= k
+        bound = n / (k + 1) * len(summaries)  # pairwise-merge bound
+        for key, e in est.items():
+            assert e <= true[key]  # never overcount
+            assert true[key] - e <= bound + 1e-9
+        # the all-heavy-present guarantee is stated for a single
+        # summary; assert it on the unpartitioned runs
+        if n_parts == 1:
+            for key, t in true.items():
+                if t > n / (k + 1):
+                    assert key in est, (key, t, n, k, est)
+
+    check()
