@@ -101,6 +101,32 @@ class IVFIndex:
             self.assignments_path
         )
 
+    def add(self, embeddings: DataFrame, dim: int = 64) -> None:
+        """Incremental corpus intake: assign NEW vectors to the
+        EXISTING centroids and append them to their cell partitions —
+        the serving analog of the incremental-dedup band store. No
+        retraining, no rewrite of existing cells; each intake touches
+        only the partitions its vectors land in. Centroid drift under
+        sustained intake is a rebuild decision (compare cell-size
+        balance via `assignments().groupBy("centroid_id").count()`),
+        not something hidden here.
+
+        Append is NOT idempotent under blind re-runs (same vec_id
+        twice = duplicate rows); drive it from a checkpointed
+        foreachBatch with an epoch filter, or dedup on vec_id
+        downstream — the contract is documented rather than silently
+        absorbed because vec_id spaces are caller-owned."""
+        assigned = normalized(
+            ivf_assign(embeddings, self.centroids(), dim=dim),
+            "vec",
+            dim=dim,
+        ).select("vec_id", "nvec", "centroid_id")
+        (
+            assigned.write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(self.assignments_path)
+        )
+
     # ------------------------------------------------------------- read
     def centroids(self) -> DataFrame:
         return self.spark.read.schema(CENTROIDS_SCHEMA).parquet(

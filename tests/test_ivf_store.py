@@ -98,3 +98,34 @@ def test_assignments_cover_corpus_once(spark, built):
     assert a.select("vec_id").distinct().count() == n
     n_cells = a.select("centroid_id").distinct().count()
     assert 1 < n_cells <= 8
+
+
+def test_incremental_add_matches_full_build(spark, tmp_path):
+    """Intaking the corpus in two slices (build on the first, add the
+    second) serves identically to building on the full corpus with the
+    same fixed centroids — cells only ever gain rows, never move."""
+    load_tables(spark, SF)
+    emb = spark.table("embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc = IVFIndex.build(
+        spark, first, str(tmp_path / "inc"), centroids=centroids
+    )
+    inc.add(second)
+    full = IVFIndex.build(
+        spark, emb, str(tmp_path / "full"), centroids=centroids
+    )
+
+    queries = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    assert _rows(inc.topk(queries, k=5)) == _rows(full.topk(queries, k=5))
+    assert inc.assignments().count() == full.assignments().count()
