@@ -129,3 +129,99 @@ def test_incremental_add_matches_full_build(spark, tmp_path):
     )
     assert _rows(inc.topk(queries, k=5)) == _rows(full.topk(queries, k=5))
     assert inc.assignments().count() == full.assignments().count()
+
+
+def test_ivfpq_adc_matches_numpy(spark, tmp_path):
+    """IVFPQ serving correctness is numpy-pinned: recompute the full
+    ADC ranking from the PERSISTED artifacts (codes + codebook +
+    routed cell) independently in numpy and require identical top-k
+    ids and 1e-9-close distances."""
+    import numpy as np
+
+    from open_tlm_spark.operators.ivf_store import IVFPQIndex
+
+    load_tables(spark, SF)
+    emb = spark.table("embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+    idx = IVFPQIndex.build(
+        spark, emb, str(tmp_path / "pq"), centroids=centroids
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 11)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = idx.topk(queries, k=5).collect()
+
+    # independent numpy recompute from the artifacts
+    cb = {}
+    for r in idx.codebook().collect():
+        cb[(r.sub, r.code_id)] = np.array(r.cv)
+    codes = {}
+    cells = {}
+    for r in idx.codes().collect():
+        codes.setdefault(r.vec_id, {})[r.sub] = r.code
+        cells[r.vec_id] = r.centroid_id
+    routed = {
+        r.query_id: (r.qcell, np.array(r.qvec))
+        for r in idx._route_queries(queries).collect()
+    }
+    m = 1 + max(s for (_, s) in [(0, k[0]) for k in cb])  # max sub + 1
+    dsub = len(next(iter(cb.values())))
+    want = {}
+    for qid, (qcell, qv) in routed.items():
+        scored = []
+        for vid, subcodes in codes.items():
+            if cells[vid] != qcell or vid == qid:
+                continue
+            d = 0.0
+            for s in range(m):
+                qs = qv[s * dsub : (s + 1) * dsub]
+                d += round(float(np.sum((qs - cb[(s, subcodes[s])]) ** 2)), 6)
+            scored.append((round(d, 6), vid))
+        scored.sort()
+        want[qid] = scored[:5]
+    for r in got:
+        wd, wv = want[r.query_id][r.rank - 1]
+        assert r.vec_id == wv, (r, want[r.query_id])
+        assert abs(r.adc_dist - wd) < 1e-9
+
+
+def test_ivfpq_recall_floor_vs_flat(spark, tmp_path):
+    """Compression is a quality knob, not a correctness one — but the
+    m=8/ks=8 default must keep a sane recall@5 against the flat index
+    on the gate embeddings (same cells, so the only loss is PQ)."""
+    from open_tlm_spark.operators.ivf_store import IVFPQIndex
+
+    load_tables(spark, SF)
+    emb = spark.table("embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+    flat = IVFIndex.build(
+        spark, emb, str(tmp_path / "flat"), centroids=centroids
+    )
+    pq = IVFPQIndex.build(
+        spark, emb, str(tmp_path / "pq"), centroids=centroids
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 28)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    truth = {}
+    for r in flat.topk(queries, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = total = 0
+    for r in pq.topk(queries, k=5).collect():
+        total += 1
+        hits += r.vec_id in truth.get(r.query_id, set())
+    assert total == 5 * len(truth)
+    recall = hits / total
+    assert recall >= 0.3, recall  # m=8/ks=8 on 64-dim unit vectors
