@@ -456,3 +456,46 @@ class IVFPQIndex(IVFIndex):
             ).first()
             self._shape_cache = (int(row.m), int(row.d))
         return self._shape_cache
+
+
+def topk_rerank(
+    pq: IVFPQIndex,
+    flat: IVFIndex,
+    queries: DataFrame,
+    k: int = 5,
+    r: int = 50,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVFADC + refine (Jégou et al. 2011 §V): the PQ codes produce a
+    cheap candidate set (ADC top-r, scanning bytes), then ONLY those r
+    ids fetch their exact normalized vectors from the flat artifact
+    for an exact-cosine re-rank. Per-query vector I/O drops from
+    |cell| vectors to r vectors while recall returns to near-flat —
+    the standard serving compromise when the corpus no longer fits
+    the budget uncompressed.
+
+    The candidate-id join is an equi-join on vec_id against the
+    cell-partitioned flat assignments; the candidate frame is
+    queries x r rows — broadcast by construction."""
+    cand = pq.topk(queries, k=r, dim=dim).select("query_id", "vec_id")
+    q = flat._route_queries(queries, dim=dim).select("query_id", "qvec")
+    exact = (
+        flat.assignments()
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dot(F.col("qvec"), F.col("nvec"), dim), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

@@ -225,3 +225,44 @@ def test_ivfpq_recall_floor_vs_flat(spark, tmp_path):
     assert total == 5 * len(truth)
     recall = hits / total
     assert recall >= 0.3, recall  # m=8/ks=8 on 64-dim unit vectors
+
+
+def test_ivfpq_rerank_recovers_recall(spark, tmp_path):
+    """ADC top-r + exact re-rank (the IVFADC refine step): recall@5
+    must recover to (near-)flat while fetching only r vectors per
+    query instead of the whole cell."""
+    from open_tlm_spark.operators.ivf_store import IVFPQIndex, topk_rerank
+
+    load_tables(spark, SF)
+    emb = spark.table("embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+    flat = IVFIndex.build(
+        spark, emb, str(tmp_path / "flat"), centroids=centroids
+    )
+    pq = IVFPQIndex.build(
+        spark, emb, str(tmp_path / "pq"), centroids=centroids
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 28)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    truth = {}
+    for row in flat.topk(queries, k=5).collect():
+        truth.setdefault(row.query_id, set()).add(row.vec_id)
+
+    def recall(df):
+        hits = total = 0
+        for row in df.collect():
+            total += 1
+            hits += row.vec_id in truth.get(row.query_id, set())
+        return hits / total
+
+    raw = recall(pq.topk(queries, k=5))
+    refined = recall(topk_rerank(pq, flat, queries, k=5, r=50))
+    assert refined >= 0.9, (raw, refined)
+    assert refined > raw
