@@ -140,14 +140,17 @@ class IVFIndex:
 
     # ------------------------------------------------------------ serve
     def _route_queries(
-        self, queries: DataFrame, dim: int | None = None
+        self, queries: DataFrame, dim: int | None = None, nprobe: int = 1
     ) -> DataFrame:
-        """(query_id, qcell, qvec): assign each query to its cell via
-        the stored centroids — inlined WITHOUT the lineage cut
+        """(query_id, qcell, qvec): assign each query to its nprobe
+        nearest cells via the stored centroids (one row per
+        query x probed cell) — inlined WITHOUT the lineage cut
         `ivf_assign` applies to corpus-sized inputs (the query frame
         is tiny, and a `localCheckpoint` here would hide the selective
         predicate from the dynamic-partition-pruning rule and silently
-        degrade every probe to a full-corpus scan)."""
+        degrade every probe to a full-corpus scan). nprobe=1 keeps the
+        deterministic argmax tiebreak of `similarity.ivf_assign`;
+        nprobe>1 ranks cells by (rounded cos desc, centroid_id asc)."""
         cents = normalized(
             self.centroids().select(
                 "centroid_id", as_double(F.col("cvec")).alias("vec")
@@ -168,25 +171,33 @@ class IVFIndex:
             "centroid_id",
             F.round(dot(F.col("nvec"), F.col("cnvec"), dim), 6).alias("cs"),
         )
-        # deterministic argmax — same tiebreak as similarity.ivf_assign
-        key = F.struct(F.col("cs"), (-F.col("centroid_id")).alias("nid"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cs").desc(), "centroid_id"
+        )
         return (
-            qscored.groupBy("query_id")
-            .agg(F.max_by(F.struct("centroid_id", "qv"), key).alias("best"))
+            qscored.withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= nprobe)
             .select(
                 "query_id",
-                F.col("best.centroid_id").alias("qcell"),
-                F.col("best.qv").alias("qvec"),
+                F.col("centroid_id").alias("qcell"),
+                F.col("qv").alias("qvec"),
             )
         )
 
     def topk(
-        self, queries: DataFrame, k: int = 5, dim: int | None = None
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        dim: int | None = None,
+        nprobe: int = 1,
     ) -> DataFrame:
         """IVF top-k from the persisted artifacts — NO retraining, no
-        corpus re-assignment: queries route to cells via the stored
-        centroids (broadcast), then probe only their cell's partition
-        of the stored assignments. Same math/tiebreaks as
+        corpus re-assignment: queries route to their nprobe nearest
+        cells via the stored centroids (broadcast), then probe only
+        those cells' partitions of the stored assignments. nprobe is
+        the serve-time recall knob: each extra probe adds one cell's
+        rows to the scan (still pruned — the cell subquery carries
+        every probed cell). Same math/tiebreaks as
         `similarity.ivf_topk` (operators/similarity.py:332), so the
         results are identical; that tail is restated here rather than
         imported so the serving path depends only on the artifacts,
@@ -203,7 +214,7 @@ class IVFIndex:
         scan (a `localCheckpoint` hides the selective predicate and
         silently degrades the probe to a full-corpus scan — found by
         reading the plan, pinned by the pruning test)."""
-        q = self._route_queries(queries, dim=dim)
+        q = self._route_queries(queries, dim=dim, nprobe=nprobe)
         scored = self.assignments().join(
             F.broadcast(q),
             (F.col("centroid_id") == F.col("qcell"))
@@ -393,19 +404,23 @@ class IVFPQIndex(IVFIndex):
         )
 
     def topk(
-        self, queries: DataFrame, k: int = 5, dim: int | None = None
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        dim: int | None = None,
+        nprobe: int = 1,
     ) -> DataFrame:
         """ADC top-k from the compressed artifacts: route the query to
-        its cell, build the tiny m x ks lookup table of exact
-        query-subvector-to-codeword distances (broadcast), and score
-        the CELL'S code rows by summing the LUT entries each code
-        selects — DECIMAL sums so the result is order-independent.
+        its nprobe nearest cells, build the tiny m x ks lookup table
+        of exact query-subvector-to-codeword distances (broadcast),
+        and score the probed cells' code rows by summing the LUT
+        entries each code selects — DECIMAL sums so the result is order-independent.
         The codes scan carries the cell subquery in PartitionFilters
         (same dynamic pruning as the flat index); per-query I/O is
         |cell| x m code rows, never a raw vector."""
         cb = self.codebook()
         m, dsub = self._shape()
-        q = self._route_queries(queries, dim=dim)
+        q = self._route_queries(queries, dim=dim, nprobe=nprobe)
         qsub = self._subspaces(
             q.select("query_id", "qcell", F.col("qvec").alias("vec")),
             "vec",

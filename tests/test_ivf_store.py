@@ -266,3 +266,49 @@ def test_ivfpq_rerank_recovers_recall(spark, tmp_path):
     refined = recall(topk_rerank(pq, flat, queries, k=5, r=50))
     assert refined >= 0.9, (raw, refined)
     assert refined > raw
+
+
+def test_nprobe_full_fanout_equals_brute_force(spark, built):
+    """nprobe = n_cells probes every cell — the persisted serve must
+    then be EXACTLY brute force (same rounding, same tiebreaks),
+    which pins nprobe's union/ranking logic end-to-end."""
+    from open_tlm_spark.operators.similarity import brute_force_topk
+
+    idx, emb, _ = built
+    queries = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 14)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    want = _rows(brute_force_topk(emb, queries, k=5))
+    got = _rows(idx.topk(queries, k=5, nprobe=8))
+    assert got == want
+
+
+def test_nprobe_monotone_recall(spark, built):
+    """Each extra probed cell can only ADD candidates: recall against
+    brute-force truth must be non-decreasing in nprobe."""
+    from open_tlm_spark.operators.similarity import brute_force_topk
+
+    idx, emb, _ = built
+    queries = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 28)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    truth = {}
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(np_):
+        hits = total = 0
+        for r in idx.topk(queries, k=5, nprobe=np_).collect():
+            total += 1
+            hits += r.vec_id in truth.get(r.query_id, set())
+        return hits / total
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4
+    assert r4 > r1  # more cells genuinely help on the gate embeddings
