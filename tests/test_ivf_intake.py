@@ -1,0 +1,124 @@
+"""Streaming IVF intake (streaming/ivf_intake.py): live == batch (the
+streamed index serves identically to a full build on the same
+corpus), and the batch gate closes foreachBatch's at-least-once
+replay hazard."""
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from open_tlm_spark.operators.ivf_store import IVFIndex
+from open_tlm_spark.operators.similarity import as_double
+from open_tlm_spark.session import load_tables
+from open_tlm_spark.streaming.ivf_intake import _BatchGate, start_ivf_intake
+
+SF = "/root/testdata/sf0.01"
+
+
+def _rows(df):
+    return {(r.query_id, r.vec_id, r.cos_sim, r.rank) for r in df.collect()}
+
+
+def _centroids(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+
+
+def test_streamed_intake_matches_full_build(spark, tmp_path):
+    load_tables(spark, SF)
+    emb = spark.table("embeddings")
+    cents = _centroids(emb)
+
+    # seed index with the even half; stream in the odd half as 2 files
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    idx_path = str(tmp_path / "idx")
+    IVFIndex.build(spark, seed, idx_path, centroids=cents)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    odd = sorted(
+        (
+            (r.vec_id, [float(x) for x in r.embedding])
+            for r in emb.filter(F.col("vec_id") % 2 == 1).collect()
+        ),
+        key=lambda x: x[0],
+    )
+    half = len(odd) // 2
+    t0 = time.time() - 60
+    for name, rows, mt in (
+        ("f1.json", odd[:half], t0),
+        ("f2.json", odd[half:], t0 + 10),
+    ):
+        p = os.path.join(str(landing), name)
+        with open(p, "w") as f:
+            for vid, vec in rows:
+                f.write(json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+        os.utime(p, (mt, mt))
+
+    q, idx = start_ivf_intake(
+        spark,
+        str(landing),
+        idx_path,
+        str(tmp_path / "ckpt"),
+        trigger_seconds=0.5,
+    )
+    try:
+        n_total = emb.count()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if idx.assignments().count() == n_total:
+                    break
+            except Exception:
+                pass  # parquet mid-write
+            time.sleep(1.0)
+        assert idx.assignments().count() == n_total
+    finally:
+        q.stop()
+
+    full = IVFIndex.build(
+        spark, emb, str(tmp_path / "full"), centroids=cents
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    assert _rows(idx.topk(queries, k=5)) == _rows(full.topk(queries, k=5))
+
+
+def test_batch_gate_blocks_replay(spark, tmp_path):
+    """Replaying an applied batch id must be a no-op: same index
+    contents, no duplicate rows."""
+    load_tables(spark, SF)
+    emb = spark.table("embeddings")
+    idx_path = str(tmp_path / "idx")
+    idx = IVFIndex.build(
+        spark,
+        emb.filter(F.col("vec_id") < 100),
+        idx_path,
+        centroids=_centroids(emb),
+    )
+    gate = _BatchGate(os.path.join(idx_path, "intake_state.json"))
+    batch = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 150)
+    ).select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+
+    def apply(batch_id):
+        if gate.applied(batch_id):
+            return
+        idx.add(batch)
+        gate.record(batch_id)
+
+    apply(0)
+    n = idx.assignments().count()
+    apply(0)  # crash-replay of the same micro-batch
+    assert idx.assignments().count() == n
+    assert idx.assignments().select("vec_id").distinct().count() == n
+    apply(1)  # a NEW batch id still appends
+    assert idx.assignments().count() == n + 50
