@@ -42,7 +42,9 @@ from open_tlm_spark.operators.similarity import (
 )
 
 CENTROIDS_SCHEMA = "centroid_id bigint, cvec array<double>"
-ASSIGN_SCHEMA = "vec_id bigint, nvec array<double>, centroid_id bigint"
+ASSIGN_SCHEMA = (
+    "vec_id bigint, nvec array<double>, centroid_id bigint, epoch bigint"
+)
 
 
 class IVFIndex:
@@ -88,10 +90,15 @@ class IVFIndex:
         stored_cents = idx.centroids()
         assigned = normalized(
             ivf_assign(embeddings, stored_cents, dim=dim), "vec", dim=dim
-        ).select("vec_id", "nvec", "centroid_id")
+        ).select(
+            "vec_id", "nvec", "centroid_id", F.lit(0).cast("long").alias("epoch")
+        )
+        # STATIC overwrite: a rebuild truncates the whole table (a
+        # dynamic overwrite here would leave stale partitions from a
+        # previous, larger index lingering).
         (
             assigned.write.mode("overwrite")
-            .partitionBy("centroid_id")
+            .partitionBy("centroid_id", "epoch")
             .parquet(idx.assignments_path)
         )
         return idx
@@ -101,29 +108,40 @@ class IVFIndex:
             self.assignments_path
         )
 
-    def add(self, embeddings: DataFrame, dim: int = 64) -> None:
+    def add(self, embeddings: DataFrame, dim: int = 64, epoch: int = 1) -> None:
         """Incremental corpus intake: assign NEW vectors to the
-        EXISTING centroids and append them to their cell partitions —
+        EXISTING centroids and land them in their cell partitions —
         the serving analog of the incremental-dedup band store. No
-        retraining, no rewrite of existing cells; each intake touches
-        only the partitions its vectors land in. Centroid drift under
-        sustained intake is a rebuild decision (compare cell-size
-        balance via `assignments().groupBy("centroid_id").count()`),
-        not something hidden here.
+        retraining, no rewrite of existing cells or earlier epochs.
+        Centroid drift under sustained intake is a rebuild decision
+        (compare cell-size balance via
+        `assignments().groupBy("centroid_id").count()`), not
+        something hidden here.
 
-        Append is NOT idempotent under blind re-runs (same vec_id
-        twice = duplicate rows); drive it from a checkpointed
-        foreachBatch with an epoch filter, or dedup on vec_id
-        downstream — the contract is documented rather than silently
-        absorbed because vec_id spaces are caller-owned."""
+        IDEMPOTENT per (intake, epoch): the table is partitioned by
+        (centroid_id, epoch) and the write uses DYNAMIC partition
+        overwrite, so re-running the same intake batch REPLACES its
+        own epoch partitions with identical deterministic content
+        instead of appending a second copy — the same crash-replay
+        contract as the incremental-dedup band store. Callers must
+        give distinct intakes distinct epochs > 0 (the build owns
+        epoch 0); two DIFFERENT doc sets written under one epoch
+        overwrite each other by design."""
+        assert epoch > 0, "epoch 0 belongs to the base build"
         assigned = normalized(
             ivf_assign(embeddings, self.centroids(), dim=dim),
             "vec",
             dim=dim,
-        ).select("vec_id", "nvec", "centroid_id")
+        ).select(
+            "vec_id",
+            "nvec",
+            "centroid_id",
+            F.lit(epoch).cast("long").alias("epoch"),
+        )
         (
-            assigned.write.mode("append")
-            .partitionBy("centroid_id")
+            assigned.write.mode("overwrite")
+            .partitionBy("centroid_id", "epoch")
+            .option("partitionOverwriteMode", "dynamic")
             .parquet(self.assignments_path)
         )
 

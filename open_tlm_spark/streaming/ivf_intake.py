@@ -2,14 +2,16 @@
 micro-batch is assigned to its IVF cell and appended to the persisted
 index — the vector-side twin of `streaming/incremental_dedup.py`.
 
-`IVFIndex.add` is an append (documented non-idempotent: vec_id spaces
-are caller-owned), so the at-least-once contract of foreachBatch is
-closed HERE, the same way `HeavyHittersStore` closes it: a tiny state
-file records the last applied batch id (atomic rename), and a
-replayed batch — crash after the append, before the checkpoint
-commit — is skipped instead of appended twice. Batch ids from
-Structured Streaming are monotonically increasing, so `<= last` means
-"already in the index".
+Idempotency is layered: `IVFIndex.add` is itself idempotent per
+(intake, epoch) — the assignments table is partitioned by
+(centroid_id, epoch) and written with dynamic partition overwrite, so
+a replayed batch REPLACES its own epoch partitions (this closes even
+the crash window between the write and any bookkeeping). On top, a
+tiny state file records the last applied batch id (atomic rename) so
+clean replays skip the write entirely. Batch ids from Structured
+Streaming are monotonically increasing, so `<= last` means "already
+in the index"; the stream maps batch_id -> epoch = batch_id + 1
+(epoch 0 belongs to the base build).
 
 Scale: each intake touches only the cell partitions its vectors land
 in; the index never rewrites existing cells, and serving (flat, PQ,
@@ -80,8 +82,11 @@ def start_ivf_intake(
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         if gate.applied(batch_id):
-            return  # at-least-once replay: already appended
-        idx.add(batch, dim=dim)
+            return  # clean replay: skip the write entirely
+        # epoch = batch_id + 1 (build owns epoch 0); the write itself
+        # is idempotent per epoch, so a crash between add and record
+        # leaves a replay that overwrites identically
+        idx.add(batch, dim=dim, epoch=batch_id + 1)
         gate.record(batch_id)
 
     return (

@@ -93,8 +93,10 @@ def test_streamed_intake_matches_full_build(spark, tmp_path):
 
 
 def test_batch_gate_blocks_replay(spark, tmp_path):
-    """Replaying an applied batch id must be a no-op: same index
-    contents, no duplicate rows."""
+    """Replay safety is LAYERED: a replay of an applied batch id is
+    skipped by the gate, and even the crash window between add() and
+    gate.record() is closed — add() itself dynamic-overwrites its
+    epoch partitions, so a raw double-add leaves no duplicates."""
     load_tables(spark, SF)
     emb = spark.table("embeddings")
     idx_path = str(tmp_path / "idx")
@@ -112,13 +114,23 @@ def test_batch_gate_blocks_replay(spark, tmp_path):
     def apply(batch_id):
         if gate.applied(batch_id):
             return
-        idx.add(batch)
+        idx.add(batch, epoch=batch_id + 1)
         gate.record(batch_id)
 
     apply(0)
     n = idx.assignments().count()
-    apply(0)  # crash-replay of the same micro-batch
+    apply(0)  # clean replay of the same micro-batch: gate skips
+    assert idx.assignments().count() == n
+    # CRASH WINDOW: add() landed but record() did not -> the replay
+    # re-runs add() with the same epoch. Dynamic partition overwrite
+    # must replace, not duplicate.
+    idx.add(batch, epoch=1)
     assert idx.assignments().count() == n
     assert idx.assignments().select("vec_id").distinct().count() == n
-    apply(1)  # a NEW batch id still appends
+    apply(1)  # a NEW batch id appends under its own epoch
     assert idx.assignments().count() == n + 50
+    batch2 = emb.filter(
+        (F.col("vec_id") >= 150) & (F.col("vec_id") < 175)
+    ).select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+    idx.add(batch2, epoch=3)
+    assert idx.assignments().count() == n + 75
