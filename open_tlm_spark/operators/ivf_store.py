@@ -145,6 +145,21 @@ class IVFIndex:
             .parquet(self.assignments_path)
         )
 
+    def delete(self, vec_ids: list[int]) -> int:
+        """Privacy-delete propagation into the SERVING artifact: a
+        right-to-be-forgotten request is not done when the corpus row
+        dies — every derived artifact that can reproduce the vector
+        must drop it too. Rewrites only the (cell, epoch) partitions
+        that contain the ids; untouched cells keep their files.
+        Returns rows removed."""
+        return _delete_rows(
+            self.spark,
+            self.assignments_path,
+            ASSIGN_SCHEMA,
+            vec_ids,
+            ["centroid_id", "epoch"],
+        )
+
     # ------------------------------------------------------------- read
     def centroids(self) -> DataFrame:
         return self.spark.read.schema(CENTROIDS_SCHEMA).parquet(
@@ -479,6 +494,20 @@ class IVFPQIndex(IVFIndex):
             )
         )
 
+    def delete(self, vec_ids: list[int]) -> int:
+        """Delete propagation for the compressed artifact: drops the
+        ids' CODE rows (m per vector) from their cell partitions —
+        codes reconstruct distances to the deleted vector, so they are
+        personal data the same way the raw vector is. Returns code
+        rows removed (m x vectors)."""
+        return _delete_rows(
+            self.spark,
+            self.codes_path,
+            PQ_CODES_SCHEMA,
+            vec_ids,
+            ["centroid_id"],
+        )
+
     def _shape(self) -> tuple[int, int]:
         """(m, dsub) read once from the codebook artifact and memoized
         on the handle — one tiny driver round-trip per index, not per
@@ -532,3 +561,72 @@ def topk_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+def _delete_rows(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    vec_ids: list[int],
+    partition_cols: list[str],
+) -> int:
+    """Targeted delete from a partitioned parquet artifact: rewrite
+    ONLY the partitions that contain the ids (dynamic partition
+    overwrite), and drop partitions the delete empties entirely
+    (dynamic overwrite writes nothing for an empty partition, which
+    would otherwise leave the deleted rows lingering — on an object
+    store this step is the same targeted prefix delete). Returns the
+    number of rows removed."""
+    import shutil
+
+    ids = spark.createDataFrame(
+        [(int(v),) for v in vec_ids], "vec_id bigint"
+    )
+    table = spark.read.schema(schema).parquet(path)
+    hit = table.join(F.broadcast(ids), "vec_id")
+    affected = [
+        tuple(r[c] for c in partition_cols)
+        for r in hit.select(*partition_cols).distinct().collect()
+    ]
+    if not affected:
+        return 0
+    n_removed = hit.count()
+    part_pred = None
+    for combo in affected:
+        pred = F.lit(True)
+        for c, v in zip(partition_cols, combo):
+            pred = pred & (F.col(c) == F.lit(v))
+        part_pred = pred if part_pred is None else (part_pred | pred)
+    # The rewrite READS the same path it overwrites — cut the lineage
+    # with an eager checkpoint (materializes only the affected
+    # partitions' survivors) before the write, or the overwrite would
+    # consume its own partially-rewritten input.
+    remaining = (
+        table.filter(part_pred)
+        .join(F.broadcast(ids), "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    (
+        remaining.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    # Partitions emptied by the delete got NO rewrite (dynamic
+    # overwrite writes nothing for an empty partition), so their old
+    # files still sit on disk — drop them. Emptiness is decided from
+    # the checkpointed survivor DATA, not from re-reading the path
+    # (the old files would make every partition look alive).
+    survivors = {
+        tuple(r[c] for c in partition_cols)
+        for r in remaining.select(*partition_cols).distinct().collect()
+    }
+    for combo in affected:
+        if combo not in survivors:
+            leaf = os.path.join(
+                path,
+                *[f"{c}={v}" for c, v in zip(partition_cols, combo)],
+            )
+            shutil.rmtree(leaf, ignore_errors=True)
+    spark.catalog.refreshByPath(path)
+    return n_removed

@@ -312,3 +312,63 @@ def test_nprobe_monotone_recall(spark, built):
     r1, r2, r4 = recall(1), recall(2), recall(4)
     assert r1 <= r2 <= r4
     assert r4 > r1  # more cells genuinely help on the gate embeddings
+
+
+def test_delete_propagates_to_serving(spark, tmp_path):
+    """Right-to-be-forgotten must reach the serving artifacts: after
+    delete(), the ids are gone from the assignments AND from top-k
+    results; only their partitions were rewritten; a delete that
+    empties an entire epoch partition drops its directory."""
+    from open_tlm_spark.operators.ivf_store import IVFPQIndex
+
+    load_tables(spark, SF)
+    emb = spark.table("embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+    idx = IVFIndex.build(
+        spark, emb.filter(F.col("vec_id") < 400), str(tmp_path / "idx"),
+        centroids=cents,
+    )
+    late = emb.filter(
+        (F.col("vec_id") >= 400) & (F.col("vec_id") < 410)
+    ).select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+    idx.add(late, epoch=1)
+    n0 = idx.assignments().count()
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    before = {r.vec_id for r in idx.topk(queries, k=10, nprobe=8).collect()}
+    victims = sorted(before)[:3] + list(range(400, 410))  # incl. ALL of epoch 1
+
+    removed = idx.delete(victims)
+    assert removed == len(set(victims))
+    assert idx.assignments().count() == n0 - len(set(victims))
+    assert (
+        idx.assignments()
+        .join(
+            spark.createDataFrame([(v,) for v in victims], "vec_id bigint"),
+            "vec_id",
+        )
+        .count()
+        == 0
+    )
+    after = {r.vec_id for r in idx.topk(queries, k=10, nprobe=8).collect()}
+    assert not (after & set(victims))
+    # epoch 1 was fully deleted -> no epoch=1 rows anywhere
+    assert idx.assignments().filter(F.col("epoch") == 1).count() == 0
+
+    # PQ artifact: same ids, code rows go too
+    pq = IVFPQIndex.build(
+        spark, emb.filter(F.col("vec_id") < 400), str(tmp_path / "pq"),
+        centroids=cents,
+    )
+    m, _ = pq._shape()
+    n_codes = pq.codes().count()
+    assert pq.delete(victims[:3]) == 3 * m
+    assert pq.codes().count() == n_codes - 3 * m
+    pq_after = {r.vec_id for r in pq.topk(queries, k=10, nprobe=8).collect()}
+    assert not (pq_after & set(victims[:3]))
