@@ -591,6 +591,10 @@ def _delete_rows(
     if not affected:
         return 0
     n_removed = hit.count()
+    # A literal OR-chain over the affected (partition-col) combos so
+    # the rewrite scan prunes STATICALLY (a semi-join would need
+    # runtime DPP). Bounded by n_cells x n_epochs, not by |vec_ids| —
+    # keep epochs compacted if intakes are very frequent.
     part_pred = None
     for combo in affected:
         pred = F.lit(True)
