@@ -145,6 +145,34 @@ class IVFIndex:
             .parquet(self.assignments_path)
         )
 
+    def compact_epochs(self) -> int:
+        """Fold every intake epoch back into epoch 0: continuous
+        intake accretes one (cell, epoch) leaf per intake per touched
+        cell, and both the file count and the delete-rewrite predicate
+        grow with the epoch count. Compaction is one read + one STATIC
+        truncate-overwrite (the same shape as TelemetryStore.compact):
+        run it on the maintenance cadence, not per intake. The eager
+        checkpoint cuts the read-overwrite cycle on the path. Returns
+        the row count of the compacted table."""
+        table = (
+            self.assignments()
+            .select(
+                "vec_id",
+                "nvec",
+                "centroid_id",
+                F.lit(0).cast("long").alias("epoch"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n = table.count()
+        (
+            table.write.mode("overwrite")
+            .partitionBy("centroid_id", "epoch")
+            .parquet(self.assignments_path)
+        )
+        self.spark.catalog.refreshByPath(self.assignments_path)
+        return n
+
     def delete(self, vec_ids: list[int]) -> int:
         """Privacy-delete propagation into the SERVING artifact: a
         right-to-be-forgotten request is not done when the corpus row

@@ -134,3 +134,35 @@ def test_batch_gate_blocks_replay(spark, tmp_path):
     ).select("vec_id", as_double(F.col("embedding")).alias("embedding"))
     idx.add(batch2, epoch=3)
     assert idx.assignments().count() == n + 75
+
+
+def test_compact_epochs_folds_intakes(spark, tmp_path):
+    """compact_epochs merges every intake epoch into epoch 0 with the
+    same rows — serving results unchanged, one leaf per cell again."""
+    load_tables(spark, SF)
+    emb = spark.table("embeddings")
+    idx = IVFIndex.build(
+        spark,
+        emb.filter(F.col("vec_id") < 300),
+        str(tmp_path / "idx"),
+        centroids=_centroids(emb),
+    )
+    for i, (lo, hi) in enumerate([(300, 350), (350, 400), (400, 450)]):
+        idx.add(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .select("vec_id", as_double(F.col("embedding")).alias("embedding")),
+            epoch=i + 1,
+        )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    before = _rows(idx.topk(queries, k=5, nprobe=8))
+    n = idx.assignments().count()
+    assert idx.assignments().filter(F.col("epoch") > 0).count() == 150
+
+    compacted = idx.compact_epochs()
+    assert compacted == n
+    assert idx.assignments().count() == n
+    assert idx.assignments().filter(F.col("epoch") > 0).count() == 0
+    assert _rows(idx.topk(queries, k=5, nprobe=8)) == before

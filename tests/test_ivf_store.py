@@ -88,6 +88,14 @@ def test_probe_prunes_to_queried_cells(spark, built):
     ]
     assert pruned, plan  # the cell subquery must reach the scan
 
+    # nprobe>1 keeps pruning: the subquery simply carries more cells
+    plan3 = idx.topk(queries, k=5, nprobe=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert any(
+        "PartitionFilters" in l and "dynamicpruningexpression(centroid_id" in l
+        for l in plan3.splitlines()
+    ), plan3
+
 
 def test_assignments_cover_corpus_once(spark, built):
     """Every corpus vector lands in exactly one cell partition."""
