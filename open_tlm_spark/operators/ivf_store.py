@@ -10,8 +10,10 @@ serving-path analog of the band store in
 reloads serve without retraining.
 
 Scale (100 TB): the assignments table is the corpus (vec_id, cell,
-normalized vector) written `partitionBy(centroid_id)` — a probe with
-nprobe=1 reads 1/n_cells of the files via partition pruning (the
+normalized vector) written `partitionBy(centroid_id, epoch)` (epoch 0
+= the base build; intakes own epochs > 0 and are idempotent per
+epoch) — a probe with nprobe=1 reads 1/n_cells of the files via
+partition pruning (the
 `PartitionFilters` line in the scan, plan-pinned in
 tests/test_ivf_store.py), and the per-query join is a broadcast of the
 tiny query frame against one cell's rows. Centroids are k rows —
@@ -51,8 +53,10 @@ class IVFIndex:
     """Parquet-backed IVF index under `path`:
 
     * ``centroids/``   — (centroid_id, cvec): the trained centroids.
-    * ``assignments/`` — (vec_id, nvec) partitioned by centroid_id:
-      every corpus vector, L2-normalized, in its cell's partition.
+    * ``assignments/`` — (vec_id, nvec) partitioned by
+      (centroid_id, epoch): every corpus vector, L2-normalized, in
+      its cell's partition; epoch 0 is the build, intakes append
+      their own epochs (compact_epochs folds them back).
     """
 
     def __init__(self, spark: SparkSession, path: str):
