@@ -99,10 +99,14 @@ class IVFIndex:
         )
         # STATIC overwrite: a rebuild truncates the whole table (a
         # dynamic overwrite here would leave stale partitions from a
-        # previous, larger index lingering).
+        # previous, larger index lingering). Pinned per-write — the
+        # truncate semantics must not depend on the session default
+        # (a session configured with dynamic overwrite globally would
+        # otherwise leave a smaller rebuild serving stale cells).
         (
             assigned.write.mode("overwrite")
             .partitionBy("centroid_id", "epoch")
+            .option("partitionOverwriteMode", "static")
             .parquet(idx.assignments_path)
         )
         return idx
@@ -169,9 +173,14 @@ class IVFIndex:
             .localCheckpoint(eager=True)
         )
         n = table.count()
+        # STATIC pin for the same reason as build(): under a session
+        # configured with dynamic overwrite, this truncate would only
+        # replace the epoch=0 partitions and leave every intake epoch
+        # on disk — every compacted row served twice.
         (
             table.write.mode("overwrite")
             .partitionBy("centroid_id", "epoch")
+            .option("partitionOverwriteMode", "static")
             .parquet(self.assignments_path)
         )
         self.spark.catalog.refreshByPath(self.assignments_path)
@@ -301,7 +310,9 @@ class IVFIndex:
         )
 
 
-PQ_CODES_SCHEMA = "vec_id bigint, sub int, code int, centroid_id bigint"
+PQ_CODES_SCHEMA = (
+    "vec_id bigint, sub int, code int, centroid_id bigint, epoch bigint"
+)
 PQ_CODEBOOK_SCHEMA = "sub int, code_id int, cv array<double>"
 
 
@@ -317,24 +328,30 @@ class IVFPQIndex(IVFIndex):
     Artifacts under `path`:
       * ``centroids/``   — inherited: coarse cells for routing.
       * ``pq_codebook/`` — (sub, code_id, cv): ks codewords per
-        subspace over the NORMALIZED vectors (deterministic default:
-        the ks lowest vec_ids' subvectors — the same convention the
-        `pq_quantize` gate pins against DuckDB).
+        subspace over the NORMALIZED vectors. Default: the
+        deterministic ks-lowest-vec_ids convention the `pq_quantize`
+        gate pins against DuckDB; pass ``train_iters > 0`` for
+        per-subspace Lloyd k-means seeded from that same convention
+        (the Jégou et al. 2011 training step — tighter codewords,
+        same artifact shape).
       * ``pq_codes/``    — (vec_id, sub, code) partitioned by
-        centroid_id: long-form codes, m rows per vector, so the ADC
-        probe is a plain equi-join (no per-row array explode) and
-        cell pruning works exactly as in the flat index.
+        (centroid_id, epoch), mirroring the flat index's assignments
+        layout: long-form codes, m rows per vector, so the ADC probe
+        is a plain equi-join (no per-row array explode), cell pruning
+        works exactly as in the flat index, and incremental intake
+        (`add`) owns epochs > 0 idempotently.
 
     Ranking is by ADC squared-L2 over normalized vectors (monotone in
     cosine: ||a-b||^2 = 2 - 2 cos); ties break on vec_id. Exactness is
     numpy-pinned in tests/test_ivf_store.py; recall vs the flat index
-    is the quality knob (m, ks), not a correctness property. The gate
-    embeddings are PQ's WORST case (unit-random, no cluster structure
-    for codewords to exploit): measured recall@5 vs flat is 0.23 at
-    ks=8, 0.43 at the ks=32 default — real embedding corpora sit far
-    higher at the same compression, and the honest fix at scale is a
-    trained per-subspace codebook plus re-ranking the ADC top-R with
-    flat vectors fetched by id.
+    is the quality knob (m, ks, train_iters), not a correctness
+    property. The gate embeddings are PQ's WORST case (unit-random, no
+    cluster structure for codewords to exploit): with the deterministic
+    codebook, measured recall@5 vs flat is 0.23 at ks=8 and 0.43 at
+    the ks=32 default; trained codebooks raise it (measured in
+    tests/test_ivf_store.py) and the serving default at scale is
+    ADC top-r + exact re-rank (`topk_rerank`), which returns recall to
+    near-flat while fetching only r raw vectors per query.
     """
 
     def __init__(self, spark: SparkSession, path: str):
@@ -385,12 +402,26 @@ class IVFPQIndex(IVFIndex):
         centroids: DataFrame | None = None,
         m: int = 8,
         ks: int = 32,
+        codebook: DataFrame | None = None,
+        train_iters: int = 0,
     ) -> "IVFPQIndex":
         """Route every vector to its cell, quantize it to m codes, and
         persist centroids + codebook + cell-partitioned codes. Unlike
         the flat build, raw/normalized vectors are NOT stored — the
-        codes ARE the corpus artifact."""
+        codes ARE the corpus artifact.
+
+        Codebook precedence: an explicit `codebook` frame (sub,
+        code_id, cv) wins (the PQ analog of passing `centroids` — lets
+        an incremental build share a full build's codebook);
+        `train_iters > 0` runs per-subspace Lloyd k-means seeded from
+        the deterministic convention; otherwise the deterministic
+        ks-lowest-vec_ids convention alone."""
         assert dim % m == 0, "dim must split evenly into m subspaces"
+        # The per-(vector, subspace) argmin packs code_id into the two
+        # low decimal digits of an integer key (dist_key * 100 +
+        # code_id); ks >= 100 would overflow code_id into the distance
+        # component and silently corrupt codes.
+        assert ks < 100, "ks must stay below the integer-key radix (100)"
         dsub = dim // m
         idx = cls(spark, path)
         if centroids is None:
@@ -405,52 +436,193 @@ class IVFPQIndex(IVFIndex):
             ivf_assign(embeddings, idx.centroids(), dim=dim), "vec", dim=dim
         ).select("vec_id", "nvec", "centroid_id")
 
-        # deterministic codebook: ks lowest vec_ids' normalized
-        # subvectors (the pq_quantize gate convention)
-        w = Window.orderBy("vec_id")
-        cb_rows = (
-            assigned.orderBy("vec_id")
-            .limit(ks)
-            .select(
-                (F.row_number().over(w) - 1).alias("code_id"),
-                F.col("nvec").alias("vec"),
+        if codebook is None:
+            # deterministic codebook: ks lowest vec_ids' normalized
+            # subvectors (the pq_quantize gate convention), optionally
+            # refined by per-subspace Lloyd iterations
+            w = Window.orderBy("vec_id")
+            cb_rows = (
+                assigned.orderBy("vec_id")
+                .limit(ks)
+                .select(
+                    (F.row_number().over(w) - 1).alias("code_id"),
+                    F.col("nvec").alias("vec"),
+                )
             )
-        )
-        codebook = cls._subspaces(cb_rows, "vec", "cv", m, dsub).select(
-            "sub", "code_id", "cv"
-        )
-        codebook.coalesce(1).write.mode("overwrite").parquet(
-            idx.codebook_path
-        )
+            codebook = cls._subspaces(cb_rows, "vec", "cv", m, dsub).select(
+                "sub", "code_id", "cv"
+            )
+            if train_iters > 0:
+                codebook = cls._train_codebook(
+                    assigned, codebook, m, dsub, train_iters
+                )
+        codebook.select("sub", "code_id", "cv").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(idx.codebook_path)
 
-        # per-(vector, subspace) argmin via the integer-key trick:
-        # round(dist,6)*1e6*100 + code_id — min() is then deterministic
-        vsub = cls._subspaces(
-            assigned.select("vec_id", "centroid_id", F.col("nvec").alias("vec")),
+        codes = idx._encode(assigned, m, dsub, epoch=0)
+        # STATIC pin: a rebuild must truncate every cell/epoch of a
+        # previous index, independent of the session overwrite default.
+        (
+            codes.write.mode("overwrite")
+            .partitionBy("centroid_id", "epoch")
+            .option("partitionOverwriteMode", "static")
+            .parquet(idx.codes_path)
+        )
+        return idx
+
+    @staticmethod
+    def _train_codebook(
+        assigned: DataFrame,
+        init: DataFrame,
+        m: int,
+        dsub: int,
+        iters: int,
+    ) -> DataFrame:
+        """Per-subspace Lloyd k-means over the corpus subvectors
+        (Jégou et al. 2011 §II.C — each subquantizer is an independent
+        k-means in its dsub-dim slice). Same driver-loop shape as
+        `similarity.kmeans_train`: each iteration broadcasts the tiny
+        (m x ks)-row codebook into the subvector frame, assigns by the
+        deterministic integer-key argmin, recomputes codewords as
+        element-wise means, and eagerly checkpoints the m x ks result
+        so plans don't nest. Codewords that attract no subvectors keep
+        their previous value (the deterministic empty-cluster rule).
+        At 100 TB this trains on a sample, exactly like the coarse
+        quantizer."""
+        vsub = IVFPQIndex._subspaces(
+            assigned.select("vec_id", F.col("nvec").alias("vec")),
+            "vec",
+            "sv",
+            m,
+            dsub,
+        ).localCheckpoint(eager=False)
+        cb = init.localCheckpoint(eager=True)
+        ikey = (
+            F.round(
+                F.round(IVFPQIndex._sqdist("sv", "cv", dsub), 6) * 1_000_000
+            ).cast("long")
+            * 100
+            + F.col("code_id")
+        )
+        for _ in range(iters):
+            hit = (
+                vsub.join(F.broadcast(cb), "sub")
+                .select("vec_id", "sub", "sv", ikey.alias("ikey"))
+                .groupBy("vec_id", "sub")
+                .agg(
+                    (F.min("ikey") % 100).cast("int").alias("code_id"),
+                    F.first("sv").alias("sv"),
+                )
+            )
+            mean_sv = F.array(
+                *[F.avg(F.element_at("sv", j + 1)) for j in range(dsub)]
+            )
+            updated = hit.groupBy("sub", "code_id").agg(
+                mean_sv.alias("new_cv")
+            )
+            cb = (
+                cb.join(updated, ["sub", "code_id"], "left")
+                .select(
+                    "sub",
+                    "code_id",
+                    F.coalesce("new_cv", "cv").alias("cv"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return cb
+
+    def _encode(
+        self, assigned: DataFrame, m: int, dsub: int, epoch: int
+    ) -> DataFrame:
+        """(vec_id, sub, code, centroid_id, epoch): quantize each
+        routed, normalized vector against the PERSISTED codebook via
+        the per-(vector, subspace) integer-key argmin —
+        round(dist,6)*1e6*100 + code_id, so min() is deterministic
+        (distance dominates; code_id breaks ties low-first). Shared by
+        build (epoch 0) and add (intake epochs)."""
+        vsub = self._subspaces(
+            assigned.select(
+                "vec_id", "centroid_id", F.col("nvec").alias("vec")
+            ),
             "vec",
             "sv",
             m,
             dsub,
         )
         ikey = (
-            F.round(F.round(cls._sqdist("sv", "cv", dsub), 6) * 1_000_000)
-            .cast("long")
+            F.round(
+                F.round(self._sqdist("sv", "cv", dsub), 6) * 1_000_000
+            ).cast("long")
             * 100
             + F.col("code_id")
         )
-        codes = (
-            vsub.join(F.broadcast(idx.codebook()), "sub")
+        return (
+            vsub.join(F.broadcast(self.codebook()), "sub")
             .select("vec_id", "centroid_id", "sub", ikey.alias("ikey"))
             .groupBy("vec_id", "centroid_id", "sub")
             .agg((F.min("ikey") % 100).cast("int").alias("code"))
+            .select(
+                "vec_id",
+                "sub",
+                "code",
+                "centroid_id",
+                F.lit(epoch).cast("long").alias("epoch"),
+            )
         )
+
+    def add(self, embeddings: DataFrame, dim: int = 64, epoch: int = 1) -> None:
+        """Incremental intake for the COMPRESSED artifact: assign new
+        vectors to the existing centroids, quantize them against the
+        existing codebook, and land their code rows in their (cell,
+        epoch) partitions — the PQ twin of `IVFIndex.add`, overridden
+        because the inherited version would write `assignments/`,
+        which PQ serving never reads (the intaken vectors would
+        silently never be served). Same idempotency contract: dynamic
+        partition overwrite per (intake, epoch), epoch 0 belongs to
+        the build. Codebook drift under sustained intake is a rebuild
+        decision, like centroid drift."""
+        assert epoch > 0, "epoch 0 belongs to the base build"
+        m, dsub = self._shape()
+        assigned = normalized(
+            ivf_assign(embeddings, self.centroids(), dim=dim),
+            "vec",
+            dim=dim,
+        ).select("vec_id", "nvec", "centroid_id")
         (
-            codes.select("vec_id", "sub", "code", "centroid_id")
+            self._encode(assigned, m, dsub, epoch=epoch)
             .write.mode("overwrite")
-            .partitionBy("centroid_id")
-            .parquet(idx.codes_path)
+            .partitionBy("centroid_id", "epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.codes_path)
         )
-        return idx
+
+    def compact_epochs(self) -> int:
+        """Fold every intake epoch of the CODES table back into epoch
+        0 — overridden from the flat index, which compacts
+        `assignments/` (a directory a PQ-only build never creates).
+        One read + one static truncate-overwrite; returns the code-row
+        count (m x vectors)."""
+        table = (
+            self.codes()
+            .select(
+                "vec_id",
+                "sub",
+                "code",
+                "centroid_id",
+                F.lit(0).cast("long").alias("epoch"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n = table.count()
+        (
+            table.write.mode("overwrite")
+            .partitionBy("centroid_id", "epoch")
+            .option("partitionOverwriteMode", "static")
+            .parquet(self.codes_path)
+        )
+        self.spark.catalog.refreshByPath(self.codes_path)
+        return n
 
     def exists(self) -> bool:
         return all(
@@ -537,7 +709,7 @@ class IVFPQIndex(IVFIndex):
             self.codes_path,
             PQ_CODES_SCHEMA,
             vec_ids,
-            ["centroid_id"],
+            ["centroid_id", "epoch"],
         )
 
     def _shape(self) -> tuple[int, int]:

@@ -690,6 +690,7 @@ def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly; same rounding and tiebreaks). At scale the serve path
     reads 1/n_cells of the corpus files via partition pruning
     (plan-pinned in tests/test_ivf_store.py)."""
+    import os
     import tempfile
 
     from open_tlm_spark.operators.ivf_store import IVFIndex
@@ -699,12 +700,16 @@ def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"),
         S.as_double(F.col("embedding")).alias("cvec"),
     )
-    idx = IVFIndex.build(
-        spark,
-        emb,
-        tempfile.mkdtemp(prefix="tlm_ivf_gate_"),
-        centroids=centroids,
+    # SESSION-scoped scratch (VERDICT r8 #6): repeated gate runs reuse
+    # one directory per Spark application instead of accreting a
+    # mkdtemp per run; build()'s static overwrite makes the reuse
+    # idempotent (a different sf_dir in the same session rebuilds the
+    # whole index over it).
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"tlm_ivf_gate_{spark.sparkContext.applicationId}",
     )
+    idx = IVFIndex.build(spark, emb, scratch, centroids=centroids)
     queries = emb.filter(
         (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
     ).select(

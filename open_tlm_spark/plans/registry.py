@@ -84,70 +84,86 @@ def register(
 # New capability in r9/r10 must therefore be non-registry
 # (pytest-pinned) or displace a rotation slot with a documented IOU.
 #
+# Round-9 head (ZERO new-query slots, per the schedule above):
+#   1. Queries whose code CHANGED this round: sim_ivf_persisted_topk
+#      (ivf_store pins partitionOverwriteMode=static on the build /
+#      compact truncate-overwrites, ADVICE r8 medium; gate scratch dir
+#      is now session-scoped instead of mkdtemp-per-run, VERDICT r8
+#      #6).
+#   2. The r5-era rotation block (48 queries; last green row in round
+#      5, code unchanged since — enforced by
+#      tests/test_evidence_freshness.py + tools/evidence.py).
+# Round-9 non-registry work (pytest-pinned, no window cost): IVFPQ
+# epoch-partitioned codes + PQ-side add()/compact_epochs() overrides
+# (VERDICT r8 "What's wrong" #1), trained per-subspace PQ codebooks +
+# rerank-by-default serving (VERDICT r8 #3), ivf_intake stream
+# identity guard + monotone epoch counter (ADVICE r8), the
+# end-to-end IVF serving example (VERDICT r8 #5).
+#
 # Round-8 head, in priority order:
 #   1. Queries whose code CHANGED this round: parts_skyline_pareto
 #      (two-level range-partitioned skyline sweep, VERDICT r7 #2),
 #      lineitem_equidepth_histogram (exact_quantiles tie-recursion,
-#      VERDICT r7 #3), dedup_clusters (shared_cache memo keyed by
-#      session UUID + tableExists guard, ADVICE r7), metrics_loop_series
+#      VERDICT r7 #3), dedup_clusters (shared_cache memo kept on its
+#      (id(spark), view) key with a tableExists guard pruning stale
+#      id-reuse entries, ADVICE r7), metrics_loop_series
 #      + store_roundtrip_rollup (tsdb per-session AQE guard, ADVICE r7).
 #   2. Queries NEW in round 8 (IVF index persist/serve path).
 #   3. The r4-era rotation block (last green row in round 4, code
 #      unchanged since — enforced by tests/test_evidence_freshness.py
 #      + tools/evidence.py fingerprints).
 _CHECK_FIRST = [
-    # 1. changed in round 8
-    "parts_skyline_pareto",
-    "lineitem_equidepth_histogram",
-    "dedup_clusters",
-    "metrics_loop_series",
-    "store_roundtrip_rollup",
-    # 2. new in round 8
+    # 1. changed in round 9 (ivf_store static-overwrite pin + scoped scratch dir)
     "sim_ivf_persisted_topk",
-    # 3. r4-era rotation block (43 queries)
-    "basket_part_pairs",
-    "bucketed_colocated_join",
-    "chunk_documents",
-    "curation_yield_by_source",
-    "dedup_simhash_hamming",
-    "dedup_substring_spans",
-    "docs_length_histogram",
-    "docs_ngram_novelty",
-    "docs_template_detection",
-    "documents_zipf_fit",
-    "embedding_dim_stats",
-    "embedding_label_cohesion",
-    "event_funnel_windowed",
-    "events_ab_test_lift",
-    "events_markov_transitions",
-    "events_retention_cohorts",
-    "lineitem_discount_elasticity",
-    "multimodal_exact_dedup",
-    "orders_fulfillment_sla",
-    "orders_open_backlog_daily",
-    "orders_pareto_share",
-    "orders_rfm_segments",
-    "pq_quantize",
-    "privacy_delete_propagation",
-    "quality_gopher_rules",
-    "sem_dedup_cells",
-    "sim_ivf_recall_eval",
-    "sim_ivfpq_topk",
-    "sim_lsh_recall_eval",
-    "sim_pq_adc_topk",
-    "sim_pq_recall_eval",
-    "source_overlap_matrix",
-    "text_code_detection",
-    "text_langid_confusion",
-    "ts_autocorr_lags",
-    "ts_counter_rate",
-    "ts_error_budget_burn",
-    "ts_heatmap_2d",
-    "ts_holt_linear",
-    "ts_inter_arrival_stats",
-    "ts_staleness_report",
-    "ts_time_weighted_avg",
-    "user_activity_entropy",
+    # 2. r5-era rotation block (48 queries)
+    "bpe_pair_counts",
+    "cap_per_source",
+    "decontaminate_ngrams",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_fingerprint",
+    "dedup_minhash_est_vs_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_threshold_yield",
+    "docs_bm25_topk",
+    "docs_ccnet_lm_buckets",
+    "docs_collocations_pmi",
+    "docs_dsir_importance",
+    "docs_rake_keyphrases",
+    "docs_tfidf_topk",
+    "embedding_pca_covariance",
+    "event_funnel",
+    "events_hash_sample",
+    "lsh_scurve_table",
+    "mixture_temperature_allocation",
+    "quality_bigram_logprob",
+    "quality_repetition",
+    "quality_unigram_logprob",
+    "sim_ivf_assign",
+    "sim_ivf_balance_audit",
+    "sim_ivf_topk",
+    "sim_ivf_train",
+    "sim_lsh_topk",
+    "sim_topk_bruteforce",
+    "stratified_split",
+    "text_rolling_fingerprint",
+    "ts_anomaly_mad",
+    "ts_anomaly_zscore",
+    "ts_comment_tag_filter",
+    "ts_cusum_changepoints",
+    "ts_dft_power",
+    "ts_downsample_lttb",
+    "ts_downsample_m4",
+    "ts_histogram_per_series",
+    "ts_incremental_merge",
+    "ts_ohlc_bars",
+    "ts_pairwise_corr",
+    "ts_percentile_bands",
+    "ts_seasonal_residual",
+    "ts_seasonality_strength",
+    "vocab_doc_freq",
 ]
 
 

@@ -112,10 +112,12 @@ def test_batch_gate_blocks_replay(spark, tmp_path):
     ).select("vec_id", as_double(F.col("embedding")).alias("embedding"))
 
     def apply(batch_id):
+        gate.check_identity("stream-A")
         if gate.applied(batch_id):
             return
-        idx.add(batch, epoch=batch_id + 1)
-        gate.record(batch_id)
+        epoch = gate.next_epoch()
+        idx.add(batch, epoch=epoch)
+        gate.record(batch_id, epoch + 1, "stream-A")
 
     apply(0)
     n = idx.assignments().count()
@@ -166,3 +168,37 @@ def test_compact_epochs_folds_intakes(spark, tmp_path):
     assert idx.assignments().count() == n
     assert idx.assignments().filter(F.col("epoch") > 0).count() == 0
     assert _rows(idx.topk(queries, k=5, nprobe=8)) == before
+
+
+def test_identity_guard_and_monotone_epochs(tmp_path):
+    """ADVICE r8: a fresh checkpoint restarts batch ids at 0, which the
+    `<= last` gate would read as "already applied" — the gate must
+    fail fast when a different stream identity touches an existing
+    intake state, and epochs must come from the monotone counter (a
+    legacy epoch=batch_id+1 state resumes PAST its last possible
+    epoch, never recycling one)."""
+    import pytest
+
+    from open_tlm_spark.streaming.ivf_intake import _BatchGate
+
+    gate = _BatchGate(str(tmp_path / "intake_state.json"))
+    # fresh state: first epoch is 1, any identity may claim it
+    assert gate.next_epoch() == 1
+    gate.check_identity("stream-A")
+    gate.record(3, 2, "stream-A")
+    assert gate.applied(3) and gate.applied(0) and not gate.applied(4)
+    assert gate.next_epoch() == 2
+
+    # same stream resumes; a different stream (fresh checkpoint) fails
+    gate.check_identity("stream-A")
+    with pytest.raises(RuntimeError, match="fresh\ncheckpoint|checkpoint"):
+        gate.check_identity("stream-B")
+
+    # legacy state (last_batch_id only): counter resumes past the
+    # largest epoch the old batch_id+1 scheme can have written
+    legacy = _BatchGate(str(tmp_path / "legacy.json"))
+    with open(legacy.path, "w", encoding="utf-8") as f:
+        json.dump({"last_batch_id": 4}, f)
+    assert legacy.next_epoch() == 6
+    assert legacy.applied(4) and not legacy.applied(5)
+    legacy.check_identity("any")  # no owner recorded -> adoptable
