@@ -348,10 +348,18 @@ class IVFPQIndex(IVFIndex):
     property. The gate embeddings are PQ's WORST case (unit-random, no
     cluster structure for codewords to exploit): with the deterministic
     codebook, measured recall@5 vs flat is 0.23 at ks=8 and 0.43 at
-    the ks=32 default; trained codebooks raise it (measured in
-    tests/test_ivf_store.py) and the serving default at scale is
-    ADC top-r + exact re-rank (`topk_rerank`), which returns recall to
-    near-flat while fetching only r raw vectors per query.
+    the ks=32 default; trained codebooks raise it (0.385 -> 0.47 on
+    40 gate queries, pinned in tests/test_ivf_store.py) and the
+    serving default at scale is ADC top-r + exact re-rank
+    (`topk_rerank`), which returns recall to near-flat while fetching
+    only r raw vectors per query. Residual encoding (IVFADC's classic
+    x - c_cell transform) was measured and NOT adopted: with this
+    index's deterministic corpus-point coarse centroids the residuals
+    are as wide as the vectors and recall drops on every corpus shape
+    tried (0.48 -> 0.415 on the gate vectors; far worse on clustered
+    synthetics — see tools/pq_recall_smoke.py); it only pays with a
+    trained coarse quantizer, which the `pq_quantize` oracle
+    convention deliberately avoids.
     """
 
     def __init__(self, spark: SparkSession, path: str):

@@ -1,0 +1,158 @@
+"""End-to-end IVF serving loop (examples/ivf_serving_pipeline.py):
+streamed dual-artifact intake serves identically to a full rebuild,
+compaction runs on its cadence inside the stream, and the cell probe
+flags a planted hot cell as the rebuild signal."""
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from examples.ivf_serving_pipeline import (
+    build_serving_indexes,
+    cell_balance_report,
+    rebuild_recommended,
+    serve_topk,
+    start_dual_intake,
+)
+from open_tlm_spark.operators.similarity import as_double
+from open_tlm_spark.session import load_tables
+
+SF = "/root/testdata/sf0.01"
+
+
+def _cents(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+
+
+def _queries(emb):
+    return emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+def _rows(df):
+    return {(r.query_id, r.vec_id, r.cos_sim, r.rank) for r in df.collect()}
+
+
+def test_serving_loop_live_equals_batch(spark, tmp_path):
+    """Seed with the even half, stream the odd half in 3 files with
+    compact_every=2: once drained, rerank-by-default serving over the
+    streamed artifacts must equal serving over a from-scratch rebuild
+    on the full corpus (sharing the seed's codebook — intake encodes
+    against the PERSISTED codebook, so the comparison pins exactly
+    the intake path), and both artifacts must have been compacted at
+    least once (some epoch folded to 0 while later intakes remain)."""
+    load_tables(spark, SF)
+    emb = spark.table("embeddings")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    work = str(tmp_path / "serving")
+    flat, pq = build_serving_indexes(
+        spark, seed, work, centroids=_cents(emb), train_iters=1
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    late = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") % 2 == 1).collect()
+    )
+    third = max(1, len(late) // 3)
+    t0 = time.time() - 60
+    for i in range(3):
+        lo, hi = i * third, (i + 1) * third if i < 2 else len(late)
+        p = os.path.join(str(landing), f"b{i}.json")
+        with open(p, "w") as f:
+            for vid, vec in late[lo:hi]:
+                f.write(json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+        os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+
+    q, flat, pq = start_dual_intake(
+        spark,
+        str(landing),
+        work,
+        str(tmp_path / "ckpt"),
+        compact_every=2,
+        trigger_seconds=0.5,
+    )
+    try:
+        target = emb.count()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if (
+                    flat.assignments().count() == target
+                    and pq.codes().count() == target * 8
+                ):
+                    break
+            except Exception:
+                pass  # parquet mid-write
+            time.sleep(1.0)
+        assert flat.assignments().count() == target
+    finally:
+        q.stop()
+
+    # compaction cadence observed: epoch 2 (the compact_every=2 fold)
+    # was folded into 0 on BOTH artifacts; epoch 3 arrived after
+    assert flat.assignments().filter(F.col("epoch") == 2).count() == 0
+    assert pq.codes().filter(F.col("epoch") == 2).count() == 0
+    assert flat.assignments().filter(F.col("epoch") == 0).count() > 0
+
+    # live == batch: a full rebuild sharing the same centroids AND the
+    # streamed index's codebook serves identical rerank results
+    from open_tlm_spark.operators.ivf_store import IVFIndex, IVFPQIndex
+
+    flat_full = IVFIndex.build(
+        spark, emb, str(tmp_path / "flat_full"), centroids=_cents(emb)
+    )
+    pq_full = IVFPQIndex.build(
+        spark,
+        emb,
+        str(tmp_path / "pq_full"),
+        centroids=_cents(emb),
+        codebook=pq.codebook(),
+    )
+    queries = _queries(emb)
+    got = _rows(serve_topk(flat, pq, queries))
+    want = _rows(serve_topk(flat_full, pq_full, queries))
+    assert got == want and len(got) == 20
+
+
+def test_probe_flags_planted_hot_cell(spark, tmp_path):
+    """Plant 70% of the corpus into one cell (duplicate one vector's
+    direction): the balance probe must flag that cell with a provable
+    lower bound and recommend a rebuild; a balanced index must not."""
+    load_tables(spark, SF)
+    emb = spark.table("embeddings")
+    n = emb.count()
+
+    flat, _ = build_serving_indexes(
+        spark, emb, str(tmp_path / "balanced"), centroids=_cents(emb),
+        train_iters=0,
+    )
+    report = cell_balance_report(flat)
+    assert report.n_rows == n
+    assert not rebuild_recommended(report, n_cells=8, factor=4.0)
+
+    # skewed corpus: most vectors share one direction -> one cell
+    base = emb.filter(F.col("vec_id") == 0).first().embedding
+    hot = spark.range(n * 2, n * 2 + int(n * 0.7) * 3).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(x)) for x in base]).alias("embedding"),
+    )
+    skewed = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    ).unionByName(hot)
+    flat_s, _ = build_serving_indexes(
+        spark, skewed, str(tmp_path / "skewed"), centroids=_cents(emb),
+        train_iters=0,
+    )
+    report_s = cell_balance_report(flat_s)
+    assert rebuild_recommended(report_s, n_cells=8, factor=4.0)

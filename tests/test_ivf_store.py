@@ -547,7 +547,7 @@ def test_trained_codebook_improves_recall(spark, tmp_path, emb_cents):
         spark, emb, str(tmp_path / "trained"), centroids=cents,
         train_iters=2,
     )
-    q = _queries(emb, 8, 28)
+    q = _queries(emb, 8, 48)
     truth = {}
     for r in flat.topk(q, k=5).collect():
         truth.setdefault(r.query_id, set()).add(r.vec_id)
@@ -559,8 +559,10 @@ def test_trained_codebook_improves_recall(spark, tmp_path, emb_cents):
             hits += r.vec_id in truth.get(r.query_id, set())
         return hits / total
 
+    # measured 0.385 vs 0.47 on these 40 queries; the +0.03 margin
+    # absorbs the tiny run-to-run drift of float codeword means
     r_base = recall(base.topk(q, k=5))
     r_trained = recall(trained.topk(q, k=5))
-    assert r_trained > r_base, (r_base, r_trained)
-    refined = recall(topk_rerank(trained, flat, q, k=5, r=20))
+    assert r_trained >= r_base + 0.03, (r_base, r_trained)
+    refined = recall(topk_rerank(trained, flat, q, k=5, r=30))
     assert refined >= 0.9, (r_base, r_trained, refined)
