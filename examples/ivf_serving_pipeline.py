@@ -147,11 +147,13 @@ def serve_topk(
     k: int = 5,
     r: int = 20,
     dim: int | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Rerank-by-default serving (VERDICT r8 #3): ADC candidates from
     the compressed codes, exact re-rank of only r ids from the flat
-    artifact."""
-    return topk_rerank(pq, flat, queries, k=k, r=r, dim=dim)
+    artifact. `nprobe` widens the candidate search to more cells and
+    `r` deepens it within them — the two serve-time recall knobs."""
+    return topk_rerank(pq, flat, queries, k=k, r=r, dim=dim, nprobe=nprobe)
 
 
 def cell_balance_report(flat: IVFIndex, k: int = 256) -> HotKeyReport:

@@ -739,6 +739,7 @@ def topk_rerank(
     k: int = 5,
     r: int = 50,
     dim: int | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVFADC + refine (Jégou et al. 2011 §V): the PQ codes produce a
     cheap candidate set (ADC top-r, scanning bytes), then ONLY those r
@@ -750,8 +751,14 @@ def topk_rerank(
 
     The candidate-id join is an equi-join on vec_id against the
     cell-partitioned flat assignments; the candidate frame is
-    queries x r rows — broadcast by construction."""
-    cand = pq.topk(queries, k=r, dim=dim).select("query_id", "vec_id")
+    queries x r rows — broadcast by construction. `nprobe` widens the
+    CANDIDATE search to more cells (the same recall knob as the raw
+    paths); the exact re-rank step is cell-independent, so with
+    nprobe = n_cells and r >= |corpus| the refine is exactly brute
+    force (pinned in tests/test_ivf_store.py)."""
+    cand = pq.topk(queries, k=r, dim=dim, nprobe=nprobe).select(
+        "query_id", "vec_id"
+    )
     q = flat._route_queries(queries, dim=dim).select("query_id", "qvec")
     exact = (
         flat.assignments()

@@ -566,3 +566,25 @@ def test_trained_codebook_improves_recall(spark, tmp_path, emb_cents):
     assert r_trained >= r_base + 0.03, (r_base, r_trained)
     refined = recall(topk_rerank(trained, flat, q, k=5, r=30))
     assert refined >= 0.9, (r_base, r_trained, refined)
+
+
+def test_rerank_full_fanout_equals_brute_force(spark, tmp_path, emb_cents):
+    """nprobe = n_cells and r >= |corpus| turn the ADC+refine path
+    into exact brute force (candidates cover everything; the refine
+    is exact cosine with the same rounding/tiebreaks) — pins the
+    nprobe pass-through end to end."""
+    from open_tlm_spark.operators.ivf_store import IVFPQIndex, topk_rerank
+    from open_tlm_spark.operators.similarity import brute_force_topk
+
+    emb, cents = emb_cents
+    flat = IVFIndex.build(
+        spark, emb, str(tmp_path / "flat"), centroids=cents
+    )
+    pq = IVFPQIndex.build(
+        spark, emb, str(tmp_path / "pq"), centroids=cents
+    )
+    q = _queries(emb, 8, 14)
+    n = emb.count()
+    got = _rows(topk_rerank(pq, flat, q, k=5, r=n, nprobe=8))
+    want = _rows(brute_force_topk(emb, q, k=5))
+    assert got == want
