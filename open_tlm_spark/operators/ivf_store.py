@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from open_tlm_spark.operators.similarity import (
     as_double,
     dot,
-    ivf_assign,
+    ivf_assign_slim,
     kmeans_train,
     normalized,
 )
@@ -92,8 +92,10 @@ class IVFIndex:
             idx.centroids_path
         )
         stored_cents = idx.centroids()
-        assigned = normalized(
-            ivf_assign(embeddings, stored_cents, dim=dim), "vec", dim=dim
+        # ivf_assign_slim: scalar argmax state + nvec rejoin — the
+        # build-shaped assign (see its docstring for the profile)
+        assigned = ivf_assign_slim(
+            embeddings, stored_cents, dim=dim
         ).select(
             "vec_id", "nvec", "centroid_id", F.lit(0).cast("long").alias("epoch")
         )
@@ -136,10 +138,8 @@ class IVFIndex:
         epoch 0); two DIFFERENT doc sets written under one epoch
         overwrite each other by design."""
         assert epoch > 0, "epoch 0 belongs to the base build"
-        assigned = normalized(
-            ivf_assign(embeddings, self.centroids(), dim=dim),
-            "vec",
-            dim=dim,
+        assigned = ivf_assign_slim(
+            embeddings, self.centroids(), dim=dim
         ).select(
             "vec_id",
             "nvec",
@@ -243,7 +243,7 @@ class IVFIndex:
             "query_id",
             F.col("nvec").alias("qv"),
             "centroid_id",
-            F.round(dot(F.col("nvec"), F.col("cnvec"), dim), 6).alias("cs"),
+            F.round(dot(F.col("nvec"), F.col("cnvec")), 6).alias("cs"),
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cs").desc(), "centroid_id"
@@ -296,7 +296,10 @@ class IVFIndex:
         ).select(
             "query_id",
             "vec_id",
-            F.round(dot(F.col("qvec"), F.col("nvec"), dim), 6).alias(
+            # HOF fold dot: the dim-unrolled element_at chain compiles
+            # past the JIT's method budget and runs ~12x slower on the
+            # cell-scan hot path (same floats either way)
+            F.round(dot(F.col("qvec"), F.col("nvec")), 6).alias(
                 "cos_sim"
             ),
         )
@@ -425,12 +428,16 @@ class IVFPQIndex(IVFIndex):
         the deterministic convention; otherwise the deterministic
         ks-lowest-vec_ids convention alone."""
         assert dim % m == 0, "dim must split evenly into m subspaces"
-        # The encode/train argmin inlines the codebook as literal
-        # expressions (m x ks x dsub terms per row); past ~256
-        # codewords per subspace the generated projection outgrows
-        # JVM codegen limits and silently falls back to interpreted
-        # evaluation — refuse rather than degrade.
-        assert ks <= 256, "ks beyond 256 outgrows the inlined argmin"
+        # The per-(vector, subspace) argmin packs code_id into the two
+        # low decimal digits of an integer key (dist_key * 100 +
+        # code_id); ks >= 100 would overflow code_id into the distance
+        # component and silently corrupt codes. (An inlined
+        # literal-expression argmin was tried instead of the codebook
+        # join: the m x ks x dsub expression tree falls out of
+        # whole-stage codegen and runs interpreted, ~50x slower at 1M
+        # vectors — the join + map-side-combined min() IS the fast
+        # shape here.)
+        assert ks < 100, "ks must stay below the integer-key radix (100)"
         dsub = dim // m
         idx = cls(spark, path)
         if centroids is None:
@@ -441,9 +448,15 @@ class IVFPQIndex(IVFIndex):
             "overwrite"
         ).parquet(idx.centroids_path)
 
-        assigned = normalized(
-            ivf_assign(embeddings, idx.centroids(), dim=dim), "vec", dim=dim
-        ).select("vec_id", "nvec", "centroid_id")
+        # Eager cut: the PQ build re-reads `assigned` for the
+        # codebook take, each training iteration, and the encode
+        # write — without the checkpoint every action re-runs the
+        # corpus x k assignment join.
+        assigned = (
+            ivf_assign_slim(embeddings, idx.centroids(), dim=dim)
+            .select("vec_id", "nvec", "centroid_id")
+            .localCheckpoint(eager=True)
+        )
 
         if codebook is None:
             # deterministic codebook: ks lowest vec_ids' normalized
@@ -481,47 +494,6 @@ class IVFPQIndex(IVFIndex):
         return idx
 
     @staticmethod
-    def _argmin_code(vec, codewords, s: int, dsub: int):
-        """Column expression: the code of `vec`'s subspace-s slice
-        against LITERAL codewords — an array_min over (round(dist,6),
-        code_id) structs, so the ordering is exactly the old
-        integer-key trick's (distance dominates, code_id breaks ties
-        low-first) without the x ks row blowup of a codebook join:
-        the codebook is m x ks tiny rows, so inlining it keeps the
-        whole quantization a single narrow codegen'd pass over the
-        corpus (measured 6x on the 1M-vector build — see
-        tools/pq_recall_smoke.py)."""
-        cands = []
-        for cid, cw in enumerate(codewords):
-            terms = [
-                (F.element_at(vec, s * dsub + j + 1) - F.lit(float(cw[j])))
-                * (F.element_at(vec, s * dsub + j + 1) - F.lit(float(cw[j])))
-                for j in range(dsub)
-            ]
-            d = terms[0]
-            for t in terms[1:]:
-                d = d + t
-            cands.append(
-                F.struct(F.round(d, 6).alias("d"), F.lit(cid).alias("c"))
-            )
-        return F.array_min(F.array(*cands)).getField("c").cast("int")
-
-    @staticmethod
-    def _collect_codebook(cb: DataFrame) -> dict[int, list[list[float]]]:
-        """{sub: [codeword floats, ordered by code_id]} — one tiny
-        driver round-trip (m x ks rows), done only inside action-side
-        methods (build/add/train are stateful by design)."""
-        by_sub: dict[int, dict[int, list[float]]] = {}
-        for r in cb.collect():
-            by_sub.setdefault(int(r.sub), {})[int(r.code_id)] = [
-                float(x) for x in r.cv
-            ]
-        return {
-            s: [codes[c] for c in sorted(codes)]
-            for s, codes in by_sub.items()
-        }
-
-    @staticmethod
     def _train_codebook(
         assigned: DataFrame,
         init: DataFrame,
@@ -531,91 +503,94 @@ class IVFPQIndex(IVFIndex):
     ) -> DataFrame:
         """Per-subspace Lloyd k-means over the corpus subvectors
         (Jégou et al. 2011 §II.C — each subquantizer is an independent
-        k-means in its dsub-dim slice). Each iteration is ONE
-        map-side-combinable aggregate over the corpus: the current
-        codewords ride inlined in the argmin expression (no join, no
-        x ks blowup), the per-(sub, code) element-wise sums collapse
-        to m x ks rows, and the means come back to the driver to
-        become the next iteration's literals. Codewords that attract
-        no subvectors keep their previous value (the deterministic
-        empty-cluster rule). At 100 TB this trains on a sample,
-        exactly like the coarse quantizer."""
-        spark = assigned.sparkSession
-        nv = assigned.select("vec_id", "nvec").localCheckpoint(eager=False)
-        codewords = IVFPQIndex._collect_codebook(init)
-        for _ in range(iters):
-            exploded = nv.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(s).alias("sub"),
-                                IVFPQIndex._argmin_code(
-                                    F.col("nvec"), codewords[s], s, dsub
-                                ).alias("code"),
-                                F.slice(
-                                    "nvec", s * dsub + 1, dsub
-                                ).alias("sv"),
-                            )
-                            for s in range(m)
-                        ]
-                    )
-                ).alias("_e")
-            ).select("_e.sub", "_e.code", "_e.sv")
-            means = (
-                exploded.groupBy("sub", "code")
-                .agg(
-                    *[
-                        F.avg(F.element_at("sv", j + 1)).alias(f"m{j}")
-                        for j in range(dsub)
-                    ]
-                )
-                .collect()
-            )
-            for r in means:
-                codewords[int(r.sub)][int(r.code)] = [
-                    float(r[f"m{j}"]) for j in range(dsub)
-                ]
-        return spark.createDataFrame(
-            [
-                (s, cid, cw)
-                for s, cws in codewords.items()
-                for cid, cw in enumerate(cws)
-            ],
-            PQ_CODEBOOK_SCHEMA,
+        k-means in its dsub-dim slice). Same driver-loop shape as
+        `similarity.kmeans_train`: each iteration broadcasts the tiny
+        (m x ks)-row codebook into the subvector frame, assigns by the
+        deterministic integer-key argmin, recomputes codewords as
+        element-wise means, and eagerly checkpoints the m x ks result
+        so plans don't nest. Codewords that attract no subvectors keep
+        their previous value (the deterministic empty-cluster rule).
+        At 100 TB this trains on a sample, exactly like the coarse
+        quantizer."""
+        vsub = IVFPQIndex._subspaces(
+            assigned.select("vec_id", F.col("nvec").alias("vec")),
+            "vec",
+            "sv",
+            m,
+            dsub,
+        ).localCheckpoint(eager=False)
+        cb = init.localCheckpoint(eager=True)
+        ikey = (
+            F.round(
+                F.round(IVFPQIndex._sqdist("sv", "cv", dsub), 6) * 1_000_000
+            ).cast("long")
+            * 100
+            + F.col("code_id")
         )
+        for _ in range(iters):
+            hit = (
+                vsub.join(F.broadcast(cb), "sub")
+                .select("vec_id", "sub", "sv", ikey.alias("ikey"))
+                .groupBy("vec_id", "sub")
+                .agg(
+                    (F.min("ikey") % 100).cast("int").alias("code_id"),
+                    F.first("sv").alias("sv"),
+                )
+            )
+            mean_sv = F.array(
+                *[F.avg(F.element_at("sv", j + 1)) for j in range(dsub)]
+            )
+            updated = hit.groupBy("sub", "code_id").agg(
+                mean_sv.alias("new_cv")
+            )
+            cb = (
+                cb.join(updated, ["sub", "code_id"], "left")
+                .select(
+                    "sub",
+                    "code_id",
+                    F.coalesce("new_cv", "cv").alias("cv"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return cb
 
     def _encode(
         self, assigned: DataFrame, m: int, dsub: int, epoch: int
     ) -> DataFrame:
         """(vec_id, sub, code, centroid_id, epoch): quantize each
-        routed, normalized vector against the PERSISTED codebook. The
-        codebook is collected driver-side (m x ks tiny rows) and
-        inlined as literal argmin expressions, so encoding is one
-        narrow codegen'd pass over the corpus — no join, no x ks row
-        blowup, no shuffle. Tiebreaks identical to the integer-key
-        convention (distance first, low code_id on ties). Shared by
+        routed, normalized vector against the PERSISTED codebook via
+        the per-(vector, subspace) integer-key argmin —
+        round(dist,6)*1e6*100 + code_id, so min() is deterministic
+        (distance dominates; code_id breaks ties low-first). Shared by
         build (epoch 0) and add (intake epochs)."""
-        codewords = self._collect_codebook(self.codebook())
-        codes_struct = F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    self._argmin_code(
-                        F.col("nvec"), codewords[s], s, dsub
-                    ).alias("code"),
-                )
-                for s in range(m)
-            ]
+        vsub = self._subspaces(
+            assigned.select(
+                "vec_id", "centroid_id", F.col("nvec").alias("vec")
+            ),
+            "vec",
+            "sv",
+            m,
+            dsub,
         )
-        return assigned.select(
-            "vec_id", "centroid_id", F.explode(codes_struct).alias("_e")
-        ).select(
-            "vec_id",
-            F.col("_e.sub").alias("sub"),
-            F.col("_e.code").alias("code"),
-            "centroid_id",
-            F.lit(epoch).cast("long").alias("epoch"),
+        ikey = (
+            F.round(
+                F.round(self._sqdist("sv", "cv", dsub), 6) * 1_000_000
+            ).cast("long")
+            * 100
+            + F.col("code_id")
+        )
+        return (
+            vsub.join(F.broadcast(self.codebook()), "sub")
+            .select("vec_id", "centroid_id", "sub", ikey.alias("ikey"))
+            .groupBy("vec_id", "centroid_id", "sub")
+            .agg((F.min("ikey") % 100).cast("int").alias("code"))
+            .select(
+                "vec_id",
+                "sub",
+                "code",
+                "centroid_id",
+                F.lit(epoch).cast("long").alias("epoch"),
+            )
         )
 
     def add(self, embeddings: DataFrame, dim: int = 64, epoch: int = 1) -> None:
@@ -631,10 +606,8 @@ class IVFPQIndex(IVFIndex):
         decision, like centroid drift."""
         assert epoch > 0, "epoch 0 belongs to the base build"
         m, dsub = self._shape()
-        assigned = normalized(
-            ivf_assign(embeddings, self.centroids(), dim=dim),
-            "vec",
-            dim=dim,
+        assigned = ivf_assign_slim(
+            embeddings, self.centroids(), dim=dim
         ).select("vec_id", "nvec", "centroid_id")
         (
             self._encode(assigned, m, dsub, epoch=epoch)
@@ -806,7 +779,10 @@ def topk_rerank(
         .select(
             "query_id",
             "vec_id",
-            F.round(dot(F.col("qvec"), F.col("nvec"), dim), 6).alias(
+            # HOF fold dot: the dim-unrolled element_at chain compiles
+            # past the JIT's method budget and runs ~12x slower on the
+            # cell-scan hot path (same floats either way)
+            F.round(dot(F.col("qvec"), F.col("nvec")), 6).alias(
                 "cos_sim"
             ),
         )

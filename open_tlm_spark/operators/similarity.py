@@ -461,3 +461,77 @@ def kmeans_train(
         )
         n_members = True
     return centroids
+
+
+def ivf_assign_slim(
+    embeddings: DataFrame, centroids: DataFrame, dim: int | None = None
+) -> DataFrame:
+    """`ivf_assign` shaped for INDEX BUILDS: returns (vec_id, nvec,
+    centroid_id) — the normalized vector, not the raw one — and keeps
+    the argmax aggregate's partial state scalar.
+
+    Why a separate function — two corpus-scale flaws in composing
+    `ivf_assign` + re-normalize, both read off the physical plan of a
+    200k-vector build (48 s -> ~6 s after the fix):
+
+    * `max_by(_, struct(...))` is NOT hash-aggregable — Spark plans a
+      SortAggregate, which sorts all corpus x k scored rows and
+      updates the aggregate row-at-a-time outside codegen (and in
+      `ivf_assign` the carried value is the 8*dim-byte vector
+      struct). Here the argmax is a single LONG — (rounded cos
+      shifted positive) * 2^24 + (2^24-1 - centroid_id) — so max()
+      hash-aggregates with map-side combine in whole-stage codegen,
+      and decodes to exactly the same (cs desc, centroid_id asc)
+      winner. Bound: centroid_id < 2^24.
+    * The normalized vectors rejoin by vec_id with the BUILD side
+      pinned to the small (vec_id, centroid_id) frame via a
+      shuffle-hash hint: the planner's LogicalRDD size guess
+      otherwise BROADCASTS the corpus-sized vector frame (104 MB at
+      200k vectors, 5 GB at 10M — a driver OOM at scale).
+
+    Same deterministic argmax as `ivf_assign`; nvec values are
+    bit-identical to normalizing its output."""
+    e = normalized(
+        fan_out(embeddings).select(
+            "vec_id", as_double(F.col("embedding")).alias("vec")
+        ),
+        "vec",
+        dim=dim,
+    ).select("vec_id", "nvec").localCheckpoint(eager=False)
+    c = (
+        normalized(
+            centroids.select(
+                "centroid_id", as_double(F.col("cvec")).alias("vec")
+            ),
+            "vec",
+            dim=dim,
+        )
+        .select("centroid_id", F.col("nvec").alias("cnvec"))
+        .localCheckpoint(eager=False)
+    )
+    # HOF fold, NOT the dim-unrolled dot: over the corpus x k scored
+    # rows the unrolled 64-term element_at chain compiles into a
+    # method too large for the JIT and runs ~12x slower than the fold
+    # (47 s vs 4 s at 200k x 64 on idle hardware, identical sums).
+    scored = e.join(F.broadcast(c)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(dot(F.col("nvec"), F.col("cnvec")), 6).alias("cs"),
+    )
+    lim = 1 << 24
+    ikey = (
+        F.round(F.col("cs") * 1_000_000).cast("long") + F.lit(1_000_000)
+    ) * F.lit(lim) + (F.lit(lim - 1) - F.col("centroid_id"))
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.max(ikey).alias("_ik"))
+        .select(
+            "vec_id",
+            (F.lit(lim - 1) - F.pmod(F.col("_ik"), F.lit(lim)))
+            .cast("long")
+            .alias("centroid_id"),
+        )
+    )
+    return e.join(best.hint("shuffle_hash"), "vec_id").select(
+        "vec_id", "nvec", "centroid_id"
+    )

@@ -517,16 +517,15 @@ def test_build_truncates_under_dynamic_session_default(
             spark.conf.set(key, old)
 
 
-def test_ks_expression_guard(spark, tmp_path, emb_cents):
-    """ks beyond the inlined-argmin bound (256) would outgrow JVM
-    codegen and silently fall back to interpreted evaluation — the
-    build must refuse it rather than degrade."""
+def test_ks_radix_guard(spark, tmp_path, emb_cents):
+    """ks >= 100 would overflow the integer-key code_id digits and
+    silently corrupt codes — the build must refuse it."""
     from open_tlm_spark.operators.ivf_store import IVFPQIndex
 
     emb, cents = emb_cents
     with pytest.raises(AssertionError):
         IVFPQIndex.build(
-            spark, emb, str(tmp_path / "pq"), centroids=cents, ks=300
+            spark, emb, str(tmp_path / "pq"), centroids=cents, ks=100
         )
 
 
