@@ -1,38 +1,54 @@
 """Continuous ANN serving: intake -> probe -> compact -> serve, live.
 
-End-to-end wiring of the round-8/9 serving pieces into one loop
+End-to-end wiring of the round-8/9/10 serving pieces into one loop
 (VERDICT r8 #5) — the vector-side analog of what
 `attribution_pipeline.py` does for live==batch analytics:
 
   1. BUILD both serving artifacts once from the seed corpus: the flat
      IVF index (exact vectors, cell-partitioned) and the IVF+PQ index
      (codes, ~64x smaller raw) sharing the same coarse centroids,
-     with a TRAINED per-subspace codebook.
+     with a TRAINED per-subspace codebook. Sharing centroids is a
+     CONTRACT: it is what lets rerank serving fetch exact vectors by
+     (cell, vec_id) and prune the flat scan to the probed cells.
   2. INTAKE embeddings continuously from a landing dir: each
      micro-batch is assigned to its cells and landed in BOTH
      artifacts under one shared epoch — same replay/identity gate as
      `streaming/ivf_intake.py` (monotone epoch counter, checkpoint
-     identity pinned, dynamic-overwrite idempotent writes).
-  3. PROBE cell balance after each intake with the Misra-Gries
-     hot-key probe (`operators/preflight.py`): a cell that provably
-     holds an outsized share of the corpus is the rebuild signal —
-     centroid drift is detected from a ~free narrow pass, never
-     patched silently.
-  4. COMPACT on cadence: every `compact_every` intakes, fold the
-     accreted (cell, epoch) leaves of both artifacts back to epoch 0
-     so file counts and delete-rewrite predicates stay bounded.
+     identity pinned, dynamic-overwrite idempotent writes). The sink
+     does intake ONLY — no maintenance runs inside foreachBatch
+     (VERDICT r9: a compaction there stalls the stream for a table
+     rewrite every cadence tick).
+  3. MAINTAIN from the serving host's own cadence: `run_maintenance`
+     folds accreted (cell, epoch) leaves of both artifacts back to
+     epoch 0 once enough intake epochs pile up. Compaction is
+     TARGETED (only cells owning intake epochs are rewritten;
+     untouched cells hardlink over) and VERSIONED (readers keep
+     serving the old version until the atomic pointer flip), and the
+     artifact mutation lock serializes it with in-flight adds — the
+     stream never observes a half-rewritten table and never stalls
+     for one.
+  4. PROBE cell balance after intake with the Misra-Gries hot-key
+     probe (`operators/preflight.py`): a cell that provably holds an
+     outsized share of the corpus is the rebuild signal — and
+     `rebuild_and_swap` is the consumer: retrain centroids (and the
+     PQ codebook) from the artifact's own vectors into NEW versions
+     while the old ones serve, with the pointer flips publishing the
+     swap atomically.
   5. SERVE rerank-by-default throughout: ADC top-r candidates from
      the PQ codes, exact cosine re-rank of those r ids against the
      flat artifact (`topk_rerank`) — near-flat recall at code-scan
      cost, and new vectors are servable as soon as their batch lands.
+     Serving needs no guard against concurrent mutations: every read
+     resolves the version pointer and sees a complete artifact.
 
 At 100 TB the loop is the deployment story: the corpus artifacts
 outlive every session, intake touches only the cells its vectors land
 in, the probe and the compactor are the two maintenance decisions,
 and no step ever rescans the corpus. Tested end-to-end by
 tests/test_ivf_serving_example.py (streamed dual intake == full
-rebuild, compaction cadence observed, probe flags a planted hot
-cell).
+rebuild with maintenance running concurrently, untouched cells
+byte-identical across compaction, probe flags a planted hot cell,
+rebuild_and_swap preserves the corpus while retraining).
 """
 
 from __future__ import annotations
@@ -71,7 +87,10 @@ def build_serving_indexes(
 ) -> tuple[IVFIndex, IVFPQIndex]:
     """Both serving artifacts from one seed corpus, sharing coarse
     centroids (train once — the PQ build reuses the flat build's
-    centroids so a query routes identically on either path)."""
+    centroids so a query routes identically on either path, and so a
+    vec_id lives in the SAME cell in both artifacts, which is what
+    lets rerank's exact fetch join on (centroid_id, vec_id) and prune
+    to the probed cells)."""
     flat = IVFIndex.build(
         spark,
         embeddings,
@@ -97,14 +116,14 @@ def start_dual_intake(
     base_dir: str,
     checkpoint_dir: str,
     dim: int = DIM,
-    compact_every: int | None = None,
     trigger_seconds: float = 1.0,
 ):
     """Stream embeddings into BOTH artifacts under one shared epoch
-    per micro-batch, compacting both every `compact_every` applied
-    batches. One gate file under the base dir covers the pair — the
-    two adds share an epoch, and a crash between them replays into
-    idempotent dynamic overwrites on both sides."""
+    per micro-batch. One gate file under the base dir covers the pair
+    — the two adds share an epoch, and a crash between them replays
+    into idempotent dynamic overwrites on both sides. The sink is
+    intake-ONLY: compaction belongs to `run_maintenance` on the
+    serving host's cadence, never inside foreachBatch."""
     flat = IVFIndex(spark, os.path.join(base_dir, "flat"))
     pq = IVFPQIndex(spark, os.path.join(base_dir, "pq"))
     if not (flat.exists() and pq.exists()):
@@ -119,7 +138,7 @@ def start_dual_intake(
     )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        identity = _checkpoint_identity(checkpoint_dir)
+        identity = _checkpoint_identity(checkpoint_dir, spark)
         gate.check_identity(identity)
         if gate.applied(batch_id):
             return
@@ -128,9 +147,6 @@ def start_dual_intake(
         flat.add(stable, dim=dim, epoch=epoch)
         pq.add(stable, dim=dim, epoch=epoch)
         gate.record(batch_id, epoch + 1, identity)
-        if compact_every and epoch % compact_every == 0:
-            flat.compact_epochs()
-            pq.compact_epochs()
 
     return (
         stream.writeStream.foreachBatch(_sink)
@@ -138,6 +154,26 @@ def start_dual_intake(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     ), flat, pq
+
+
+def run_maintenance(
+    flat: IVFIndex, pq: IVFPQIndex, max_epochs: int = 4
+) -> bool:
+    """Fold intake epochs once enough accrete — the maintenance tick,
+    called from the serving host's own cadence (a monitoring loop, a
+    cron), NEVER from the intake sink. The epoch census is a
+    partition-leaf listing (no scan); each compaction is targeted
+    (only cells owning intake epochs rewrite; the rest hardlink) and
+    versioned (serving flips atomically, in-flight readers finish on
+    the old version). The artifact mutation lock serializes this with
+    the stream's adds, so neither side ever sees the other's partial
+    state. Returns True when a compaction ran."""
+    pending = max(len(flat.intake_epochs()), len(pq.intake_epochs()))
+    if pending < max_epochs:
+        return False
+    flat.compact_epochs()
+    pq.compact_epochs()
+    return True
 
 
 def serve_topk(
@@ -151,8 +187,11 @@ def serve_topk(
 ) -> DataFrame:
     """Rerank-by-default serving (VERDICT r8 #3): ADC candidates from
     the compressed codes, exact re-rank of only r ids from the flat
-    artifact. `nprobe` widens the candidate search to more cells and
-    `r` deepens it within them — the two serve-time recall knobs."""
+    artifact — the candidate fetch prunes to the probed cells via the
+    (centroid_id, vec_id) join. `nprobe` widens the candidate search
+    to more cells and `r` deepens it within them — the two serve-time
+    recall knobs. `dim` defaults to the artifact's own dimensionality,
+    keeping every dot product on the unrolled JIT-compiled form."""
     return topk_rerank(pq, flat, queries, k=k, r=r, dim=dim, nprobe=nprobe)
 
 
@@ -170,6 +209,49 @@ def rebuild_recommended(
     fair share (1/n_cells) of the corpus — probe lower bounds only,
     so no false alarms from sketch error."""
     return bool(report.hot_keys(min_share=factor / n_cells))
+
+
+def rebuild_and_swap(
+    spark: SparkSession,
+    flat: IVFIndex,
+    pq: IVFPQIndex,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = DIM,
+    train_iters: int = 1,
+) -> tuple[IVFIndex, IVFPQIndex]:
+    """The consumer of `rebuild_recommended` (VERDICT r9 'What's
+    missing' #3): retrain the coarse centroids — and the PQ codebook —
+    from the artifact's OWN vectors, rebuild both artifacts into new
+    versions at the same paths, and let the pointer flips publish each
+    swap atomically. The old versions keep serving until their flip
+    and survive one further mutation as the reader grace window, so a
+    crash anywhere mid-rebuild leaves consistent serving.
+
+    The corpus source is the flat artifact itself (vec_id, nvec — the
+    normalized vectors ARE the corpus), resolved against the
+    pre-rebuild version; the superseded version's files outlive the
+    flip, so the PQ rebuild can still read them after the flat swap.
+    QUIESCE INTAKE FIRST (stop the stream or let the gate idle): an
+    epoch landed between a build's corpus snapshot and its flip would
+    not be in the new version — re-land it or replay the landing
+    files after the swap. The intake gate's monotone epochs make the
+    replay idempotent."""
+    corpus = flat.assignments().select(
+        "vec_id", F.col("nvec").alias("embedding")
+    )
+    new_flat = IVFIndex.build(
+        spark, corpus, flat.path, k=k, iters=iters, dim=dim
+    )
+    new_pq = IVFPQIndex.build(
+        spark,
+        corpus,
+        pq.path,
+        dim=dim,
+        centroids=new_flat.centroids(),
+        train_iters=train_iters,
+    )
+    return new_flat, new_pq
 
 
 def main() -> int:
@@ -203,7 +285,6 @@ def main() -> int:
         landing,
         work,
         os.path.join(work, "ckpt"),
-        compact_every=2,
         trigger_seconds=0.5,
     )
     queries = emb.filter(F.col("vec_id") < 4).select(
@@ -224,12 +305,15 @@ def main() -> int:
         target = emb.count()
         deadline = time.time() + 120
         while time.time() < deadline:
-            try:
-                n = flat.assignments().count()
-            except Exception:
-                n = -1  # parquet mid-write
+            # versioned reads need no mid-write guard: the pointer
+            # resolves to a complete artifact even during maintenance
+            n = flat.assignments().count()
             served = serve_topk(flat, pq, queries).count()
-            print(f"serving over {n}/{target} vectors ({served} result rows)")
+            compacted = run_maintenance(flat, pq, max_epochs=2)
+            print(
+                f"serving over {n}/{target} vectors ({served} result rows)"
+                + (" [compacted]" if compacted else "")
+            )
             if n == target:
                 break
             time.sleep(2.0)
@@ -237,10 +321,14 @@ def main() -> int:
         q.stop()
 
     report = cell_balance_report(flat)
+    recommend = rebuild_recommended(report, n_cells)
     print(
         f"cell balance: {len(report.hot_keys(0.25))} cells above 25% share; "
-        f"rebuild recommended: {rebuild_recommended(report, n_cells)}"
+        f"rebuild recommended: {recommend}"
     )
+    if recommend:
+        flat, pq = rebuild_and_swap(spark, flat, pq, k=n_cells)
+        print("rebuilt and swapped both artifacts")
     out = serve_topk(flat, pq, queries)
     for r in out.orderBy("query_id", "rank").collect():
         print(r)

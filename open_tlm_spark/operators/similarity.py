@@ -482,7 +482,9 @@ def ivf_assign_slim(
       shifted positive) * 2^24 + (2^24-1 - centroid_id) — so max()
       hash-aggregates with map-side combine in whole-stage codegen,
       and decodes to exactly the same (cs desc, centroid_id asc)
-      winner. Bound: centroid_id < 2^24.
+      winner. Bound: centroid_id in [0, 2^24), ENFORCED below — an
+      id outside it would silently decode to a wrong cell on every
+      assignment (ADVICE r9).
     * The normalized vectors rejoin by vec_id with the BUILD side
       pinned to the small (vec_id, centroid_id) frame via a
       shuffle-hash hint: the planner's LogicalRDD size guess
@@ -491,6 +493,19 @@ def ivf_assign_slim(
 
     Same deterministic argmax as `ivf_assign`; nvec values are
     bit-identical to normalizing its output."""
+    # Fail fast on ids the key cannot carry (one aggregate over the
+    # k-row centroid frame — this convention passes corpus vec_ids as
+    # centroid_ids, so at billions of vectors an id >= 2^24 or < 0 is
+    # reachable and would corrupt every assignment silently).
+    bounds = centroids.agg(
+        F.min("centroid_id").alias("mn"), F.max("centroid_id").alias("mx")
+    ).first()
+    assert (
+        bounds.mn is not None and bounds.mn >= 0 and bounds.mx < (1 << 24)
+    ), (
+        "ivf_assign_slim packs centroid_id into 24 bits of the argmax "
+        f"key: ids must lie in [0, 2^24), got [{bounds.mn}, {bounds.mx}]"
+    )
     e = normalized(
         fan_out(embeddings).select(
             "vec_id", as_double(F.col("embedding")).alias("vec")

@@ -84,21 +84,28 @@ def register(
 # New capability in r9/r10 must therefore be non-registry
 # (pytest-pinned) or displace a rotation slot with a documented IOU.
 #
-# Round-9 head (ZERO new-query slots, per the schedule above):
+# Round-10 head (ZERO new-query slots, per the schedule above):
 #   1. Queries whose code CHANGED this round: sim_ivf_persisted_topk
-#      (ivf_store pins partitionOverwriteMode=static on the build /
-#      compact truncate-overwrites, ADVICE r8 medium; gate scratch dir
-#      is now session-scoped instead of mkdtemp-per-run, VERDICT r8
-#      #6).
-#   2. The r5-era rotation block (48 queries; last green row in round
-#      5, code unchanged since — enforced by
+#      (ivf_store rewritten around VERSIONED artifacts with an atomic
+#      CURRENT-pointer swap, VERDICT r9 #3; targeted compaction,
+#      VERDICT r9 #4; serve paths default `dim` from the artifacts so
+#      the unrolled dot is live, VERDICT r9 #5; ivf_assign_slim now
+#      enforces the 24-bit centroid_id bound, ADVICE r9 — all on the
+#      gate query's symbol closure).
+#   2. The r6-era rotation block (48 queries; last green row in round
+#      6, code unchanged since — enforced by
 #      tests/test_evidence_freshness.py + tools/evidence.py).
-# Round-9 non-registry work (pytest-pinned, no window cost): IVFPQ
-# epoch-partitioned codes + PQ-side add()/compact_epochs() overrides
-# (VERDICT r8 "What's wrong" #1), trained per-subspace PQ codebooks +
-# rerank-by-default serving (VERDICT r8 #3), ivf_intake stream
-# identity guard + monotone epoch counter (ADVICE r8), the
-# end-to-end IVF serving example (VERDICT r8 #5).
+# Round-10 non-registry work (pytest-pinned, no window cost): the
+# rerank exact fetch pruned to the probed cells via the
+# (centroid_id, vec_id) join (VERDICT r9 "What's wrong" #1, plan-
+# pinned), crash-mid-compaction consistency, rebuild_and_swap as the
+# consumer of the drift signal, maintenance moved out of the intake
+# sink, explicit-codebook radix validation + Hadoop-FS checkpoint
+# identity (ADVICE r9).
+#
+# Round-9 head (for the record): sim_ivf_persisted_topk (changed) +
+# the r5-era rotation block (48 queries) — all green in
+# CORRECTNESS_r09.json except sim_ivf_train (no_oracle by design).
 #
 # Round-8 head, in priority order:
 #   1. Queries whose code CHANGED this round: parts_skyline_pareto
@@ -113,57 +120,58 @@ def register(
 #      unchanged since — enforced by tests/test_evidence_freshness.py
 #      + tools/evidence.py fingerprints).
 _CHECK_FIRST = [
-    # 1. changed in round 9 (ivf_store static-overwrite pin + scoped scratch dir)
+    # 1. changed in round 10 (ivf_store versioned artifacts + dim-default
+    #    serve paths + ivf_assign_slim bound guard)
     "sim_ivf_persisted_topk",
-    # 2. r5-era rotation block (48 queries)
-    "bpe_pair_counts",
-    "cap_per_source",
-    "decontaminate_ngrams",
-    "dedup_containment",
-    "dedup_embedding_cosine",
-    "dedup_fingerprint",
-    "dedup_minhash_est_vs_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_threshold_yield",
-    "docs_bm25_topk",
-    "docs_ccnet_lm_buckets",
-    "docs_collocations_pmi",
-    "docs_dsir_importance",
-    "docs_rake_keyphrases",
-    "docs_tfidf_topk",
-    "embedding_pca_covariance",
-    "event_funnel",
-    "events_hash_sample",
-    "lsh_scurve_table",
-    "mixture_temperature_allocation",
-    "quality_bigram_logprob",
-    "quality_repetition",
-    "quality_unigram_logprob",
-    "sim_ivf_assign",
-    "sim_ivf_balance_audit",
-    "sim_ivf_topk",
-    "sim_ivf_train",
-    "sim_lsh_topk",
-    "sim_topk_bruteforce",
-    "stratified_split",
-    "text_rolling_fingerprint",
-    "ts_anomaly_mad",
-    "ts_anomaly_zscore",
-    "ts_comment_tag_filter",
-    "ts_cusum_changepoints",
-    "ts_dft_power",
-    "ts_downsample_lttb",
-    "ts_downsample_m4",
-    "ts_histogram_per_series",
-    "ts_incremental_merge",
-    "ts_ohlc_bars",
-    "ts_pairwise_corr",
-    "ts_percentile_bands",
-    "ts_seasonal_residual",
-    "ts_seasonality_strength",
-    "vocab_doc_freq",
+    # 2. r6-era rotation block (48 queries)
+    "customers_kanonymity_audit",
+    "customers_without_orders",
+    "dedup_exact",
+    "dedup_winnowing",
+    "docs_heaps_law_fit",
+    "embedding_sq8_error",
+    "events_attribution_linear",
+    "events_json_props",
+    "interval_join_error_windows",
+    "multimodal_decode",
+    "orders_association_rules",
+    "orders_benford_audit",
+    "parts_above_brand_average",
+    "pivot_event_type_daily",
+    "retrieval_rrf_fusion",
+    "sample_weighted_hash",
+    "sessionize_events",
+    "set_ops_purchasers_vs_errors",
+    "shards_assignment_balance",
+    "sim_ivf_nprobe_sweep",
+    "sim_matryoshka_recall_eval",
+    "source_unigram_kl",
+    "tokenizer_fertility_by_source",
+    "top_customers_by_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "ts_bollinger_bands",
+    "ts_cross_corr_lag",
+    "ts_derivative",
+    "ts_ewma",
+    "ts_gap_fill",
+    "ts_log_returns_vol",
+    "ts_sax_symbols",
+    "ts_spectral_entropy",
+    "ts_theil_sen_slope",
+    "window_user_running_stats",
 ]
 
 

@@ -42,18 +42,45 @@ from open_tlm_spark.operators.ivf_store import IVFIndex
 EMBEDDING_STREAM_SCHEMA = "vec_id bigint, embedding array<double>"
 
 
-def _checkpoint_identity(checkpoint_dir: str) -> str:
+def _checkpoint_identity(
+    checkpoint_dir: str, spark: SparkSession | None = None
+) -> str:
     """The stream's durable identity: Structured Streaming writes a
     `metadata` JSON with the query id into the checkpoint dir at
     start, and the id survives restarts of the SAME checkpoint but
-    changes when the checkpoint is recreated. Falls back to the
-    resolved path if the file is not there yet (pre-start probes)."""
+    changes when the checkpoint is recreated.
+
+    Reads local paths directly; for non-local checkpoint locations
+    (hdfs://, s3a://, file: URIs — the realistic deployment at scale)
+    it goes through the Hadoop FileSystem API when a `spark` handle is
+    given (ADVICE r9: an os.path probe never finds the metadata file
+    there and the guard silently degraded to the path fallback). Falls
+    back to the checkpoint path string only when the file is not there
+    yet (pre-start probes) or no filesystem can resolve it."""
     meta = os.path.join(checkpoint_dir, "metadata")
     if os.path.exists(meta):
         with open(meta, encoding="utf-8") as f:
             ident = json.load(f).get("id")
         if ident:
             return str(ident)
+    elif spark is not None:
+        try:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(checkpoint_dir, "metadata")
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(p):
+                stream = fs.open(p)
+                try:
+                    raw = jvm.org.apache.commons.io.IOUtils.toString(
+                        stream, "UTF-8"
+                    )
+                finally:
+                    stream.close()
+                ident = json.loads(raw).get("id")
+                if ident:
+                    return str(ident)
+        except Exception:
+            pass  # unreachable filesystem: keep the path fallback
     return os.path.abspath(checkpoint_dir)
 
 
@@ -138,7 +165,7 @@ def start_ivf_intake(
     )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        identity = _checkpoint_identity(checkpoint_dir)
+        identity = _checkpoint_identity(checkpoint_dir, spark)
         gate.check_identity(identity)  # fail fast on checkpoint reset
         if gate.applied(batch_id):
             return  # clean replay: skip the write entirely

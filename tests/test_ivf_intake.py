@@ -163,11 +163,26 @@ def test_compact_epochs_folds_intakes(spark, tmp_path):
     n = idx.assignments().count()
     assert idx.assignments().filter(F.col("epoch") > 0).count() == 150
 
+    # targeted compaction returns the rows REWRITTEN — everything in
+    # cells that carried intake epochs; untouched cells hardlink over
+    touched = [
+        int(r.centroid_id)
+        for r in idx.assignments()
+        .filter(F.col("epoch") > 0)
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    ]
+    expected = (
+        idx.assignments().filter(F.col("centroid_id").isin(touched)).count()
+    )
     compacted = idx.compact_epochs()
-    assert compacted == n
+    assert compacted == expected
     assert idx.assignments().count() == n
     assert idx.assignments().filter(F.col("epoch") > 0).count() == 0
     assert _rows(idx.topk(queries, k=5, nprobe=8)) == before
+    # nothing left to fold -> no new version, returns 0
+    assert idx.compact_epochs() == 0
 
 
 def test_identity_guard_and_monotone_epochs(tmp_path):
@@ -202,3 +217,26 @@ def test_identity_guard_and_monotone_epochs(tmp_path):
     assert legacy.next_epoch() == 6
     assert legacy.applied(4) and not legacy.applied(5)
     legacy.check_identity("any")  # no owner recorded -> adoptable
+
+
+def test_checkpoint_identity_reads_nonlocal_uris(spark, tmp_path):
+    """ADVICE r9: os.path probes can't see hdfs://-style checkpoint
+    locations — the identity read must go through the Hadoop
+    FileSystem API when given a spark handle. Pinned with a file: URI,
+    which os.path.exists rejects but Hadoop resolves."""
+    from open_tlm_spark.streaming.ivf_intake import _checkpoint_identity
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "metadata").write_text(json.dumps({"id": "q-abc-123"}))
+
+    # local path: direct read
+    assert _checkpoint_identity(str(ckpt)) == "q-abc-123"
+    # file: URI — invisible to os.path, readable through Hadoop FS
+    uri = "file://" + str(ckpt)
+    assert not os.path.exists(os.path.join(uri, "metadata"))
+    assert _checkpoint_identity(uri, spark) == "q-abc-123"
+    # no spark handle for a non-local URI -> documented path fallback
+    assert _checkpoint_identity(uri) == os.path.abspath(
+        os.path.join(uri)
+    )

