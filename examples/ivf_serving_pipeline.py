@@ -190,8 +190,7 @@ def serve_topk(
     artifact — the candidate fetch prunes to the probed cells via the
     (centroid_id, vec_id) join. `nprobe` widens the candidate search
     to more cells and `r` deepens it within them — the two serve-time
-    recall knobs. `dim` defaults to the artifact's own dimensionality,
-    keeping every dot product on the unrolled JIT-compiled form."""
+    recall knobs."""
     return topk_rerank(pq, flat, queries, k=k, r=r, dim=dim, nprobe=nprobe)
 
 

@@ -88,10 +88,11 @@ def register(
 #   1. Queries whose code CHANGED this round: sim_ivf_persisted_topk
 #      (ivf_store rewritten around VERSIONED artifacts with an atomic
 #      CURRENT-pointer swap, VERDICT r9 #3; targeted compaction,
-#      VERDICT r9 #4; serve paths default `dim` from the artifacts so
-#      the unrolled dot is live, VERDICT r9 #5; ivf_assign_slim now
-#      enforces the 24-bit centroid_id bound, ADVICE r9 — all on the
-#      gate query's symbol closure).
+#      VERDICT r9 #4; one-file-per-leaf artifact writes;
+#      ivf_assign_slim now enforces the 24-bit centroid_id bound,
+#      ADVICE r9 — all on the gate query's symbol closure. VERDICT r9
+#      #5 — unrolled-dot serve default — was wired, A/B-measured
+#      1.5-3.5x SLOWER at 200k-2M, and rejected; fold stays).
 #   2. The r6-era rotation block (48 queries; last green row in round
 #      6, code unchanged since — enforced by
 #      tests/test_evidence_freshness.py + tools/evidence.py).
