@@ -253,6 +253,54 @@ class IVFIndex:
     def assignments_path(self) -> str:
         return os.path.join(self._current_dir() or self.path, "assignments")
 
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self._current_dir() or self.path, self._DATA_DIR)
+
+    # -------------------------------------------------- attribute sidecar
+    _ATTR_SIDECAR = "_attrs.ddl"
+
+    def _attr_ddl(self) -> str:
+        """DDL of the attribute columns persisted alongside the
+        vectors (filtered-ANN support), read from the version dir's
+        sidecar file. Empty for attribute-free indexes and the legacy
+        layout — the read schema is then exactly the pinned base
+        schema, so pre-attrs artifacts are untouched."""
+        d = self._current_dir()
+        if d is None:
+            return ""
+        f = os.path.join(d, self._ATTR_SIDECAR)
+        if not os.path.exists(f):
+            return ""
+        with open(f, encoding="utf-8") as fh:
+            return fh.read().strip()
+
+    def _data_schema(self) -> str:
+        extra = self._attr_ddl()
+        return self._SCHEMA + (", " + extra if extra else "")
+
+    @staticmethod
+    def _write_attr_sidecar(vdir: str, attrs: DataFrame) -> str:
+        """Persist the attribute columns' DDL next to the artifacts so
+        reloads reconstruct the full read schema without footer
+        inference (footer-inferred PARTITION columns come back as int,
+        breaking the bigint join keys the probe plans pin on)."""
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in attrs.schema.fields
+            if f.name != "vec_id"
+        )
+        with open(
+            os.path.join(vdir, IVFIndex._ATTR_SIDECAR), "w", encoding="utf-8"
+        ) as fh:
+            fh.write(ddl)
+        return ddl
+
+    def _carry_attr_sidecar(self, cur: str, vdir: str) -> None:
+        src = os.path.join(cur, self._ATTR_SIDECAR)
+        if os.path.exists(src):
+            shutil.copy2(src, os.path.join(vdir, self._ATTR_SIDECAR))
+
     def _commit(self, version: str) -> None:
         superseded = _read_pointer(self.path)
         _flip_pointer(self.path, version)
@@ -277,6 +325,7 @@ class IVFIndex:
         iters: int = 2,
         dim: int = 64,
         centroids: DataFrame | None = None,
+        attrs: DataFrame | None = None,
     ) -> "IVFIndex":
         """Train (unless `centroids` is given), assign, persist into a
         fresh version dir, flip the pointer.
@@ -288,7 +337,16 @@ class IVFIndex:
         over an existing index leaves the old version serving until
         the flip — readers never observe the truncation — and the old
         version survives one more mutation as the reader grace
-        window."""
+        window.
+
+        `attrs` — optional (vec_id, <attribute columns>) frame whose
+        columns are DENORMALIZED into the artifact next to each
+        vector (filtered-ANN support: `topk(where=...)` then reaches
+        the parquet scan as PushedFilters, plan-pinned). Attributes
+        are serve-time filter columns (source, language, license
+        tier...), not payload — at 100 TB the join here is one
+        shuffle paid once per build, so every filtered probe avoids a
+        per-query corpus join forever after."""
         idx = cls(spark, path)
         if centroids is None:
             centroids = kmeans_train(
@@ -308,14 +366,13 @@ class IVFIndex:
             )
             # ivf_assign_slim: scalar argmax state + nvec rejoin — the
             # build-shaped assign (see its docstring for the profile)
-            assigned = ivf_assign_slim(
-                embeddings, stored_cents, dim=dim
-            ).select(
-                "vec_id",
-                "nvec",
-                "centroid_id",
-                F.lit(0).cast("long").alias("epoch"),
+            assigned = ivf_assign_slim(embeddings, stored_cents, dim=dim).select(
+                "vec_id", "nvec", "centroid_id"
             )
+            if attrs is not None:
+                cls._write_attr_sidecar(vdir, attrs)
+                assigned = assigned.join(attrs, "vec_id", "left")
+            assigned = cls._storage_rows(assigned, epoch=0)
             # Fresh directory, so no truncate semantics to pin — the
             # versioned layout is what now guarantees a smaller
             # rebuild never leaves a larger index's cells serving
@@ -330,8 +387,34 @@ class IVFIndex:
             idx._commit(version)
         return idx
 
+    @classmethod
+    def _storage_rows(cls, assigned: DataFrame, epoch: int) -> DataFrame:
+        """Map assigned rows (vec_id, nvec, centroid_id, <attrs...>)
+        to the on-disk row shape. The flat index stores the normalized
+        vector verbatim; quantizing subclasses (SQ8) override this one
+        hook and inherit the whole build/intake/maintenance/serve
+        machinery."""
+        extras = [
+            c
+            for c in assigned.columns
+            if c not in ("vec_id", "nvec", "centroid_id")
+        ]
+        return assigned.select(
+            "vec_id",
+            "nvec",
+            "centroid_id",
+            *extras,
+            F.lit(epoch).cast("long").alias("epoch"),
+        )
+
     # ----------------------------------------------------------- intake
-    def add(self, embeddings: DataFrame, dim: int = 64, epoch: int = 1) -> None:
+    def add(
+        self,
+        embeddings: DataFrame,
+        dim: int = 64,
+        epoch: int = 1,
+        attrs: DataFrame | None = None,
+    ) -> None:
         """Incremental corpus intake: assign NEW vectors to the
         EXISTING centroids and land them in their cell partitions —
         the serving analog of the incremental-dedup band store. No
@@ -351,18 +434,27 @@ class IVFIndex:
         contract as the incremental-dedup band store. Callers must
         give distinct intakes distinct epochs > 0 (the build owns
         epoch 0); two DIFFERENT doc sets written under one epoch
-        overwrite each other by design."""
+        overwrite each other by design.
+
+        An index built WITH attribute columns requires every intake to
+        supply the same columns (`attrs`) — a silent null-attributed
+        epoch would make filtered serving drop the intaken vectors."""
         assert epoch > 0, "epoch 0 belongs to the base build"
         with _mutate_lock(self.path):
             cur = self._require_current()
             assigned = ivf_assign_slim(
                 embeddings, self.centroids(), dim=dim
-            ).select(
-                "vec_id",
-                "nvec",
-                "centroid_id",
-                F.lit(epoch).cast("long").alias("epoch"),
-            )
+            ).select("vec_id", "nvec", "centroid_id")
+            ddl = self._attr_ddl()
+            want = {p.strip().split(" ", 1)[0] for p in ddl.split(",") if p.strip()}
+            have = set() if attrs is None else set(attrs.columns) - {"vec_id"}
+            if want != have:
+                raise ValueError(
+                    f"index attrs {sorted(want)} != intake attrs {sorted(have)}"
+                )
+            if attrs is not None:
+                assigned = assigned.join(attrs, "vec_id", "left")
+            assigned = self._storage_rows(assigned, epoch=epoch)
             (
                 _one_file_per_leaf(assigned)
                 .write.mode("overwrite")
@@ -374,7 +466,14 @@ class IVFIndex:
 
     # ------------------------------------------------------ maintenance
     def _data(self) -> DataFrame:
-        return self.assignments()
+        """On-disk row shape (what compaction/delete rewrite). The
+        schema is the pinned base schema plus any attribute-sidecar
+        columns — pinned rather than footer-inferred so partition
+        columns stay bigint (inference would narrow them to int and
+        break the probe plans' join-key types)."""
+        return self.spark.read.schema(self._data_schema()).parquet(
+            self.data_path
+        )
 
     def intake_epochs(self) -> set[int]:
         """Distinct intake epochs (> 0) currently on disk, read from
@@ -416,11 +515,12 @@ class IVFIndex:
             version = _new_version(self.path)
             vdir = os.path.join(self.path, version)
             new_data = os.path.join(vdir, self._DATA_DIR)
+            table = self._data()
+            data_cols = [c for c in table.columns if c != "epoch"]
             folded = (
-                self._data()
-                .filter(F.col("centroid_id").isin(touched))
+                table.filter(F.col("centroid_id").isin(touched))
                 .select(
-                    *self._DATA_COLS, F.lit(0).cast("long").alias("epoch")
+                    *data_cols, F.lit(0).cast("long").alias("epoch")
                 )
             )
             # reads the OLD version's files, writes the new dir — no
@@ -440,6 +540,7 @@ class IVFIndex:
                     )
             for aux in self._AUX_DIRS:
                 _link_tree(os.path.join(cur, aux), os.path.join(vdir, aux))
+            self._carry_attr_sidecar(cur, vdir)
             self._commit(version)
             return n
 
@@ -482,10 +583,11 @@ class IVFIndex:
             version = _new_version(self.path)
             vdir = os.path.join(self.path, version)
             new_data = os.path.join(vdir, self._DATA_DIR)
+            data_cols = [c for c in table.columns if c != "epoch"]
             survivors = (
                 table.filter(part_pred)
                 .join(F.broadcast(ids), "vec_id", "left_anti")
-                .select(*self._DATA_COLS, "epoch")
+                .select(*data_cols, "epoch")
             )
             (
                 _one_file_per_leaf(survivors)
@@ -504,6 +606,7 @@ class IVFIndex:
                         )
             for aux in self._AUX_DIRS:
                 _link_tree(os.path.join(cur, aux), os.path.join(vdir, aux))
+            self._carry_attr_sidecar(cur, vdir)
             self._commit(version)
             return n_removed
 
@@ -514,9 +617,11 @@ class IVFIndex:
         )
 
     def assignments(self) -> DataFrame:
-        return self.spark.read.schema(ASSIGN_SCHEMA).parquet(
-            self.assignments_path
-        )
+        """Serve-side view: (vec_id, nvec, centroid_id, <attrs...>,
+        epoch). For the flat index this IS the storage shape; the SQ8
+        subclass overrides with a dequantizing projection over the
+        same partition layout."""
+        return self._data()
 
     # ------------------------------------------------------------ serve
     def _route_queries(
@@ -581,6 +686,7 @@ class IVFIndex:
         k: int = 5,
         dim: int | None = None,
         nprobe: int = 1,
+        where=None,
     ) -> DataFrame:
         """IVF top-k from the persisted artifacts — NO retraining, no
         corpus re-assignment: queries route to their nprobe nearest
@@ -607,9 +713,27 @@ class IVFIndex:
         PRUNING rule inject the cell subquery into the assignments
         scan (a `localCheckpoint` hides the selective predicate and
         silently degrades the probe to a full-corpus scan — found by
-        reading the plan, pinned by the pruning test)."""
+        reading the plan, pinned by the pruning test).
+
+        `where` — optional filter (Column or SQL string) over the
+        artifact's attribute columns (see `build(attrs=...)`):
+        FILTERED ANN with pre-filter semantics — rows failing the
+        predicate drop BEFORE ranking, so the result is the true
+        top-k of the filtered corpus within the probed cells (never
+        k results post-hoc thinned to fewer). Because the attributes
+        live IN the artifact, Catalyst pushes the predicate into the
+        parquet scan (`PushedFilters`, plan-pinned) and row-group
+        statistics skip non-matching data — no per-query join against
+        a corpus-sized attribute table. Under a highly selective
+        filter a probed cell may hold few matches; `nprobe` is the
+        recall knob there, same as unfiltered."""
         q = self._route_queries(queries, dim=dim, nprobe=nprobe)
-        scored = self.assignments().join(
+        table = self.assignments()
+        if where is not None:
+            table = table.filter(
+                F.expr(where) if isinstance(where, str) else where
+            )
+        scored = table.join(
             F.broadcast(q),
             (F.col("centroid_id") == F.col("qcell"))
             & (F.col("vec_id") != F.col("query_id")),
@@ -629,6 +753,98 @@ class IVFIndex:
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "cos_sim", "rank")
+        )
+
+
+SQ8_SCHEMA = (
+    "vec_id bigint, qv8 array<tinyint>, scale double, "
+    "centroid_id bigint, epoch bigint"
+)
+
+
+class IVFSQ8Index(IVFIndex):
+    """Scalar-quantized (int8) IVF tier — the middle point the PQ
+    decade table (SCALE.md) says the serving story needs: the flat
+    fp64 artifact is exact but 8 bytes/component, and raw PQ ADC
+    ranking collapses at high cell density (recall@5 0.09-0.28 at 1M,
+    forcing an exact re-rank fetch against the full-precision
+    artifact). SQ8 stores each NORMALIZED vector as dim int8 codes +
+    one fp64 scale — the standard symmetric max-abs scalar
+    quantization every public ANN library ships (Faiss
+    ScalarQuantizer QT_8bit, Lucene/HNSW int8) — so ranking error per
+    dot is ~1e-3 on unit vectors (near-flat recall, measured in
+    tests/test_ivf_store.py) at roughly an eighth of the vector
+    bytes. Dictionary-encoded parquet stores the 255-value code
+    alphabet at about a byte per component (the measured artifact
+    ratio lives in SCALE.md).
+
+    Implementation: ONE hook. `_storage_rows` quantizes at write
+    (build/add/compact/delete all inherit), and `assignments()`
+    exposes the dequantized view (vec_id, nvec≈, centroid_id,
+    <attrs...>, epoch) over the same (centroid_id, epoch) partition
+    layout — so `topk`, filtered `where` pushdown, versioning,
+    targeted compaction, delete propagation, and `topk_rerank`'s
+    candidate fetch (pass an SQ8 index as `flat`) all work unchanged,
+    with the same DPP cell pruning (plan-pinned). At 100 TB the
+    rerank fetch against SQ8 instead of fp64 cuts the refine stage's
+    bytes ~8x for a ~1e-3 score perturbation — usually free recall
+    (measured in tests), and the fp64 artifact can drop to cold
+    storage.
+
+    Encoding: scale = max|x_i| (>= 1e-30 guard); code_i =
+    round(x_i / scale * 127) in [-127, 127]; dequant = code_i *
+    scale / 127. Round-half-up on exact doubles + parquet exact
+    round-trips make quantization deterministic, so incremental add
+    == full build holds bit-for-bit (pinned, the flat/PQ twin)."""
+
+    _DATA_DIR = "assignments8"
+    _SCHEMA = SQ8_SCHEMA
+
+    @classmethod
+    def _storage_rows(cls, assigned: DataFrame, epoch: int) -> DataFrame:
+        extras = [
+            c
+            for c in assigned.columns
+            if c not in ("vec_id", "nvec", "centroid_id")
+        ]
+        scaled = assigned.withColumn(
+            "scale",
+            F.greatest(F.array_max(F.transform("nvec", F.abs)), F.lit(1e-30)),
+        )
+        qv8 = F.transform(
+            "nvec",
+            lambda x: F.round(x / F.col("scale") * F.lit(127.0)).cast(
+                "tinyint"
+            ),
+        )
+        return scaled.select(
+            "vec_id",
+            qv8.alias("qv8"),
+            "scale",
+            "centroid_id",
+            *extras,
+            F.lit(epoch).cast("long").alias("epoch"),
+        )
+
+    def assignments(self) -> DataFrame:
+        """Dequantized serve view, same shape as the flat index's
+        assignments — a projection over the pruned scan (DPP still
+        reaches the partition columns through it, plan-pinned)."""
+        raw = self._data()
+        extras = [
+            c
+            for c in raw.columns
+            if c not in ("vec_id", "qv8", "scale", "centroid_id", "epoch")
+        ]
+        deq = F.transform(
+            "qv8", lambda c: c.cast("double") * F.col("scale") / F.lit(127.0)
+        )
+        return raw.select(
+            "vec_id",
+            deq.alias("nvec"),
+            "centroid_id",
+            *extras,
+            "epoch",
         )
 
 
@@ -1100,6 +1316,7 @@ def topk_rerank(
     r: int = 50,
     dim: int | None = None,
     nprobe: int = 1,
+    where=None,
 ) -> DataFrame:
     """IVFADC + refine (Jégou et al. 2011 §V): the PQ codes produce a
     cheap candidate set (ADC top-r, scanning bytes), then ONLY those r
@@ -1126,13 +1343,32 @@ def topk_rerank(
     (the same recall knob as the raw paths); the exact re-rank step is
     cell-independent, so with nprobe = n_cells and r >= |corpus| the
     refine is exactly brute force (pinned in tests/test_ivf_store.py).
+
+    `where` — filtered rerank: the predicate (over the FLAT/SQ8
+    artifact's attribute columns, see `IVFIndex.build(attrs=...)`)
+    applies at the REFINE FETCH, because the PQ codes carry no
+    attributes (m code rows per vector — denormalizing attrs there
+    would multiply them by m for a stage that never reads them). The
+    ADC candidate set is therefore UNFILTERED: under a selective
+    predicate, filtered survivors of the r candidates can number
+    fewer than k — scale r with the filter's selectivity (r/sel
+    candidates for ~r surviving, the standard filtered-ANN depth
+    rule), and nprobe=n_cells with r >= |corpus| remains exactly
+    brute force over the FILTERED corpus (pinned). The predicate
+    still reaches the fetch scan as PushedFilters on top of its
+    (centroid_id, vec_id) partition pruning — one pruned scan.
     """
     cand = pq._adc_topk(queries, k=r, dim=dim, nprobe=nprobe).select(
         "query_id", "centroid_id", "vec_id"
     )
     q = flat._route_queries(queries, dim=dim).select("query_id", "qvec")
+    fetch = flat.assignments()
+    if where is not None:
+        fetch = fetch.filter(
+            F.expr(where) if isinstance(where, str) else where
+        )
     exact = (
-        flat.assignments()
+        fetch
         .join(F.broadcast(cand), ["centroid_id", "vec_id"])
         .join(F.broadcast(q), "query_id")
         .select(

@@ -102,7 +102,17 @@ def register(
 # pinned), crash-mid-compaction consistency, rebuild_and_swap as the
 # consumer of the drift signal, maintenance moved out of the intake
 # sink, explicit-codebook radix validation + Hadoop-FS checkpoint
-# identity (ADVICE r9).
+# identity (ADVICE r9). Also new, tests/test_ivf_sq8.py: the SQ8
+# int8 middle tier (IVFSQ8Index — one _storage_rows hook, the whole
+# versioned build/intake/compact/delete/serve machinery inherited;
+# near-flat recall at a fraction of the fp64 bytes, also accepted as
+# topk_rerank's refine source) and FILTERED ANN (attribute columns
+# persisted in the artifact at build; topk(where=...) pre-filters
+# inside the parquet scan — PushedFilters + the DPP cell subquery on
+# one scan, full-fanout filtered == brute force over the filtered
+# corpus). Semantic dedup was NOT re-added: `sem_dedup_cells`
+# (plans/vector_queries.py) has covered SemDeDup since its round,
+# oracle-gated — a second variant would be padding.
 #
 # Round-9 head (for the record): sim_ivf_persisted_topk (changed) +
 # the r5-era rotation block (48 queries) — all green in

@@ -1,0 +1,388 @@
+"""SQ8 quantized IVF tier + filtered ANN (operators/ivf_store.py).
+
+The int8 tier (`IVFSQ8Index`) stores each normalized vector as dim
+int8 codes + one fp64 scale through the SAME versioned artifact
+machinery as the flat index (one `_storage_rows` hook overridden),
+and must serve near-flat recall; attribute columns persisted at
+build (`build(attrs=...)`) let `topk(where=...)` filter INSIDE the
+parquet scan (PushedFilters, pre-filter semantics) — the filtered
+top-k at full fanout IS brute force over the filtered corpus.
+"""
+
+import os
+import subprocess
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_tlm_spark.operators.ivf_store import (
+    IVFIndex,
+    IVFPQIndex,
+    IVFSQ8Index,
+    topk_rerank,
+)
+from open_tlm_spark.operators.similarity import as_double, brute_force_topk
+from open_tlm_spark.session import load_tables
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb_cents(spark):
+    load_tables(spark, SF)
+    emb = spark.table("embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cvec"),
+    )
+    return emb, cents
+
+
+@pytest.fixture(scope="module")
+def sq8_flat(spark, tmp_path_factory, emb_cents):
+    emb, cents = emb_cents
+    root = tmp_path_factory.mktemp("sq8")
+    flat = IVFIndex.build(spark, emb, str(root / "flat"), centroids=cents)
+    sq8 = IVFSQ8Index.build(spark, emb, str(root / "sq8"), centroids=cents)
+    return sq8, flat, emb
+
+
+def _queries(emb, lo=8, hi=12):
+    return emb.filter(
+        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+def _ids(df):
+    return {(r.query_id, r.vec_id) for r in df.collect()}
+
+
+# ------------------------------------------------------------- SQ8 tier
+
+
+def test_sq8_near_flat_recall(spark, sq8_flat):
+    """Quantization to int8 must cost almost nothing on ranking:
+    recall@5 vs the exact flat serve >= 0.95 over 40 queries (the
+    per-dot perturbation is ~1e-3 on unit vectors; measured 0.99
+    on the gate embeddings)."""
+    sq8, flat, emb = sq8_flat
+    q = _queries(emb, 8, 48)
+    want = _ids(flat.topk(q, k=5, nprobe=2))
+    got = _ids(sq8.topk(q, k=5, nprobe=2))
+    assert len(want & got) / len(want) >= 0.95
+
+
+def test_sq8_probe_prunes_to_queried_cells(spark, sq8_flat):
+    """The dequantizing projection must not block dynamic partition
+    pruning: the SQ8 probe's scan carries the same cell subquery in
+    PartitionFilters as the flat index's (the 100 TB contract)."""
+    sq8, _, emb = sq8_flat
+    out = sq8.topk(_queries(emb, 8, 9), k=5)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters" in l
+        and "dynamicpruningexpression(centroid_id" in l
+        for l in plan.splitlines()
+    ), plan
+
+
+def test_sq8_incremental_add_matches_full_build(
+    spark, tmp_path, emb_cents
+):
+    """Quantization is deterministic per row, so intaking the corpus
+    in two slices through the inherited add() serves bit-identically
+    to a full build — the SQ8 twin of the flat/PQ pins."""
+    emb, cents = emb_cents
+    full = IVFSQ8Index.build(
+        spark, emb, str(tmp_path / "full"), centroids=cents
+    )
+    inc = IVFSQ8Index.build(
+        spark,
+        emb.filter(F.col("vec_id") < 300),
+        str(tmp_path / "inc"),
+        centroids=cents,
+    )
+    inc.add(
+        emb.filter(F.col("vec_id") >= 300).select(
+            "vec_id", as_double(F.col("embedding")).alias("embedding")
+        ),
+        epoch=1,
+    )
+    q = _queries(emb)
+    want = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in full.topk(q, k=5, nprobe=8).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in inc.topk(q, k=5, nprobe=8).collect()
+    }
+    assert got == want
+
+
+def test_sq8_compact_and_delete(spark, tmp_path, emb_cents):
+    """The inherited maintenance path rewrites QUANTIZED rows (never a
+    silently-dequantized fp64 copy): after compact_epochs the folded
+    artifact still reads through the SQ8 schema and serves
+    identically; delete propagates."""
+    emb, cents = emb_cents
+    idx = IVFSQ8Index.build(
+        spark,
+        emb.filter(F.col("vec_id") < 400),
+        str(tmp_path / "m"),
+        centroids=cents,
+    )
+    idx.add(
+        emb.filter(F.col("vec_id") >= 400).select(
+            "vec_id", as_double(F.col("embedding")).alias("embedding")
+        ),
+        epoch=1,
+    )
+    q = _queries(emb)
+    before = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in idx.topk(q, k=5, nprobe=8).collect()
+    }
+    assert idx.compact_epochs() > 0
+    assert idx.intake_epochs() == set()
+    # storage stayed int8: the raw rows still carry qv8 + scale
+    assert {"qv8", "scale"} <= set(idx._data().columns)
+    after = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in idx.topk(q, k=5, nprobe=8).collect()
+    }
+    assert after == before
+
+    victims = sorted({v for _, v in _ids(idx.topk(q, k=5, nprobe=8))})[:3]
+    assert idx.delete(victims) == 3
+    served = {v for _, v in _ids(idx.topk(q, k=10, nprobe=8))}
+    assert not (served & set(victims))
+
+
+def test_sq8_bytes_well_below_flat(spark, sq8_flat):
+    """The point of the tier: the int8 artifact must be a small
+    fraction of the fp64 one. At this tiny sf the parquet footer
+    overhead dominates (one file per (cell, epoch) leaf), so pin a
+    conservative 2x here; the honest at-scale ratio is measured at
+    200k vectors in SCALE.md."""
+    sq8, flat, _ = sq8_flat
+
+    def du(p):
+        return int(subprocess.check_output(["du", "-sb", p]).split()[0])
+
+    assert du(sq8.data_path) * 2 < du(flat.data_path)
+
+
+def test_rerank_fetch_from_sq8(spark, tmp_path, emb_cents):
+    """`topk_rerank` accepts an SQ8 index as the refine source: the
+    candidate fetch reads int8 rows (~1/8 the bytes of the fp64
+    fetch) and still prunes to the probed cells; the re-ranked
+    top-5 must match the fp64-refined top-5 on >= 90% of slots
+    (score perturbation ~1e-3)."""
+    emb, cents = emb_cents
+    flat = IVFIndex.build(spark, emb, str(tmp_path / "f"), centroids=cents)
+    sq8 = IVFSQ8Index.build(spark, emb, str(tmp_path / "s"), centroids=cents)
+    pq = IVFPQIndex.build(spark, emb, str(tmp_path / "p"), centroids=cents)
+    q = _queries(emb, 8, 28)
+    want = _ids(topk_rerank(pq, flat, q, k=5, r=30, nprobe=2))
+    out = topk_rerank(pq, sq8, q, k=5, r=30, nprobe=2)
+    got = _ids(out)
+    assert len(want & got) / len(want) >= 0.9
+    # the dequantized fetch still prunes to the probed cells
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l and "assignments8" in l
+    ]
+    assert pruned and all(
+        "dynamicpruningexpression" in l or "centroid_id" in l
+        for l in pruned
+    ), plan
+
+
+# --------------------------------------------------------- filtered ANN
+
+
+@pytest.fixture(scope="module")
+def attr_idx(spark, tmp_path_factory, emb_cents):
+    emb, cents = emb_cents
+    attrs = emb.select("vec_id", "label")
+    path = str(tmp_path_factory.mktemp("fann") / "idx")
+    idx = IVFIndex.build(spark, emb, path, centroids=cents, attrs=attrs)
+    return idx, emb
+
+
+def test_filtered_full_fanout_equals_bruteforce(spark, attr_idx):
+    """Pre-filter semantics, exactly: topk(where=P) at nprobe=n_cells
+    must equal brute-force top-k over the corpus subset satisfying P
+    (same rounding, same tiebreaks) — never k unfiltered results
+    thinned afterwards."""
+    idx, emb = attr_idx
+    q = _queries(emb)
+    want = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in brute_force_topk(
+            emb.filter(F.col("label") == 3), q, k=5
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in idx.topk(q, k=5, nprobe=8, where="label = 3").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_filtered_predicate_reaches_the_scan(spark, attr_idx):
+    """The 100 TB contract for filtered ANN: the attribute predicate
+    must be PUSHED into the parquet scan (PushedFilters on label),
+    composing with the cell subquery's PartitionFilters — one pruned
+    scan, no per-query corpus join for attributes."""
+    idx, emb = attr_idx
+    out = idx.topk(_queries(emb, 8, 9), k=5, where=F.col("label") == 3)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    assert any(
+        "PushedFilters" in l and "EqualTo(label,3)" in l for l in lines
+    ), plan
+    assert any(
+        "PartitionFilters" in l
+        and "dynamicpruningexpression(centroid_id" in l
+        for l in lines
+    ), plan
+
+
+def test_filtered_recall_monotone_in_nprobe(spark, attr_idx):
+    """Under a selective filter nprobe is the recall knob, same as
+    unfiltered: more probed cells never lose filtered candidates."""
+    idx, emb = attr_idx
+    q = _queries(emb, 8, 28)
+    truth = {}
+    for r in brute_force_topk(
+        emb.filter(F.col("label") == 3), q, k=5
+    ).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(np_):
+        hits = total = 0
+        for r in idx.topk(q, k=5, nprobe=np_, where="label = 3").collect():
+            total += 1
+            hits += r.vec_id in truth.get(r.query_id, set())
+        return hits / max(total, 1)
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r1 <= r4 <= r8 == 1.0
+
+
+def test_attrs_survive_add_compact_delete(spark, tmp_path, emb_cents):
+    """Attribute columns are part of the artifact contract: intake
+    must supply them, compaction and delete must carry both the
+    columns and the sidecar schema into the new version, and filtered
+    serving stays correct across the whole maintenance cycle."""
+    emb, cents = emb_cents
+    attrs = emb.select("vec_id", "label")
+    idx = IVFIndex.build(
+        spark,
+        emb.filter(F.col("vec_id") < 400),
+        str(tmp_path / "a"),
+        centroids=cents,
+        attrs=attrs.filter(F.col("vec_id") < 400),
+    )
+    late = emb.filter(F.col("vec_id") >= 400)
+    # intake without the attrs the index was built with: fail fast
+    with pytest.raises(ValueError):
+        idx.add(late.select("vec_id", "embedding"), epoch=1)
+    idx.add(
+        late.select(
+            "vec_id", as_double(F.col("embedding")).alias("embedding")
+        ),
+        epoch=1,
+        attrs=attrs.filter(F.col("vec_id") >= 400),
+    )
+    q = _queries(emb)
+
+    def filtered():
+        return {
+            (r.query_id, r.vec_id, r.cos_sim, r.rank)
+            for r in idx.topk(
+                q, k=5, nprobe=8, where="label = 3"
+            ).collect()
+        }
+
+    want = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in brute_force_topk(
+            emb.filter(F.col("label") == 3), q, k=5
+        ).collect()
+    }
+    assert filtered() == want
+    assert idx.compact_epochs() > 0
+    assert idx._attr_ddl()  # sidecar carried into the new version
+    assert filtered() == want
+    victims = sorted({v for (_, v, _, _) in want})[:2]
+    assert idx.delete(victims) == 2
+    assert idx._attr_ddl()
+    after = filtered()
+    assert not ({v for (_, v, _, _) in after} & set(victims))
+
+
+def test_filtered_rerank_full_fanout_equals_filtered_brute(
+    spark, tmp_path, emb_cents
+):
+    """Filtered rerank: the predicate applies at the refine fetch
+    (the PQ codes carry no attributes), so with nprobe = n_cells and
+    r >= |corpus| the result is exactly brute force over the
+    FILTERED corpus — the filtered twin of the unfiltered full-
+    fanout pin. The fetch scan must still prune AND push the
+    predicate."""
+    emb, cents = emb_cents
+    attrs = emb.select("vec_id", "label")
+    flat = IVFIndex.build(
+        spark, emb, str(tmp_path / "f"), centroids=cents, attrs=attrs
+    )
+    pq = IVFPQIndex.build(spark, emb, str(tmp_path / "p"), centroids=cents)
+    q = _queries(emb)
+    n = emb.count()
+    want = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in brute_force_topk(
+            emb.filter(F.col("label") == 3), q, k=5
+        ).collect()
+    }
+    out = topk_rerank(
+        pq, flat, q, k=5, r=n, nprobe=8, where="label = 3"
+    )
+    got = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank) for r in out.collect()
+    }
+    assert got == want and len(got) > 0
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    assert any(
+        "PushedFilters" in l and "EqualTo(label,3)" in l for l in lines
+    ), plan
+
+
+def test_sq8_filtered_matches_flat_filtered(spark, tmp_path, emb_cents):
+    """Attributes + quantization compose: the SQ8 filtered serve
+    returns the same ids as the flat filtered serve (>= 95% of
+    slots) through its own pushed-down scan."""
+    emb, cents = emb_cents
+    attrs = emb.select("vec_id", "label")
+    flat = IVFIndex.build(
+        spark, emb, str(tmp_path / "f"), centroids=cents, attrs=attrs
+    )
+    sq8 = IVFSQ8Index.build(
+        spark, emb, str(tmp_path / "s"), centroids=cents, attrs=attrs
+    )
+    q = _queries(emb, 8, 28)
+    want = _ids(flat.topk(q, k=5, nprobe=8, where="label = 3"))
+    got = _ids(sq8.topk(q, k=5, nprobe=8, where="label = 3"))
+    assert len(want & got) / len(want) >= 0.95
