@@ -64,6 +64,8 @@ from pyspark.sql import functions as F
 from open_tlm_spark.operators.ivf_store import (
     IVFIndex,
     IVFPQIndex,
+    IVFSQ8Index,
+    open_vector_index,
     topk_rerank,
 )
 from open_tlm_spark.operators.preflight import HotKeyReport, probe_hot_keys
@@ -84,14 +86,22 @@ def build_serving_indexes(
     k: int = 8,
     dim: int = DIM,
     train_iters: int = 1,
+    quantized: bool = False,
 ) -> tuple[IVFIndex, IVFPQIndex]:
     """Both serving artifacts from one seed corpus, sharing coarse
     centroids (train once — the PQ build reuses the flat build's
     centroids so a query routes identically on either path, and so a
     vec_id lives in the SAME cell in both artifacts, which is what
     lets rerank's exact fetch join on (centroid_id, vec_id) and prune
-    to the probed cells)."""
-    flat = IVFIndex.build(
+    to the probed cells).
+
+    `quantized=True` builds the refine artifact as the SQ8 int8 tier
+    instead of fp64 (~6.7x less disk, ~1e-3 score perturbation —
+    SCALE.md round-10 table): IVFSQ8Index is a drop-in IVFIndex, so
+    intake, maintenance, probe, rebuild, and serving below all run
+    unchanged; `open_vector_index` re-detects the tier on reload."""
+    flat_cls = IVFSQ8Index if quantized else IVFIndex
+    flat = flat_cls.build(
         spark,
         embeddings,
         os.path.join(base_dir, "flat"),
@@ -124,7 +134,7 @@ def start_dual_intake(
     into idempotent dynamic overwrites on both sides. The sink is
     intake-ONLY: compaction belongs to `run_maintenance` on the
     serving host's cadence, never inside foreachBatch."""
-    flat = IVFIndex(spark, os.path.join(base_dir, "flat"))
+    flat = open_vector_index(spark, os.path.join(base_dir, "flat"))
     pq = IVFPQIndex(spark, os.path.join(base_dir, "pq"))
     if not (flat.exists() and pq.exists()):
         raise FileNotFoundError(
@@ -239,7 +249,11 @@ def rebuild_and_swap(
     corpus = flat.assignments().select(
         "vec_id", F.col("nvec").alias("embedding")
     )
-    new_flat = IVFIndex.build(
+    # type(flat) preserves the precision tier across the rebuild (an
+    # SQ8 artifact rebuilds as SQ8; its corpus read is the dequantized
+    # view, so retraining sees the ~1e-3-perturbed vectors — the same
+    # trade the tier already made at serve time)
+    new_flat = type(flat).build(
         spark, corpus, flat.path, k=k, iters=iters, dim=dim
     )
     new_pq = IVFPQIndex.build(

@@ -260,41 +260,46 @@ class IVFIndex:
     # -------------------------------------------------- attribute sidecar
     _ATTR_SIDECAR = "_attrs.ddl"
 
-    def _attr_ddl(self) -> str:
-        """DDL of the attribute columns persisted alongside the
-        vectors (filtered-ANN support), read from the version dir's
-        sidecar file. Empty for attribute-free indexes and the legacy
-        layout — the read schema is then exactly the pinned base
-        schema, so pre-attrs artifacts are untouched."""
+    def _attr_lines(self) -> list[str]:
+        """Attribute columns persisted alongside the vectors
+        (filtered-ANN support), one "name type" DDL entry per LINE of
+        the version dir's sidecar file — line-delimited because type
+        strings themselves may contain commas (decimal(10,2),
+        struct<...>), which a comma-joined format could not re-split.
+        Empty for attribute-free indexes and the legacy layout — the
+        read schema is then exactly the pinned base schema, so
+        pre-attrs artifacts are untouched."""
         d = self._current_dir()
         if d is None:
-            return ""
+            return []
         f = os.path.join(d, self._ATTR_SIDECAR)
         if not os.path.exists(f):
-            return ""
+            return []
         with open(f, encoding="utf-8") as fh:
-            return fh.read().strip()
+            return [ln.strip() for ln in fh if ln.strip()]
+
+    def _attr_ddl(self) -> str:
+        return ", ".join(self._attr_lines())
 
     def _data_schema(self) -> str:
         extra = self._attr_ddl()
         return self._SCHEMA + (", " + extra if extra else "")
 
     @staticmethod
-    def _write_attr_sidecar(vdir: str, attrs: DataFrame) -> str:
+    def _write_attr_sidecar(vdir: str, attrs: DataFrame) -> None:
         """Persist the attribute columns' DDL next to the artifacts so
         reloads reconstruct the full read schema without footer
         inference (footer-inferred PARTITION columns come back as int,
         breaking the bigint join keys the probe plans pin on)."""
-        ddl = ", ".join(
+        lines = [
             f"{f.name} {f.dataType.simpleString()}"
             for f in attrs.schema.fields
             if f.name != "vec_id"
-        )
+        ]
         with open(
             os.path.join(vdir, IVFIndex._ATTR_SIDECAR), "w", encoding="utf-8"
         ) as fh:
-            fh.write(ddl)
-        return ddl
+            fh.write("\n".join(lines))
 
     def _carry_attr_sidecar(self, cur: str, vdir: str) -> None:
         src = os.path.join(cur, self._ATTR_SIDECAR)
@@ -445,8 +450,7 @@ class IVFIndex:
             assigned = ivf_assign_slim(
                 embeddings, self.centroids(), dim=dim
             ).select("vec_id", "nvec", "centroid_id")
-            ddl = self._attr_ddl()
-            want = {p.strip().split(" ", 1)[0] for p in ddl.split(",") if p.strip()}
+            want = {ln.split(" ", 1)[0] for ln in self._attr_lines()}
             have = set() if attrs is None else set(attrs.columns) - {"vec_id"}
             if want != have:
                 raise ValueError(
@@ -846,6 +850,23 @@ class IVFSQ8Index(IVFIndex):
             *extras,
             "epoch",
         )
+
+
+def open_vector_index(spark: SparkSession, path: str) -> IVFIndex:
+    """Reopen a persisted vector artifact with the class that built
+    it, detected from the on-disk layout (the data dir's name: the
+    SQ8 tier stores ``assignments8``, the flat index ``assignments``)
+    — deployment code (examples/ivf_serving_pipeline.py) stays
+    agnostic about which precision tier serves the refine fetch, and
+    a host that swaps its flat artifact for the int8 tier needs no
+    code change at the intake/serve sites."""
+    idx = IVFIndex(spark, path)
+    d = idx._current_dir()
+    if d is not None and os.path.isdir(
+        os.path.join(d, IVFSQ8Index._DATA_DIR)
+    ):
+        return IVFSQ8Index(spark, path)
+    return idx
 
 
 PQ_CODES_SCHEMA = (

@@ -213,3 +213,48 @@ def test_rebuild_and_swap_retrains_in_place(spark, tmp_path):
     for path in (new_flat.path, new_pq.path):
         versions = [v for v in os.listdir(path) if v.startswith("v")]
         assert len(versions) <= 2, (path, versions)
+
+
+def test_quantized_tier_drops_in(spark, tmp_path):
+    """`build_serving_indexes(quantized=True)` swaps the refine
+    artifact for the SQ8 int8 tier with NO other code change:
+    `open_vector_index` re-detects the tier from disk, serving
+    returns near-identical top-k to the fp64 loop, and
+    rebuild_and_swap preserves the tier and the corpus."""
+    from open_tlm_spark.operators.ivf_store import (
+        IVFSQ8Index,
+        open_vector_index,
+    )
+
+    load_tables(spark, SF)
+    emb = spark.table("embeddings")
+    cents = _cents(emb)
+    q = _queries(emb)
+
+    fp64 = str(tmp_path / "fp64")
+    int8 = str(tmp_path / "int8")
+    flat, pq = build_serving_indexes(spark, emb, fp64, centroids=cents)
+    s8, pq8 = build_serving_indexes(
+        spark, emb, int8, centroids=cents, quantized=True
+    )
+    assert isinstance(s8, IVFSQ8Index)
+    # reload detects the tier from the on-disk layout
+    reloaded = open_vector_index(spark, os.path.join(int8, "flat"))
+    assert isinstance(reloaded, IVFSQ8Index)
+    assert not isinstance(
+        open_vector_index(spark, os.path.join(fp64, "flat")), IVFSQ8Index
+    )
+
+    want = {(r.query_id, r.vec_id) for r in serve_topk(flat, pq, q).collect()}
+    got = {
+        (r.query_id, r.vec_id)
+        for r in serve_topk(reloaded, pq8, q).collect()
+    }
+    assert len(want & got) / len(want) >= 0.9
+
+    # rebuild keeps the tier and the corpus (dequantized re-train)
+    n0 = reloaded.assignments().count()
+    new_flat, new_pq = rebuild_and_swap(spark, reloaded, pq8, k=8)
+    assert isinstance(new_flat, IVFSQ8Index)
+    assert new_flat.assignments().count() == n0
+    assert serve_topk(new_flat, new_pq, q, nprobe=8).count() == 20

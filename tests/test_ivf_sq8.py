@@ -370,6 +370,49 @@ def test_filtered_rerank_full_fanout_equals_filtered_brute(
     ), plan
 
 
+def test_attrs_with_comma_bearing_types(spark, tmp_path, emb_cents):
+    """The attribute sidecar is line-delimited because DDL type
+    strings may contain commas: a decimal(10,2) attribute must
+    round-trip through build -> reload -> filtered serve -> intake
+    validation without mis-splitting the schema."""
+    emb, cents = emb_cents
+    attrs = emb.select(
+        "vec_id",
+        (F.col("label").cast("decimal(10,2)") / 2).alias("tier"),
+        "label",
+    )
+    idx = IVFIndex.build(
+        spark,
+        emb.filter(F.col("vec_id") < 400),
+        str(tmp_path / "d"),
+        centroids=cents,
+        attrs=attrs.filter(F.col("vec_id") < 400),
+    )
+    reloaded = IVFIndex(spark, str(tmp_path / "d"))
+    got = reloaded.topk(
+        _queries(emb), k=5, nprobe=8, where="tier >= 1.5"
+    ).collect()
+    assert got  # filtered serve works through the reloaded schema
+    # intake validation parses the line-delimited sidecar correctly
+    late = emb.filter(F.col("vec_id") >= 400)
+    with pytest.raises(ValueError):
+        reloaded.add(
+            late.select(
+                "vec_id", as_double(F.col("embedding")).alias("embedding")
+            ),
+            epoch=1,
+            attrs=late.select("vec_id", "label"),  # missing `tier`
+        )
+    reloaded.add(
+        late.select(
+            "vec_id", as_double(F.col("embedding")).alias("embedding")
+        ),
+        epoch=1,
+        attrs=attrs.filter(F.col("vec_id") >= 400),
+    )
+    assert reloaded.assignments().filter(F.col("epoch") == 1).count() > 0
+
+
 def test_sq8_filtered_matches_flat_filtered(spark, tmp_path, emb_cents):
     """Attributes + quantization compose: the SQ8 filtered serve
     returns the same ids as the flat filtered serve (>= 95% of
