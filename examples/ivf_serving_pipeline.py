@@ -133,7 +133,14 @@ def start_dual_intake(
     — the two adds share an epoch, and a crash between them replays
     into idempotent dynamic overwrites on both sides. The sink is
     intake-ONLY: compaction belongs to `run_maintenance` on the
-    serving host's cadence, never inside foreachBatch."""
+    serving host's cadence, never inside foreachBatch.
+
+    This sink feeds attribute-FREE artifacts (the landing schema is
+    vec_id + embedding). An index built with `attrs=` refuses an
+    attr-less add (fail-fast ValueError in `IVFIndex.add`) rather
+    than landing a silently unfilterable epoch — a filtered-serving
+    deployment extends the landing schema and passes the attr columns
+    through to `add(attrs=...)` in its own sink."""
     flat = open_vector_index(spark, os.path.join(base_dir, "flat"))
     pq = IVFPQIndex(spark, os.path.join(base_dir, "pq"))
     if not (flat.exists() and pq.exists()):

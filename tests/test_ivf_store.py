@@ -850,3 +850,85 @@ def test_explicit_codebook_radix_guard(spark, tmp_path, emb_cents):
         centroids=cents, codebook=good.codebook(),
     )
     assert rebuilt.codes().count() == good._shape()[0] * 200
+
+
+def test_concurrent_reads_never_observe_partial_state(
+    spark, tmp_path, emb_cents
+):
+    """The versioning claim under actual concurrency: reader threads
+    hammer topk while the writer side runs the full mutation
+    lifecycle — intake epochs, targeted compaction, a privacy delete,
+    and a complete rebuild at the same path. Every read must return a
+    COMPLETE result set (k rows per query, no exceptions, no ids that
+    never existed): a reader on the old version or the new version is
+    fine, a reader on a half-rewritten table is not. Pre-versioning
+    this failed as FileNotFound / short results mid-compaction."""
+    import threading
+
+    emb, cents = emb_cents
+    path = str(tmp_path / "stress")
+    idx = IVFIndex.build(
+        spark, emb.filter(F.col("vec_id") < 300), path, centroids=cents
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    valid_ids = {
+        r.vec_id for r in emb.select("vec_id").collect()
+    } | set(range(8))
+    errors: list[str] = []
+    stop = threading.Event()
+
+    def _reader():
+        reader_idx = IVFIndex(spark, path)
+        while not stop.is_set():
+            try:
+                rows = reader_idx.topk(queries, k=3, nprobe=2).collect()
+            except Exception as exc:  # partial table -> scan failure
+                errors.append(f"read failed: {exc}")
+                return
+            per_q: dict[int, int] = {}
+            for r in rows:
+                per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+                if r.vec_id not in valid_ids:
+                    errors.append(f"phantom vec_id {r.vec_id}")
+                    return
+            if sorted(per_q.values()) != [3, 3, 3, 3]:
+                errors.append(f"short result: {per_q}")
+                return
+
+    # the versioning contract protects a reader across ONE truncating
+    # mutation (current + superseded versions are kept; two completed
+    # mutations inside a single read may GC its resolved version) —
+    # warm the read path first and space the mutations so every read
+    # stays inside the contract, which is also how a deployment runs
+    # maintenance (a cadence, not back-to-back rewrites).
+    import time as _time
+
+    idx.topk(queries, k=3, nprobe=2).collect()  # warm codegen/pagecache
+    threads = [threading.Thread(target=_reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        late = emb.filter(
+            (F.col("vec_id") >= 300) & (F.col("vec_id") < 400)
+        ).select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+        idx.add(late, epoch=1)
+        _time.sleep(2.0)
+        idx.compact_epochs()
+        _time.sleep(2.0)
+        idx.delete([350, 351])
+        _time.sleep(2.0)
+        # full rebuild at the same path while readers run
+        corpus = idx.assignments().select(
+            "vec_id", F.col("nvec").alias("embedding")
+        )
+        IVFIndex.build(spark, corpus, path, centroids=cents)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=60)
+    assert not errors, errors
