@@ -40,6 +40,9 @@ End-to-end wiring of the round-8/9/10 serving pieces into one loop
      cost, and new vectors are servable as soon as their batch lands.
      Serving needs no guard against concurrent mutations: every read
      resolves the version pointer and sees a complete artifact.
+     `build_serving_indexes(quantized=True)` swaps the refine
+     artifact for the SQ8 int8 tier (~6.7x less disk, ~1e-3 score
+     perturbation — SCALE.md) with no other change to this loop.
 
 At 100 TB the loop is the deployment story: the corpus artifacts
 outlive every session, intake touches only the cells its vectors land

@@ -285,12 +285,29 @@ class IVFIndex:
         extra = self._attr_ddl()
         return self._SCHEMA + (", " + extra if extra else "")
 
-    @staticmethod
-    def _write_attr_sidecar(vdir: str, attrs: DataFrame) -> None:
+    @classmethod
+    def _validate_attrs(cls, attrs: DataFrame) -> None:
+        """Attribute names must not collide with the storage columns
+        (vec_id joins; nvec/qv8/scale/centroid_id/epoch are the base
+        schema) — a user attr named `epoch` would silently shadow the
+        partition column. Fail fast at build/intake instead."""
+        reserved = {
+            p.strip().split(" ", 1)[0] for p in cls._SCHEMA.split(",")
+        } | {"nvec", "qcell", "qvec", "query_id"}
+        reserved.discard("vec_id")  # the join key, required on attrs
+        bad = sorted(set(attrs.columns) & reserved)
+        if bad:
+            raise ValueError(
+                f"attribute columns collide with storage/serve names: {bad}"
+            )
+
+    @classmethod
+    def _write_attr_sidecar(cls, vdir: str, attrs: DataFrame) -> None:
         """Persist the attribute columns' DDL next to the artifacts so
         reloads reconstruct the full read schema without footer
         inference (footer-inferred PARTITION columns come back as int,
         breaking the bigint join keys the probe plans pin on)."""
+        cls._validate_attrs(attrs)
         lines = [
             f"{f.name} {f.dataType.simpleString()}"
             for f in attrs.schema.fields

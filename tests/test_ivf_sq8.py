@@ -370,6 +370,28 @@ def test_filtered_rerank_full_fanout_equals_filtered_brute(
     ), plan
 
 
+def test_attr_name_collision_fails_fast(spark, tmp_path, emb_cents):
+    """An attribute named like a storage column (`epoch`, `scale`,
+    `nvec`...) would silently shadow it in the artifact — the build
+    must refuse instead."""
+    emb, cents = emb_cents
+    for cls, bad in (
+        (IVFIndex, "epoch"),
+        (IVFIndex, "nvec"),
+        (IVFIndex, "centroid_id"),
+        (IVFSQ8Index, "scale"),  # reserved on the SQ8 tier only
+        (IVFSQ8Index, "qv8"),
+    ):
+        with pytest.raises(ValueError, match="collide"):
+            cls.build(
+                spark,
+                emb,
+                str(tmp_path / f"{cls.__name__}_{bad}"),
+                centroids=cents,
+                attrs=emb.select("vec_id", F.col("label").alias(bad)),
+            )
+
+
 def test_attrs_with_comma_bearing_types(spark, tmp_path, emb_cents):
     """The attribute sidecar is line-delimited because DDL type
     strings may contain commas: a decimal(10,2) attribute must
