@@ -256,15 +256,24 @@ def rebuild_and_swap(
     not be in the new version — re-land it or replay the landing
     files after the swap. The intake gate's monotone epochs make the
     replay idempotent."""
-    corpus = flat.assignments().select(
-        "vec_id", F.col("nvec").alias("embedding")
+    served = flat.assignments()
+    corpus = served.select("vec_id", F.col("nvec").alias("embedding"))
+    # an attrs-built index carries its attribute columns THROUGH the
+    # rebuild (ADVICE r10 #1): the serve view exposes them next to
+    # each vector, so read them back and hand them to build(attrs=...)
+    # — without this the new version would silently drop the sidecar,
+    # breaking every topk(where=...) and failing every attr-carrying
+    # intake after the swap
+    attr_names = [ln.split(" ", 1)[0] for ln in flat._attr_lines()]
+    attrs = (
+        served.select("vec_id", *attr_names) if attr_names else None
     )
     # type(flat) preserves the precision tier across the rebuild (an
     # SQ8 artifact rebuilds as SQ8; its corpus read is the dequantized
     # view, so retraining sees the ~1e-3-perturbed vectors — the same
     # trade the tier already made at serve time)
     new_flat = type(flat).build(
-        spark, corpus, flat.path, k=k, iters=iters, dim=dim
+        spark, corpus, flat.path, k=k, iters=iters, dim=dim, attrs=attrs
     )
     new_pq = IVFPQIndex.build(
         spark,

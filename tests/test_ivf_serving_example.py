@@ -258,3 +258,52 @@ def test_quantized_tier_drops_in(spark, tmp_path):
     assert isinstance(new_flat, IVFSQ8Index)
     assert new_flat.assignments().count() == n0
     assert serve_topk(new_flat, new_pq, q, nprobe=8).count() == 20
+
+
+def test_rebuild_preserves_attr_sidecar(spark, tmp_path):
+    """ADVICE r10 #1: rebuild_and_swap on an attrs-built index must
+    carry the attribute columns AND the sidecar into the new version
+    — before the fix the rebuilt version silently dropped them, so
+    the first filtered serve after a rebuild raised and every
+    attr-carrying intake failed its schema check."""
+    from open_tlm_spark.operators.ivf_store import IVFIndex, IVFPQIndex
+
+    load_tables(spark, SF)
+    emb = spark.table("embeddings")
+    attrs = emb.select("vec_id", "label")
+    flat = IVFIndex.build(
+        spark,
+        emb,
+        str(tmp_path / "flat"),
+        centroids=_cents(emb),
+        attrs=attrs,
+    )
+    pq = IVFPQIndex.build(
+        spark, emb, str(tmp_path / "pq"), centroids=flat.centroids()
+    )
+    before = {
+        (r.query_id, r.vec_id)
+        for r in flat.topk(
+            _queries(emb), k=5, nprobe=8, where="label = 3"
+        ).collect()
+    }
+    new_flat, new_pq = rebuild_and_swap(spark, flat, pq, k=8, train_iters=1)
+    # sidecar survived the rebuild; filtered serving still answers
+    assert new_flat._attr_lines() == ["label int"]
+    after = {
+        (r.query_id, r.vec_id)
+        for r in new_flat.topk(
+            _queries(emb), k=5, nprobe=8, where="label = 3"
+        ).collect()
+    }
+    # full fanout over the same corpus + same filter: identical ids
+    # (centroids retrained, but nprobe=8 probes every cell)
+    assert after == before and len(after) == 20
+    # an attr-carrying intake still validates against the new version
+    new_flat.add(
+        emb.limit(0).select(
+            "vec_id", as_double(F.col("embedding")).alias("embedding")
+        ),
+        epoch=1,
+        attrs=attrs.limit(0),
+    )

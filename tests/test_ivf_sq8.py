@@ -451,3 +451,134 @@ def test_sq8_filtered_matches_flat_filtered(spark, tmp_path, emb_cents):
     want = _ids(flat.topk(q, k=5, nprobe=8, where="label = 3"))
     got = _ids(sq8.topk(q, k=5, nprobe=8, where="label = 3"))
     assert len(want & got) / len(want) >= 0.95
+
+
+def test_intake_attr_type_drift_fails_fast(spark, tmp_path, emb_cents):
+    """add() compares full 'name type' sidecar entries (ADVICE r10
+    #2): an intake whose attr column matches by NAME but drifted in
+    TYPE would land epoch>0 parquet whose physical type conflicts
+    with the pinned read schema — the failure must surface at add(),
+    not later as a parquet conversion error at serve/compact time."""
+    emb, cents = emb_cents
+    attrs = emb.select("vec_id", "label")  # label: int
+    idx = IVFIndex.build(
+        spark,
+        emb.filter(F.col("vec_id") < 400),
+        str(tmp_path / "t"),
+        centroids=cents,
+        attrs=attrs.filter(F.col("vec_id") < 400),
+    )
+    late = emb.filter(F.col("vec_id") >= 400)
+    with pytest.raises(ValueError, match="name type"):
+        idx.add(
+            late.select(
+                "vec_id", as_double(F.col("embedding")).alias("embedding")
+            ),
+            epoch=1,
+            attrs=late.select(
+                "vec_id", F.col("label").cast("bigint").alias("label")
+            ),
+        )
+    # the same values at the right type go through
+    idx.add(
+        late.select(
+            "vec_id", as_double(F.col("embedding")).alias("embedding")
+        ),
+        epoch=1,
+        attrs=attrs.filter(F.col("vec_id") >= 400),
+    )
+    assert idx.assignments().filter(F.col("epoch") == 1).count() > 0
+
+
+def test_duplicate_attr_vec_ids_fail_fast(spark, tmp_path, emb_cents):
+    """The attrs left-join guard (ADVICE r10 #3): duplicate vec_id
+    rows in attrs would silently DUPLICATE corpus vectors in the
+    artifact (one (query_id, vec_id) pair on several ranks) — build
+    and add must both refuse."""
+    emb, cents = emb_cents
+    attrs = emb.select("vec_id", "label")
+    dup = attrs.unionByName(attrs.limit(5))
+    with pytest.raises(ValueError, match="unique"):
+        IVFIndex.build(
+            spark, emb, str(tmp_path / "dup"), centroids=cents, attrs=dup
+        )
+    idx = IVFIndex.build(
+        spark,
+        emb.filter(F.col("vec_id") < 400),
+        str(tmp_path / "ok"),
+        centroids=cents,
+        attrs=attrs.filter(F.col("vec_id") < 400),
+    )
+    late = emb.filter(F.col("vec_id") >= 400)
+    late_attrs = attrs.filter(F.col("vec_id") >= 400)
+    with pytest.raises(ValueError, match="unique"):
+        idx.add(
+            late.select(
+                "vec_id", as_double(F.col("embedding")).alias("embedding")
+            ),
+            epoch=1,
+            attrs=late_attrs.unionByName(late_attrs.limit(3)),
+        )
+
+
+def test_filtered_rerank_auto_depth_returns_k(spark, tmp_path, emb_cents):
+    """Automatic candidate depth (VERDICT r10 'What's missing' #3):
+    under a ~1/64-selective predicate, DEFAULT arguments must return
+    the full k per query — the measured starvation mode was r=50
+    candidates of which <1 survives the filter. auto_depth divides r
+    by the estimated selectivity (memoized narrow scan), so the
+    filtered survivors reach k; auto_depth=False reproduces the
+    starved behavior, pinning that the default actually does the
+    work."""
+    emb, cents = emb_cents
+    attrs = emb.select(
+        "vec_id", (F.col("vec_id") % 64).alias("bucket")
+    )
+    flat = IVFIndex.build(
+        spark, emb, str(tmp_path / "f"), centroids=cents, attrs=attrs
+    )
+    pq = IVFPQIndex.build(spark, emb, str(tmp_path / "p"), centroids=cents)
+    q = _queries(emb)
+    want = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in brute_force_topk(
+            emb.filter(F.col("vec_id") % 64 == 3), q, k=5
+        ).collect()
+    }
+    assert len(want) == 20  # 4 queries x full k — no shortage at truth
+    got = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in topk_rerank(
+            pq, flat, q, k=5, nprobe=8, where="bucket = 3"
+        ).collect()
+    }
+    assert got == want  # default args: no starvation
+    starved = topk_rerank(
+        pq, flat, q, k=5, nprobe=8, where="bucket = 3", auto_depth=False
+    ).count()
+    assert starved < len(want)  # the mode auto_depth exists to fix
+
+
+def test_filtered_rerank_depth_cap_warns(spark, tmp_path, emb_cents):
+    """Past max_r the scaled depth stops growing (the candidate frame
+    is broadcast — unbounded depth would blow it before it fixed
+    recall): the cap emits a UserWarning naming the shortfall instead
+    of silently under-returning."""
+    emb, cents = emb_cents
+    attrs = emb.select(
+        "vec_id", (F.col("vec_id") % 64).alias("bucket")
+    )
+    flat = IVFIndex.build(
+        spark, emb, str(tmp_path / "f"), centroids=cents, attrs=attrs
+    )
+    pq = IVFPQIndex.build(spark, emb, str(tmp_path / "p"), centroids=cents)
+    with pytest.warns(UserWarning, match="capped"):
+        topk_rerank(
+            pq,
+            flat,
+            _queries(emb),
+            k=5,
+            nprobe=8,
+            where="bucket = 3",
+            max_r=10,
+        )

@@ -100,7 +100,7 @@ def main() -> int:
             return sorted(ts)[2]
 
         f_lat, p_lat = med5(flat), med5(pq)
-        f_sz = du(flat.assignments_path)
+        f_sz = du(flat.data_path)
         p_sz = du(pq.codes_path) + du(pq.codebook_path)
         print(
             f"| {n:,} | {f_lat:.2f} s | {p_lat:.2f} s | "
