@@ -79,10 +79,26 @@ def register(
 #         round, ~2 new-query slots.
 #   r9  — the r5-era block (48 queries) + changed: ZERO new slots.
 #   r10 — the r6-era block (48 queries) + changed: ZERO new slots.
-#   r11 — the r7-era block (50 queries): oversized; split oldest-47
-#         in r11, remainder + r8 block (~50) in r12.
-# New capability in r9/r10 must therefore be non-registry
-# (pytest-pinned) or displace a rotation slot with a documented IOU.
+#   r11 — the r7-era block (44 queries) + changed + NEW: first free
+#         slots since r7 — spent on driver-gating the round-10
+#         serving surface (VERDICT r10 'What's missing' #2).
+#   r12 — the r8-era block (48 queries) + changed.
+#
+# Round-11 head, in priority order:
+#   1. NEW queries: sim_ivf_filtered_topk (topk(where=...) against a
+#      brute-force-over-the-filtered-corpus oracle at nprobe=2) and
+#      sim_sq8_topk (the int8 tier's serve path — the oracle
+#      replicates the max-abs scalar quantizer exactly, so the gate
+#      hash-compares the quantized ranking itself, not an overlap
+#      metric).
+#   2. Changed: sim_ivf_persisted_topk (ivf_store.py: full
+#      name+type intake validation and duplicate-vec_id guard on the
+#      attrs join, Observation-counted compaction, selectivity-
+#      scaled filtered rerank depth — ADVICE r10 #1-#4, VERDICT r10
+#      wrong #2 / missing #3).
+#   3. The r7-era rotation block (44 queries; last green row in
+#      round 7, code unchanged since — enforced by
+#      tests/test_evidence_freshness.py + tools/evidence.py).
 #
 # Round-10 head (ZERO new-query slots, per the schedule above):
 #   1. Queries whose code CHANGED this round: sim_ivf_persisted_topk
@@ -131,58 +147,58 @@ def register(
 #      unchanged since — enforced by tests/test_evidence_freshness.py
 #      + tools/evidence.py fingerprints).
 _CHECK_FIRST = [
-    # 1. changed in round 10 (ivf_store versioned artifacts + dim-default
-    #    serve paths + ivf_assign_slim bound guard)
+    # 1. NEW in round 11: the round-10 serving surface graduates
+    #    from pytest-pinned to driver-gated (VERDICT r10 missing #2)
+    "sim_ivf_filtered_topk",
+    "sim_sq8_topk",
+    # 2. changed in round 11 (ivf_store: attr-contract hardening,
+    #    observation-counted compaction, auto rerank depth)
     "sim_ivf_persisted_topk",
-    # 2. r6-era rotation block (48 queries)
-    "customers_kanonymity_audit",
-    "customers_without_orders",
-    "dedup_exact",
-    "dedup_winnowing",
-    "docs_heaps_law_fit",
-    "embedding_sq8_error",
-    "events_attribution_linear",
-    "events_json_props",
-    "interval_join_error_windows",
-    "multimodal_decode",
-    "orders_association_rules",
-    "orders_benford_audit",
-    "parts_above_brand_average",
-    "pivot_event_type_daily",
-    "retrieval_rrf_fusion",
-    "sample_weighted_hash",
-    "sessionize_events",
-    "set_ops_purchasers_vs_errors",
-    "shards_assignment_balance",
-    "sim_ivf_nprobe_sweep",
-    "sim_matryoshka_recall_eval",
-    "source_unigram_kl",
-    "tokenizer_fertility_by_source",
-    "top_customers_by_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q1_pricing_summary",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "ts_bollinger_bands",
-    "ts_cross_corr_lag",
-    "ts_derivative",
-    "ts_ewma",
-    "ts_gap_fill",
-    "ts_log_returns_vol",
-    "ts_sax_symbols",
-    "ts_spectral_entropy",
-    "ts_theil_sen_slope",
-    "window_user_running_stats",
+    # 3. r7-era rotation block (44 queries; last green row round 7)
+    "approx_distinct_stats",
+    "asof_align_series",
+    "corpus_snapshot_diff",
+    "cube_order_stats",
+    "customers_fuzzy_linkage",
+    "decontaminate_minhash_fuzzy",
+    "dedup_cluster_size_histogram",
+    "dedup_incremental_minhash",
+    "distinct_stats_exact",
+    "docs_clean_pipeline",
+    "docs_mad_outlier_lengths",
+    "events_dedup_time_window",
+    "events_top_paths",
+    "multimodal_frame_sample",
+    "multimodal_metadata_stats",
+    "multimodal_resize",
+    "orders_cohort_ltv",
+    "pack_sequences",
+    "percentiles_by_event_type",
+    "quality_filter_funnel",
+    "rank_parts_in_brand",
+    "sample_domain_mix",
+    "skew_salted_agg",
+    "text_langid",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_token_stats",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation_year",
+    "ts_agg_1000s",
+    "ts_dataset_search",
+    "ts_fidelity_route",
+    "ts_histogram",
+    "ts_minmax_range",
+    "ts_rollup_cascade",
+    "ts_topk_latest",
+    "ts_value_projection",
+    "unpivot_part_metrics",
 ]
 
 

@@ -743,6 +743,11 @@ def test_builders_never_call_driver_actions(spark):
         # artifacts at build time — a store harness like
         # store_roundtrip_rollup, not a lazy builder
         "sim_ivf_persisted_topk",
+        # r11: the other two serving-surface gates — same class of
+        # store harness (IVFIndex.build(attrs=...)/IVFSQ8Index.build
+        # write artifacts before the lazy serve plan is returned)
+        "sim_ivf_filtered_topk",
+        "sim_sq8_topk",
     }, f"unexpected stateful registrations: {sorted(stateful)}"
     with _ActionTrap() as trap:
         for name, q in REGISTRY.items():
@@ -1017,3 +1022,35 @@ def test_shared_view_stale_memo_entry_rebuilds(spark):
     n = REGISTRY["dedup_cluster_size_histogram"].fn(spark, SF).count()
     assert n > 0
     assert spark.catalog.tableExists(view)
+
+
+def test_filtered_gate_pushes_predicate_and_prunes(spark):
+    """sim_ivf_filtered_topk's serve scan must be ONE pruned scan:
+    the attribute predicate pushed into the parquet reader
+    (PushedFilters on label) composing with the DPP cell subquery in
+    PartitionFilters — at 100 TB this is row-group skipping inside
+    1/n_cells of the files, with no per-query attribute join."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    plan = plan_of(spark, "sim_ivf_filtered_topk")
+    lines = plan.splitlines()
+    assert any(
+        "PushedFilters" in l and "EqualTo(label,3)" in l for l in lines
+    ), plan
+    assert any(
+        "PartitionFilters" in l
+        and "dynamicpruningexpression(centroid_id" in l
+        for l in lines
+    ), plan
+
+
+def test_sq8_gate_probe_prunes(spark):
+    """sim_sq8_topk's probe must keep dynamic partition pruning
+    through the dequantizing projection — the int8 tier's scan prunes
+    to the probed cells exactly like the flat tier's."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    plan = plan_of(spark, "sim_sq8_topk")
+    assert any(
+        "PartitionFilters" in l
+        and "dynamicpruningexpression(centroid_id" in l
+        for l in plan.splitlines()
+    ), plan
