@@ -826,27 +826,36 @@ def sim_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       QUALIFY row_number() OVER (PARTITION BY vec_id
                                  ORDER BY cs DESC, centroid_id) = 1
     ),
-    deq AS (
-      SELECT a.vec_id, a.centroid_id,
-             list_transform(
-               n.nvec, x -> round(x / s.scale * 127) * s.scale / 127
-             ) AS dvec
+    scales AS (
+      SELECT vec_id,
+             greatest(list_max(list_transform(nvec, x -> abs(x))),
+                      1e-30) AS scale
+      FROM normed
+    ),
+    codes AS (
+      SELECT a.vec_id, a.centroid_id, s.scale,
+             list_transform(n.nvec, x -> round(x / s.scale * 127)) AS v8
       FROM assigned a
       JOIN normed n USING (vec_id)
-      JOIN (SELECT vec_id,
-                   greatest(list_max(list_transform(nvec, x -> abs(x))),
-                            1e-30) AS scale
-            FROM normed) s USING (vec_id)
+      JOIN scales s USING (vec_id)
     ),
-    q AS (SELECT vec_id AS query_id, centroid_id AS qcell
-          FROM assigned WHERE vec_id >= 8 AND vec_id < 12),
+    q AS (
+      SELECT a.vec_id AS query_id, a.centroid_id AS qcell,
+             s.scale AS qscale,
+             list_transform(n.nvec, x -> round(x / s.scale * 127)) AS qq8
+      FROM assigned a
+      JOIN normed n USING (vec_id)
+      JOIN scales s USING (vec_id)
+      WHERE a.vec_id >= 8 AND a.vec_id < 12
+    ),
     scored AS (
-      SELECT q.query_id, d.vec_id,
+      SELECT q.query_id, cd.vec_id,
              round(list_sum(list_transform(range(1, 65),
-                   i -> qn.nvec[i] * d.dvec[i])), 6) AS cos_sim
+                   i -> q.qq8[i] * cd.v8[i]))
+                   * q.qscale * cd.scale / 16129.0, 6) AS cos_sim
       FROM q
-      JOIN deq d ON d.centroid_id = q.qcell AND d.vec_id <> q.query_id
-      JOIN normed qn ON qn.vec_id = q.query_id
+      JOIN codes cd
+        ON cd.centroid_id = q.qcell AND cd.vec_id <> q.query_id
     )
     SELECT query_id, vec_id, cos_sim,
            row_number() OVER (PARTITION BY query_id
@@ -863,13 +872,17 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention) — and serve the same 4 probes as the flat gate. The
     quantizer is EXACT arithmetic DuckDB can replicate (round-half-up
     on exact doubles, parquet round-trips both codes and scale
-    losslessly), so the oracle dequantizes with the same formula
-    (code = round(x/scale*127); deq = code*scale/127) and the
-    match is bit-for-bit, not approximate: the driver hash-compares
-    the quantized ranking itself. The serve plan is the flat probe's
-    (DPP cell pruning through the dequantizing projection,
-    plan-pinned); the tier trades ~1e-3 per-dot error for ~6.7x
-    fewer vector bytes (SCALE.md round-10 table)."""
+    losslessly), and so is the INT8-DOMAIN serve dot (round 11,
+    VERDICT r10 'What's wrong' #1: query quantized once per probe,
+    integer products of raw codes, one qscale x vscale / 127^2
+    rescale per pair — every term integer-valued and well inside
+    double exactness), so the oracle replicates both and the match
+    is bit-for-bit, not approximate: the driver hash-compares the
+    quantized ranking itself. The serve plan is the flat probe's
+    (DPP cell pruning on the raw code scan, plan-pinned); the tier
+    trades ~1e-3 per-dot error for ~6.7x fewer vector bytes and,
+    with the int8 dot, no longer pays the dequant CPU tax (SCALE.md
+    round-10/11 tables)."""
     import os
     import tempfile
 
