@@ -146,6 +146,18 @@ AUDITED = {
         "levenshtein verifies candidates only — the within-block "
         "quadratic never executes (26.9 s -> 2.3 s at sf0.1)."
     ),
+    "sim_ivf_filtered_topk": (
+        "Filtered ANN is ONE pruned scan: the attribute predicate "
+        "is pushed into the parquet reader (PushedFilters on label) "
+        "composing with the DPP cell subquery (PartitionFilters) — "
+        "no per-query attribute join at any corpus size."
+    ),
+    "sim_sq8_topk": (
+        "The int8 tier's probe scans raw codes (no dequant "
+        "projection in the scan — the dot is integer MACs + one "
+        "rescale per pair) and still carries the DPP cell subquery "
+        "in PartitionFilters."
+    ),
 }
 
 
