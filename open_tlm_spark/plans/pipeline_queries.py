@@ -905,3 +905,108 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
     )
     return idx.topk(queries, k=5)
+
+
+@register(
+    "sim_sq8_filtered_topk",
+    bench=False,  # builds index state each run — correctness gate only
+    stateful=True,  # IVFSQ8Index.build writes parquet artifacts
+    oracle=f"""{NORMED_CTE},
+    c AS (SELECT vec_id AS centroid_id, nvec AS cnvec FROM normed WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, centroid_id
+      FROM (
+        SELECT a.vec_id, c.centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> a.nvec[i] * c.cnvec[i])), 6) AS cs
+        FROM normed a, c) s
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, centroid_id) = 1
+    ),
+    scales AS (
+      SELECT vec_id,
+             greatest(list_max(list_transform(nvec, x -> abs(x))),
+                      1e-30) AS scale
+      FROM normed
+    ),
+    codes AS (
+      SELECT a.vec_id, a.centroid_id, s.scale,
+             list_transform(n.nvec, x -> round(x / s.scale * 127)) AS v8
+      FROM assigned a
+      JOIN normed n USING (vec_id)
+      JOIN scales s USING (vec_id)
+      JOIN embeddings e ON e.vec_id = a.vec_id AND e.label = 3
+    ),
+    qcells AS (
+      SELECT query_id, centroid_id AS qcell
+      FROM (
+        SELECT n.vec_id AS query_id, c.centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> n.nvec[i] * c.cnvec[i])), 6) AS cs
+        FROM normed n, c
+        WHERE n.vec_id >= 8 AND n.vec_id < 12) s
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cs DESC, centroid_id) <= 2
+    ),
+    q AS (
+      SELECT qc.query_id, qc.qcell, s.scale AS qscale,
+             list_transform(n.nvec, x -> round(x / s.scale * 127)) AS qq8
+      FROM qcells qc
+      JOIN normed n ON n.vec_id = qc.query_id
+      JOIN scales s ON s.vec_id = qc.query_id
+    ),
+    scored AS (
+      SELECT q.query_id, cd.vec_id,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> q.qq8[i] * cd.v8[i]))
+                   * q.qscale * cd.scale / 16129.0, 6) AS cos_sim
+      FROM q
+      JOIN codes cd
+        ON cd.centroid_id = q.qcell AND cd.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def sim_sq8_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization x attribute filtering COMPOSED, driver-gated:
+    the int8-domain probe applies `where` to the RAW code scan (see
+    IVFSQ8Index.topk — a different filter site from the flat tier's
+    dequant view, previously covered only by a 0.95-overlap pytest),
+    so this gate pins the composition exactly: attrs persisted next
+    to the int8 codes, predicate pushed into the pruned scan,
+    integer-MAC scoring over the filtered survivors of the two
+    probed cells. The oracle quantizes both sides and filters before
+    ranking (pre-filter semantics) — a bit-for-bit hash match like
+    sim_sq8_topk, not an overlap metric."""
+    import os
+    import tempfile
+
+    from open_tlm_spark.operators.ivf_store import IVFSQ8Index
+
+    emb = spark.table("embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        S.as_double(F.col("embedding")).alias("cvec"),
+    )
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"tlm_sq8_filtered_gate_{spark.sparkContext.applicationId}",
+    )
+    idx = IVFSQ8Index.build(
+        spark,
+        emb,
+        scratch,
+        centroids=centroids,
+        attrs=emb.select("vec_id", "label"),
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return idx.topk(queries, k=5, nprobe=2, where="label = 3")

@@ -90,7 +90,10 @@ def register(
 #      sim_sq8_topk (the int8 tier's serve path — the oracle
 #      replicates the max-abs scalar quantizer exactly, so the gate
 #      hash-compares the quantized ranking itself, not an overlap
-#      metric).
+#      metric) — plus sim_sq8_filtered_topk, gating the COMPOSITION:
+#      the int8-domain probe (adopted this round) filters the RAW
+#      code scan, a different filter site from the flat tier's,
+#      previously only overlap-tested.
 #   2. Changed: sim_ivf_persisted_topk (ivf_store.py: full
 #      name+type intake validation and duplicate-vec_id guard on the
 #      attrs join, Observation-counted compaction, selectivity-
@@ -151,6 +154,7 @@ _CHECK_FIRST = [
     #    from pytest-pinned to driver-gated (VERDICT r10 missing #2)
     "sim_ivf_filtered_topk",
     "sim_sq8_topk",
+    "sim_sq8_filtered_topk",
     # 2. changed in round 11 (ivf_store: attr-contract hardening,
     #    observation-counted compaction, auto rerank depth)
     "sim_ivf_persisted_topk",

@@ -743,11 +743,12 @@ def test_builders_never_call_driver_actions(spark):
         # artifacts at build time — a store harness like
         # store_roundtrip_rollup, not a lazy builder
         "sim_ivf_persisted_topk",
-        # r11: the other two serving-surface gates — same class of
+        # r11: the other serving-surface gates — same class of
         # store harness (IVFIndex.build(attrs=...)/IVFSQ8Index.build
         # write artifacts before the lazy serve plan is returned)
         "sim_ivf_filtered_topk",
         "sim_sq8_topk",
+        "sim_sq8_filtered_topk",
     }, f"unexpected stateful registrations: {sorted(stateful)}"
     with _ActionTrap() as trap:
         for name, q in REGISTRY.items():
@@ -1053,4 +1054,22 @@ def test_sq8_gate_probe_prunes(spark):
         "PartitionFilters" in l
         and "dynamicpruningexpression(centroid_id" in l
         for l in plan.splitlines()
+    ), plan
+
+
+def test_sq8_filtered_gate_pushes_and_prunes(spark):
+    """sim_sq8_filtered_topk composes quantization with attribute
+    filtering on the RAW code scan: the predicate must be pushed
+    (PushedFilters on label) AND the DPP cell subquery must survive
+    on the same scan — one pruned, filtered read of int8 codes."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    plan = plan_of(spark, "sim_sq8_filtered_topk")
+    lines = plan.splitlines()
+    assert any(
+        "PushedFilters" in l and "EqualTo(label,3)" in l for l in lines
+    ), plan
+    assert any(
+        "PartitionFilters" in l
+        and "dynamicpruningexpression(centroid_id" in l
+        for l in lines
     ), plan
