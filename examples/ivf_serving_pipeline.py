@@ -90,6 +90,7 @@ def build_serving_indexes(
     dim: int = DIM,
     train_iters: int = 1,
     quantized: bool = False,
+    attrs: DataFrame | None = None,
 ) -> tuple[IVFIndex, IVFPQIndex]:
     """Both serving artifacts from one seed corpus, sharing coarse
     centroids (train once — the PQ build reuses the flat build's
@@ -102,7 +103,15 @@ def build_serving_indexes(
     instead of fp64 (~6.7x less disk, ~1e-3 score perturbation —
     SCALE.md round-10 table): IVFSQ8Index is a drop-in IVFIndex, so
     intake, maintenance, probe, rebuild, and serving below all run
-    unchanged; `open_vector_index` re-detects the tier on reload."""
+    unchanged; `open_vector_index` re-detects the tier on reload.
+
+    `attrs` — optional (vec_id, <attribute columns>) frame for
+    FILTERED serving: denormalized into the refine artifact at build
+    (`IVFIndex.build(attrs=...)`), after which `topk(where=...)` and
+    `topk_rerank(where=...)` filter inside the pruned scan. The PQ
+    candidate artifact never carries attributes (m code rows per
+    vector); `rebuild_and_swap` reads them back off the serve view,
+    so the sidecar survives retraining."""
     flat_cls = IVFSQ8Index if quantized else IVFIndex
     flat = flat_cls.build(
         spark,
@@ -111,6 +120,7 @@ def build_serving_indexes(
         k=k,
         dim=dim,
         centroids=centroids,
+        attrs=attrs,
     )
     pq = IVFPQIndex.build(
         spark,

@@ -307,3 +307,32 @@ def test_rebuild_preserves_attr_sidecar(spark, tmp_path):
         epoch=1,
         attrs=attrs.limit(0),
     )
+
+
+def test_build_serving_indexes_with_attrs(spark, tmp_path):
+    """The deployment entry point accepts attrs: the pair it builds
+    serves filtered top-k (raw and reranked) without dropping to the
+    index classes directly, on either precision tier."""
+    from open_tlm_spark.operators.ivf_store import topk_rerank
+
+    load_tables(spark, SF)
+    emb = spark.table("embeddings")
+    attrs = emb.select("vec_id", "label")
+    for quantized in (False, True):
+        flat, pq = build_serving_indexes(
+            spark,
+            emb,
+            str(tmp_path / ("q" if quantized else "f")),
+            centroids=_cents(emb),
+            quantized=quantized,
+            attrs=attrs,
+        )
+        assert flat._attr_lines() == ["label int"]
+        got = flat.topk(
+            _queries(emb), k=5, nprobe=8, where="label = 3"
+        ).count()
+        assert got == 20
+        rr = topk_rerank(
+            pq, flat, _queries(emb), k=5, nprobe=8, where="label = 3"
+        ).count()
+        assert rr == 20
