@@ -79,10 +79,12 @@ ASSIGN_SCHEMA = (
 _POINTER = "CURRENT"
 _VERSION_RE = re.compile(r"^v\d+$")
 
-# (index path, version, predicate) -> estimated match fraction; one
-# narrow scan per key, reused across every query batch that serves
-# the same filtered predicate against the same artifact version.
-_SELECTIVITY_CACHE: dict[tuple[str, str, str], float] = {}
+# (index path, version, intake-epoch set, predicate) -> estimated
+# match fraction; one narrow scan per key, reused across every query
+# batch that serves the same filtered predicate against the same
+# artifact state (an intake's new epochs change the key, so the memo
+# self-invalidates without add() knowing about it).
+_SELECTIVITY_CACHE: dict[tuple[str, str, str, str], float] = {}
 
 try:  # linux/mac; on platforms without fcntl the lock degrades to a no-op
     import fcntl as _fcntl
@@ -762,12 +764,23 @@ class IVFIndex:
         """Fraction of artifact rows passing `where`, from ONE narrow
         aggregation over the attribute columns only (the vector column
         is never read — parquet column pruning makes this footer +
-        attr-page I/O, cheap even at corpus scale) — memoized per
-        (index path, version, predicate) so a serving host pays it
-        once per predicate per artifact version, not per query batch.
-        Feeds `topk_rerank`'s automatic candidate-depth rule (VERDICT
-        r10 'What's missing' #3)."""
-        key = (self.path, _read_pointer(self.path) or "", str(where))
+        attr-page I/O, cheap even at corpus scale; plan-pinned) —
+        memoized so a serving host pays it once per predicate per
+        artifact STATE, not per query batch. The memo key carries the
+        version AND the on-disk intake-epoch set: `add()` lands new
+        epochs without a version bump, so a version-only key would
+        keep serving a pre-intake estimate forever (a skewed intake —
+        say, all new vectors failing the predicate — would then
+        under-depth every rerank); the epoch listing is the same
+        bounded directory walk `intake_epochs` already does, never a
+        scan. Feeds `topk_rerank`'s automatic candidate-depth rule
+        (VERDICT r10 'What's missing' #3)."""
+        key = (
+            self.path,
+            _read_pointer(self.path) or "",
+            ",".join(map(str, sorted(self.intake_epochs()))),
+            str(where),
+        )
         cached = _SELECTIVITY_CACHE.get(key)
         if cached is not None:
             return cached

@@ -608,3 +608,39 @@ def test_selectivity_estimate_never_reads_vectors(spark, tmp_path, emb_cents):
     # and the estimate itself is sane on this artifact
     sel = idx.estimate_filter_selectivity(pred)
     assert 0.05 < sel < 0.2  # one of 10 labels
+
+
+def test_selectivity_memo_invalidates_on_intake(spark, tmp_path, emb_cents):
+    """The selectivity memo keys on the on-disk epoch set, not just
+    the version: add() lands epochs WITHOUT a version bump, so a
+    version-only memo would keep serving the pre-intake estimate —
+    a skewed intake (here: every new vector fails the predicate)
+    must move the estimate on the next call."""
+    emb, cents = emb_cents
+    attrs = emb.select(
+        "vec_id", (F.col("vec_id") % 2).alias("parity")
+    )
+    idx = IVFIndex.build(
+        spark,
+        emb.filter(F.col("vec_id") % 2 == 0),  # parity-0 only
+        str(tmp_path / "memo"),
+        centroids=cents,
+        attrs=attrs.filter(F.col("vec_id") % 2 == 0),
+    )
+    before = idx.estimate_filter_selectivity("parity = 0")
+    assert before == 1.0  # the whole corpus matches
+    # intake ONLY parity-1 vectors: the true selectivity drops
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    idx.add(
+        odd.select(
+            "vec_id", as_double(F.col("embedding")).alias("embedding")
+        ),
+        epoch=1,
+        attrs=attrs.filter(F.col("vec_id") % 2 == 1),
+    )
+    after = idx.estimate_filter_selectivity("parity = 0")
+    assert 0.4 < after < 0.6  # re-estimated over the grown corpus
+    # and a truncating mutation (compaction) changes the key again
+    # without changing the value
+    assert idx.compact_epochs() > 0
+    assert abs(idx.estimate_filter_selectivity("parity = 0") - after) < 1e-9

@@ -19,6 +19,8 @@ rule was the same as every serve-path A/B: win or tie at both
 decades at equal recall, else record the rejection.
 
 Usage: python tools/int8_dot_smoke.py [n_vectors ...]  (default 200k)
+       (the 20M decade needs SPARK_GRAFT_DRIVER_MEM=64g — the build's
+       assign shuffle outgrows the 16g local default at 32 partitions)
 """
 
 from __future__ import annotations
