@@ -903,9 +903,15 @@ class IVFSQ8Index(IVFIndex):
     all work unchanged, with the same DPP cell pruning (plan-pinned).
     The PROBE (`topk`) overrides with the int8-domain dot (round 11:
     query quantized once, integer MACs over the raw codes, one
-    rescale per pair) — measured 1.07-1.43x faster than scanning
-    through the dequantizing projection at equal recall, erasing the
-    r10 finding that the tier bought bytes but cost CPU. At 100 TB the
+    rescale per pair) — measured 1.07-1.94x faster than scanning
+    through the dequantizing projection at equal recall (the win
+    grows with cell density), erasing the r10 finding that the tier
+    bought bytes but cost CPU. At the 20M decade the tier now beats
+    the fp64 FLAT artifact outright: 5.1x faster probe at 6.7x fewer
+    bytes and recall 1.000 (SCALE.md round-11 tables) — bytes and
+    int8 math compound once the scan outgrows the page cache, so the
+    int8 tier is the serving default at every measured decade and
+    fp64 drops to rebuild/audit duty. At 100 TB the
     rerank fetch against SQ8 instead of fp64 cuts the refine stage's
     bytes ~8x for a ~1e-3 score perturbation — usually free recall
     (measured in tests), and the fp64 artifact can drop to cold
