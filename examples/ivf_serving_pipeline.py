@@ -274,7 +274,7 @@ def rebuild_and_swap(
     # — without this the new version would silently drop the sidecar,
     # breaking every topk(where=...) and failing every attr-carrying
     # intake after the swap
-    attr_names = [ln.split(" ", 1)[0] for ln in flat._attr_lines()]
+    attr_names = flat.attr_columns()
     attrs = (
         served.select("vec_id", *attr_names) if attr_names else None
     )

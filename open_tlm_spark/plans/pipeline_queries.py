@@ -1010,3 +1010,163 @@ def sim_sq8_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
     )
     return idx.topk(queries, k=5, nprobe=2, where="label = 3")
+
+
+@register(
+    "sim_rerank_filtered_topk",
+    bench=False,  # builds dual index state each run — correctness gate
+    stateful=True,  # IVFIndex/IVFPQIndex.build write parquet artifacts
+    oracle=f"""{NORMED_CTE},
+    c AS (SELECT vec_id AS centroid_id, nvec AS cnvec FROM normed WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, centroid_id
+      FROM (
+        SELECT a.vec_id, c.centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> a.nvec[i] * c.cnvec[i])), 6) AS cs
+        FROM normed a, c) s
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, centroid_id) = 1
+    ),
+    qcells AS (
+      SELECT query_id, centroid_id AS qcell
+      FROM (
+        SELECT n.vec_id AS query_id, c.centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> n.nvec[i] * c.cnvec[i])), 6) AS cs
+        FROM normed n, c
+        WHERE n.vec_id >= 8 AND n.vec_id < 12) s
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cs DESC, centroid_id) <= 2
+    ),
+    cellsel AS (
+      SELECT a.centroid_id,
+             (count(*) FILTER (WHERE e.label = 3)) / count(*) AS sel
+      FROM assigned a JOIN embeddings e USING (vec_id)
+      GROUP BY a.centroid_id
+    ),
+    qdepth AS (
+      SELECT q.query_id,
+             least(greatest(CAST(ceil(8.0 / greatest(
+                     min(coalesce(cs.sel, 1.0)), 1e-12)) AS BIGINT),
+                   8), 65536) AS depth
+      FROM qcells q LEFT JOIN cellsel cs ON cs.centroid_id = q.qcell
+      GROUP BY q.query_id
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, nvec
+      FROM (SELECT vec_id, nvec FROM normed ORDER BY vec_id LIMIT 32)
+    ),
+    codes AS (
+      SELECT vec_id, sub, CAST(min(ikey) % 100 AS BIGINT) AS code
+      FROM (
+        SELECT t.vec_id, s.sub,
+               CAST(round(round(list_sum(list_transform(range(1, 9),
+                     j -> (t.nvec[s.sub * 8 + j] - c.nvec[s.sub * 8 + j])
+                          * (t.nvec[s.sub * 8 + j]
+                             - c.nvec[s.sub * 8 + j]))), 6)
+                 * 1000000) AS BIGINT) * 100 + c.code_id AS ikey
+        FROM normed t, UNNEST(range(0, 8)) s(sub), cb c)
+      GROUP BY vec_id, sub
+    ),
+    lut AS (
+      SELECT qn.vec_id AS query_id, s.sub, c.code_id,
+             CAST(round(list_sum(list_transform(range(1, 9),
+                   j -> (qn.nvec[s.sub * 8 + j] - c.nvec[s.sub * 8 + j])
+                        * (qn.nvec[s.sub * 8 + j]
+                           - c.nvec[s.sub * 8 + j]))), 6)
+               AS DECIMAL(18,6)) AS d
+      FROM normed qn, UNNEST(range(0, 8)) s(sub), cb c
+      WHERE qn.vec_id >= 8 AND qn.vec_id < 12
+    ),
+    cand AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, vec_id) AS arank
+      FROM (
+        SELECT q.query_id, a.vec_id, sum(l.d) AS dist
+        FROM qcells q
+        JOIN assigned a ON a.centroid_id = q.qcell
+                       AND a.vec_id <> q.query_id
+        JOIN codes t ON t.vec_id = a.vec_id
+        JOIN lut l ON l.query_id = q.query_id AND l.sub = t.sub
+                  AND l.code_id = t.code
+        GROUP BY 1, 2)
+    ),
+    scored AS (
+      SELECT ca.query_id, ca.vec_id,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> qn.nvec[i] * an.nvec[i])), 6) AS cos_sim
+      FROM cand ca
+      JOIN qdepth dq ON dq.query_id = ca.query_id
+                    AND ca.arank <= dq.depth
+      JOIN embeddings e ON e.vec_id = ca.vec_id AND e.label = 3
+      JOIN normed qn ON qn.vec_id = ca.query_id
+      JOIN normed an ON an.vec_id = ca.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def sim_rerank_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FILTERED, AUTO-DEPTH rerank path, driver-gated (VERDICT
+    r11 'What's missing' #2 / 'Next round' #2): the one serving
+    surface a selective predicate actually takes in the shipped loop
+    — ADC candidates from the PQ codes (UNFILTERED: codes carry no
+    attributes), candidate depth divided per query by the MIN
+    estimated selectivity over that query's probed cells (the
+    round-12 per-cell rule closing the geometry-correlated starvation
+    hole, VERDICT r11 'What's missing' #3), then the exact-cosine
+    refine fetch against the flat artifact with `label = 3` pushed
+    into its pruned scan. r=8 with ~10%-selective label=3 makes the
+    depth division LOAD-BEARING: unfiltered ADC top-8 would leave <2
+    survivors per query, so a wrong or skipped division fails the
+    hash, not just a recall metric. The oracle replicates every
+    stage exactly — assignment, nprobe=2 routing, per-cell
+    selectivity (exact integer counts -> one IEEE divide), the
+    least/greatest/ceil depth rule, the deterministic ks=32
+    normalized-subvector codebook, integer-key argmin codes, DECIMAL
+    ADC sums with (dist, vec_id) tiebreaks, and the 6-dp exact
+    rerank — a bit-for-bit hash match (operators/ivf_store.py
+    topk_rerank; reference has no ANN surface — extension per
+    SURVEY.md §2.9)."""
+    import os
+    import tempfile
+
+    from open_tlm_spark.operators.ivf_store import (
+        IVFIndex,
+        IVFPQIndex,
+        topk_rerank,
+    )
+
+    emb = spark.table("embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        S.as_double(F.col("embedding")).alias("cvec"),
+    )
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"tlm_rerank_gate_{spark.sparkContext.applicationId}",
+    )
+    flat = IVFIndex.build(
+        spark,
+        emb,
+        os.path.join(scratch, "flat"),
+        centroids=centroids,
+        attrs=emb.select("vec_id", "label"),
+    )
+    pq = IVFPQIndex.build(
+        spark, emb, os.path.join(scratch, "pq"), centroids=centroids
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return topk_rerank(
+        pq, flat, queries, k=5, r=8, nprobe=2, where="label = 3"
+    )

@@ -82,7 +82,29 @@ def register(
 #   r11 — the r7-era block (44 queries) + changed + NEW: first free
 #         slots since r7 — spent on driver-gating the round-10
 #         serving surface (VERDICT r10 'What's missing' #2).
-#   r12 — the r8-era block (48 queries) + changed.
+#   r12 — the r8-era block + changed + 1 NEW. The block is 48 but
+#         the round-12 ivf_store work (per-cell auto-depth, attr
+#         contract/cache/build-order ADVICE fixes, the shared rank
+#         tail) stales all 4 ivf-store gates, and the new rerank
+#         gate takes 1 slot: 1 + 4 + 45 = 50, so THREE r8-era
+#         queries are deferred to r13 (docs_length_histogram,
+#         orders_pareto_share, ts_counter_rate — cheap, stable,
+#         code-untouched aggregates; they head the r13 window next
+#         to the r9-era block's 47).
+#
+# Round-12 head, in priority order:
+#   1. NEW: sim_rerank_filtered_topk — the filtered/auto-depth
+#      rerank was the one serving surface still pytest-only
+#      (VERDICT r11 'What's missing' #2); its oracle replicates the
+#      ADC candidate stage, the per-query min-probed-cell depth
+#      rule, and the filtered exact refine bit-for-bit.
+#   2. Changed: the 4 ivf-store gates (ivf_store.py: per-cell
+#      selectivity + per-query depth, VERDICT r11 missing #3; the
+#      5 ADVICE r11 fixes; _rank_topk extraction, wrong #3; int8
+#      docstring honesty, wrong #2).
+#   3. The r8-era rotation block (45 of 48; last green row round 8,
+#      code unchanged since — enforced by
+#      tests/test_evidence_freshness.py + tools/evidence.py).
 #
 # Round-11 head, in priority order:
 #   1. NEW queries: sim_ivf_filtered_topk (topk(where=...) against a
@@ -150,59 +172,61 @@ def register(
 #      unchanged since — enforced by tests/test_evidence_freshness.py
 #      + tools/evidence.py fingerprints).
 _CHECK_FIRST = [
-    # 1. NEW in round 11: the round-10 serving surface graduates
-    #    from pytest-pinned to driver-gated (VERDICT r10 missing #2)
+    # 1. NEW in round 12: the filtered/auto-depth rerank gate
+    "sim_rerank_filtered_topk",
+    # 2. changed in round 12 (ivf_store: per-cell auto-depth,
+    #    ADVICE r11 fixes, shared rank tail)
+    "sim_ivf_persisted_topk",
     "sim_ivf_filtered_topk",
     "sim_sq8_topk",
     "sim_sq8_filtered_topk",
-    # 2. changed in round 11 (ivf_store: attr-contract hardening,
-    #    observation-counted compaction, auto rerank depth)
-    "sim_ivf_persisted_topk",
-    # 3. r7-era rotation block (44 queries; last green row round 7)
-    "approx_distinct_stats",
-    "asof_align_series",
-    "corpus_snapshot_diff",
-    "cube_order_stats",
-    "customers_fuzzy_linkage",
-    "decontaminate_minhash_fuzzy",
-    "dedup_cluster_size_histogram",
-    "dedup_incremental_minhash",
-    "distinct_stats_exact",
-    "docs_clean_pipeline",
-    "docs_mad_outlier_lengths",
-    "events_dedup_time_window",
-    "events_top_paths",
-    "multimodal_frame_sample",
-    "multimodal_metadata_stats",
-    "multimodal_resize",
-    "orders_cohort_ltv",
-    "pack_sequences",
-    "percentiles_by_event_type",
-    "quality_filter_funnel",
-    "rank_parts_in_brand",
-    "sample_domain_mix",
-    "skew_salted_agg",
-    "text_langid",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_token_stats",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_shipments",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_excess_suppliers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation_year",
-    "ts_agg_1000s",
-    "ts_dataset_search",
-    "ts_fidelity_route",
-    "ts_histogram",
-    "ts_minmax_range",
-    "ts_rollup_cascade",
-    "ts_topk_latest",
-    "ts_value_projection",
-    "unpivot_part_metrics",
+    # 3. r8-era rotation block (45 of 48; 3 deferred to r13,
+    #    see the schedule note above)
+    "basket_part_pairs",
+    "bucketed_colocated_join",
+    "chunk_documents",
+    "curation_yield_by_source",
+    "dedup_clusters",
+    "dedup_simhash_hamming",
+    "dedup_substring_spans",
+    "docs_ngram_novelty",
+    "docs_template_detection",
+    "documents_zipf_fit",
+    "embedding_dim_stats",
+    "embedding_label_cohesion",
+    "event_funnel_windowed",
+    "events_ab_test_lift",
+    "events_markov_transitions",
+    "events_retention_cohorts",
+    "lineitem_discount_elasticity",
+    "lineitem_equidepth_histogram",
+    "metrics_loop_series",
+    "multimodal_exact_dedup",
+    "orders_fulfillment_sla",
+    "orders_open_backlog_daily",
+    "orders_rfm_segments",
+    "parts_skyline_pareto",
+    "pq_quantize",
+    "privacy_delete_propagation",
+    "quality_gopher_rules",
+    "sem_dedup_cells",
+    "sim_ivf_recall_eval",
+    "sim_ivfpq_topk",
+    "sim_lsh_recall_eval",
+    "sim_pq_adc_topk",
+    "sim_pq_recall_eval",
+    "source_overlap_matrix",
+    "store_roundtrip_rollup",
+    "text_code_detection",
+    "text_langid_confusion",
+    "ts_autocorr_lags",
+    "ts_error_budget_burn",
+    "ts_heatmap_2d",
+    "ts_holt_linear",
+    "ts_inter_arrival_stats",
+    "ts_staleness_report",
+    "ts_time_weighted_avg",
+    "user_activity_entropy",
 ]
 
 

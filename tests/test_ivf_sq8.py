@@ -644,3 +644,165 @@ def test_selectivity_memo_invalidates_on_intake(spark, tmp_path, emb_cents):
     # without changing the value
     assert idx.compact_epochs() > 0
     assert abs(idx.estimate_filter_selectivity("parity = 0") - after) < 1e-9
+
+
+def test_filtered_rerank_cell_correlated_attr_returns_k(
+    spark, tmp_path, emb_cents
+):
+    """Per-probed-cell depth (VERDICT r11 'What's missing' #3): the
+    r11 smoke's `bucket = vec_id % M` predicate is geometry-
+    INDEPENDENT by construction, so the global selectivity estimate
+    happened to be right. Here the attribute is a function of cell
+    geometry — `hit` is 1 everywhere EXCEPT the query's own cell,
+    where only 8 vectors carry it — so the global fraction (~0.9)
+    says depth is fine while the probed cell is ~87% matchless.
+    Everything is deterministic (fixed data, fixed centroids, exact
+    ADC), so the contrast is a pin, not a coin flip: the per-cell
+    rule must return the TRUE filtered top-k, and the old global
+    rule (simulated via auto_depth=False at the global-depth r)
+    must starve."""
+    import math
+
+    from open_tlm_spark.operators.similarity import ivf_assign_slim
+
+    emb, cents = emb_cents
+    assign = ivf_assign_slim(emb, cents).select("vec_id", "centroid_id")
+    c_star = int(
+        assign.filter(F.col("vec_id") == 8).first().centroid_id
+    )
+    star_rows = (
+        assign.filter(
+            (F.col("centroid_id") == c_star)
+            & (~F.col("vec_id").between(8, 11))
+        )
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    )
+    hit_ids = [int(r.vec_id) for r in star_rows]
+    assert len(hit_ids) == 8
+    attrs = assign.select(
+        "vec_id",
+        F.when(
+            (F.col("centroid_id") != c_star)
+            | F.col("vec_id").isin(hit_ids),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    flat = IVFIndex.build(
+        spark, emb, str(tmp_path / "f"), centroids=cents, attrs=attrs
+    )
+    pq = IVFPQIndex.build(spark, emb, str(tmp_path / "p"), centroids=cents)
+    q8 = _queries(emb, 8, 9)
+    # truth: full candidate fan-out of the probed cell, then filter +
+    # exact rerank == brute force over the cell's filtered rows
+    want = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in topk_rerank(
+            pq, flat, q8, k=5, nprobe=1, where="hit = 1",
+            auto_depth=False, r=10**5,
+        ).collect()
+    }
+    assert len(want) == 5  # 8 matching rows in the cell: k is reachable
+    # the per-cell estimate SEES the starved cell the global one hides
+    by_cell = flat.estimate_filter_selectivity_by_cell("hit = 1")
+    global_sel = flat.estimate_filter_selectivity("hit = 1")
+    assert by_cell[c_star] < 0.2 < 0.8 < global_sel
+    # default auto_depth with small r: per-query depth divides by the
+    # probed cell's min selectivity -> full k, exactly the truth
+    got = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in topk_rerank(
+            pq, flat, q8, k=5, r=8, nprobe=1, where="hit = 1"
+        ).collect()
+    }
+    assert got == want
+    # the r11 GLOBAL rule at the same r would have starved this query
+    r_global = math.ceil(8 / global_sel)
+    starved = topk_rerank(
+        pq, flat, q8, k=5, r=r_global, nprobe=1, where="hit = 1",
+        auto_depth=False,
+    ).count()
+    assert starved < 5
+
+
+def test_selectivity_resolves_partition_columns(spark, tmp_path, emb_cents):
+    """ADVICE r11 #1: the estimate's narrow projection carries the
+    partition columns (centroid_id, epoch — directory-derived, zero
+    data pages), so a `where` over them resolves here exactly as it
+    does at the fetch filter, even on an ATTRIBUTE-FREE index."""
+    emb, cents = emb_cents
+    idx = IVFIndex.build(spark, emb, str(tmp_path / "p"), centroids=cents)
+    assert idx.attr_columns() == []  # the new public accessor
+    assert idx.estimate_filter_selectivity("epoch = 0") == 1.0
+    assert 0.0 < idx.estimate_filter_selectivity("centroid_id < 4") < 1.0
+
+
+def test_rerank_unresolvable_predicate_falls_back(spark, tmp_path, emb_cents):
+    """ADVICE r11 #1 (fallback half): a predicate that resolves at
+    the fetch but not in the narrow projection must not fail the
+    query — auto_depth warns and uses r verbatim."""
+    emb, cents = emb_cents
+    flat = IVFIndex.build(spark, emb, str(tmp_path / "f"), centroids=cents)
+    pq = IVFPQIndex.build(spark, emb, str(tmp_path / "p"), centroids=cents)
+    with pytest.warns(UserWarning, match="verbatim"):
+        out = topk_rerank(
+            pq, flat, _queries(emb), k=5, where="size(nvec) = 64"
+        )
+    assert out.count() == 20  # the all-true predicate serves normally
+
+
+def test_selectivity_cache_evicts_stale_states(spark, tmp_path, emb_cents):
+    """ADVICE r11 #3: the memo replaces a (path, predicate) entry on
+    artifact-state change instead of accreting one dead entry per
+    mutation — a long-lived serving host's cache is bounded by its
+    live (path, predicate) pairs."""
+    from open_tlm_spark.operators.ivf_store import _SELECTIVITY_CACHE
+
+    emb, cents = emb_cents
+    attrs = emb.select("vec_id", "label")
+    idx = IVFIndex.build(
+        spark,
+        emb.filter(F.col("vec_id") < 400),
+        str(tmp_path / "c"),
+        centroids=cents,
+        attrs=attrs.filter(F.col("vec_id") < 400),
+    )
+    idx.estimate_filter_selectivity("label = 3")
+    n0 = len(_SELECTIVITY_CACHE)
+    idx.add(
+        emb.filter(F.col("vec_id") >= 400).select(
+            "vec_id", as_double(F.col("embedding")).alias("embedding")
+        ),
+        epoch=1,
+        attrs=attrs.filter(F.col("vec_id") >= 400),
+    )
+    idx.estimate_filter_selectivity("label = 3")  # state miss: re-scan
+    assert idx.compact_epochs() > 0
+    idx.estimate_filter_selectivity("label = 3")  # version miss: re-scan
+    assert len(_SELECTIVITY_CACHE) == n0  # replaced, never accreted
+
+
+def test_failed_attr_build_leaves_no_version_dir(spark, tmp_path, emb_cents):
+    """ADVICE r11 #4: build() validates attrs BEFORE any on-disk
+    write, so a duplicate-vec_id failure leaves the index path empty
+    (no orphan uncommitted version dir waiting for a later GC)."""
+    emb, cents = emb_cents
+    attrs = emb.select("vec_id", "label")
+    path = tmp_path / "orphan"
+    with pytest.raises(ValueError, match="unique"):
+        IVFIndex.build(
+            spark,
+            emb,
+            str(path),
+            centroids=cents,
+            attrs=attrs.unionByName(attrs.limit(3)),
+        )
+    leftovers = (
+        [n for n in os.listdir(path) if n.startswith("v")]
+        if path.exists()
+        else []
+    )
+    assert leftovers == []

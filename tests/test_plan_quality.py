@@ -749,6 +749,10 @@ def test_builders_never_call_driver_actions(spark):
         "sim_ivf_filtered_topk",
         "sim_sq8_topk",
         "sim_sq8_filtered_topk",
+        # r12: the filtered/auto-depth rerank gate — builds the dual
+        # (flat + PQ) artifacts, and the auto-depth selectivity
+        # estimate is itself a declared driver-side action
+        "sim_rerank_filtered_topk",
     }, f"unexpected stateful registrations: {sorted(stateful)}"
     with _ActionTrap() as trap:
         for name, q in REGISTRY.items():
