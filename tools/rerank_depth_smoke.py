@@ -44,6 +44,7 @@ from tools.ivf_serving_smoke import N_CELLS, synth_vectors
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    corr_only = len(sys.argv) > 2 and sys.argv[2] == "corr-only"
 
     from open_tlm_spark.operators.ivf_store import (
         IVFIndex,
@@ -72,12 +73,21 @@ def main() -> int:
     )
     nq = queries.count()
 
+    def med5(fn):
+        fn()
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[2]
+
     print(
         "| selectivity | manual r=50 rows/q | auto rows/q | auto r_eff | "
         "est. cost (one-off) | manual med5 | auto med5 | auto recall@10 |"
     )
     print("|---|---|---|---|---|---|---|---|")
-    for m in (64, 1024):
+    for m in () if corr_only else (64, 1024):
         attrs = emb.select("vec_id", (F.col("vec_id") % m).alias("bucket"))
         flat = IVFIndex.build(
             spark,
@@ -115,15 +125,6 @@ def main() -> int:
             1 for r in auto_out if r.vec_id in truth.get(r.query_id, set())
         )
         recall = hits / max(len(auto_out), 1)
-
-        def med5(fn):
-            fn()
-            ts = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                fn()
-                ts.append(time.perf_counter() - t0)
-            return sorted(ts)[2]
 
         manual_lat = med5(lambda: run(False).collect())
         auto_lat = med5(lambda: run(True).collect())
@@ -167,12 +168,13 @@ def main() -> int:
     )
     where = "hit = 1"
     # the batch is the queries whose nprobe=1 cell IS the starved cell
-    # (query N_CELLS routes there by construction; its cellmates too)
+    # (query N_CELLS routes there by construction; its cellmates too —
+    # a 2*N_CELLS-wide id range yields a handful of them)
     qcorr = (
         assign.filter(
             (F.col("centroid_id") == c0)
             & (F.col("vec_id") >= N_CELLS)
-            & (F.col("vec_id") < 2 * N_CELLS)
+            & (F.col("vec_id") < N_CELLS + 8 * N_CELLS)
         )
         .join(emb, "vec_id")
         .select(
@@ -187,10 +189,18 @@ def main() -> int:
     global_sel = flat.estimate_filter_selectivity(where)  # memo hit
     r_global = math.ceil(50 / global_sel)
 
+    # truth = the probed cell's filtered rows (what nprobe=1 CAN
+    # return): this measures depth correctness, not nprobe geometry —
+    # the GLOBAL filtered top-10 live in other cells by construction
+    # here, which is the standard nprobe recall trade, not a depth
+    # defect
     truth = {}
     for r in brute_force_topk(
         emb.join(
             attrs.filter(F.col("hit") == 1).select("vec_id"), "vec_id"
+        ).join(
+            assign.filter(F.col("centroid_id") == c0).select("vec_id"),
+            "vec_id",
         ),
         qcorr,
         k=10,
