@@ -806,3 +806,31 @@ def test_failed_attr_build_leaves_no_version_dir(spark, tmp_path, emb_cents):
         else []
     )
     assert leftovers == []
+
+
+def test_filtered_rerank_auto_depth_from_sq8(spark, tmp_path, emb_cents):
+    """Filtered auto-depth rerank with the SQ8 tier as the refine
+    source: the per-cell selectivity estimate runs over the SQ8
+    artifact's raw rows (attrs live next to the int8 codes) through
+    the same inherited code path, so the depth rule must return the
+    full k there too, and the id set must track the fp64-refined
+    result within the tier's ~1e-3 score perturbation."""
+    emb, cents = emb_cents
+    attrs = emb.select("vec_id", "label")
+    flat = IVFIndex.build(
+        spark, emb, str(tmp_path / "f"), centroids=cents, attrs=attrs
+    )
+    sq8 = IVFSQ8Index.build(
+        spark, emb, str(tmp_path / "s"), centroids=cents, attrs=attrs
+    )
+    pq = IVFPQIndex.build(spark, emb, str(tmp_path / "p"), centroids=cents)
+    q = _queries(emb, 8, 28)
+    want = _ids(
+        topk_rerank(pq, flat, q, k=5, r=8, nprobe=2, where="label = 3")
+    )
+    got = _ids(
+        topk_rerank(pq, sq8, q, k=5, r=8, nprobe=2, where="label = 3")
+    )
+    assert len(want) == 100  # 20 queries x full k: auto depth worked
+    assert len(got) == 100  # ...through the SQ8 estimate path too
+    assert len(want & got) / len(want) >= 0.9
