@@ -89,7 +89,10 @@ def register(
 #         gate takes 1 slot: 1 + 4 + 45 = 50, so THREE r8-era
 #         queries are deferred to r13 (docs_length_histogram,
 #         orders_pareto_share, ts_counter_rate — cheap, stable,
-#         code-untouched aggregates; they head the r13 window next
+#         code-untouched aggregates, and all 3 re-verified green
+#         against their DuckDB oracles locally in round 12
+#         (tools/diffcheck.py at sf0.01) so the deferral carries
+#         fresh local evidence; they head the r13 window next
 #         to the r9-era block's 47).
 #
 # Round-12 head, in priority order:
