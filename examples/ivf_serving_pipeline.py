@@ -258,41 +258,50 @@ def rebuild_and_swap(
     crash anywhere mid-rebuild leaves consistent serving.
 
     The corpus source is the flat artifact itself (vec_id, nvec — the
-    normalized vectors ARE the corpus), resolved against the
-    pre-rebuild version; the superseded version's files outlive the
-    flip, so the PQ rebuild can still read them after the flat swap.
+    normalized vectors ARE the corpus), read under a READER LEASE
+    (`flat.pinned()`, round 12): the rebuild is itself a mutation of
+    the flat path, and the PQ rebuild keeps reading the pre-rebuild
+    corpus AFTER that flip — previously that read leaned on the
+    one-mutation grace window (a concurrent compaction or delete
+    landing mid-rebuild would have reclaimed the corpus version
+    mid-scan); the lease holds the version until both builds finish,
+    and costs nothing (no lock — intake/maintenance proceed, GC just
+    keeps one more version until release).
     QUIESCE INTAKE FIRST (stop the stream or let the gate idle): an
     epoch landed between a build's corpus snapshot and its flip would
     not be in the new version — re-land it or replay the landing
     files after the swap. The intake gate's monotone epochs make the
     replay idempotent."""
-    served = flat.assignments()
-    corpus = served.select("vec_id", F.col("nvec").alias("embedding"))
-    # an attrs-built index carries its attribute columns THROUGH the
-    # rebuild (ADVICE r10 #1): the serve view exposes them next to
-    # each vector, so read them back and hand them to build(attrs=...)
-    # — without this the new version would silently drop the sidecar,
-    # breaking every topk(where=...) and failing every attr-carrying
-    # intake after the swap
-    attr_names = flat.attr_columns()
-    attrs = (
-        served.select("vec_id", *attr_names) if attr_names else None
-    )
-    # type(flat) preserves the precision tier across the rebuild (an
-    # SQ8 artifact rebuilds as SQ8; its corpus read is the dequantized
-    # view, so retraining sees the ~1e-3-perturbed vectors — the same
-    # trade the tier already made at serve time)
-    new_flat = type(flat).build(
-        spark, corpus, flat.path, k=k, iters=iters, dim=dim, attrs=attrs
-    )
-    new_pq = IVFPQIndex.build(
-        spark,
-        corpus,
-        pq.path,
-        dim=dim,
-        centroids=new_flat.centroids(),
-        train_iters=train_iters,
-    )
+    with flat.pinned() as snapshot:
+        served = snapshot.assignments()
+        corpus = served.select("vec_id", F.col("nvec").alias("embedding"))
+        # an attrs-built index carries its attribute columns THROUGH
+        # the rebuild (ADVICE r10 #1): the serve view exposes them
+        # next to each vector, so read them back and hand them to
+        # build(attrs=...) — without this the new version would
+        # silently drop the sidecar, breaking every topk(where=...)
+        # and failing every attr-carrying intake after the swap
+        attr_names = snapshot.attr_columns()
+        attrs = (
+            served.select("vec_id", *attr_names) if attr_names else None
+        )
+        # type(flat) preserves the precision tier across the rebuild
+        # (an SQ8 artifact rebuilds as SQ8; its corpus read is the
+        # dequantized view, so retraining sees the ~1e-3-perturbed
+        # vectors — the same trade the tier already made at serve
+        # time)
+        new_flat = type(flat).build(
+            spark, corpus, flat.path, k=k, iters=iters, dim=dim,
+            attrs=attrs,
+        )
+        new_pq = IVFPQIndex.build(
+            spark,
+            corpus,
+            pq.path,
+            dim=dim,
+            centroids=new_flat.centroids(),
+            train_iters=train_iters,
+        )
     return new_flat, new_pq
 
 
