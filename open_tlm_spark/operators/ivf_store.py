@@ -347,12 +347,17 @@ class IVFIndex:
         mutations, and the lease is removed on exit (or swept after
         LEASE_TTL_SECONDS if the reader died — a crash leaks the
         version for the TTL, never forever). The yielded view is the
-        SAME index class frozen to the leased version: reads resolve
-        to it regardless of concurrent pointer flips, and mutations
-        through it raise. Takes no lock — pinning never blocks
-        intake or maintenance; it only widens their GC keep-set.
-        Legacy (unversioned) artifacts have nothing to pin; the view
-        degrades to the live layout there."""
+        SAME index class frozen to a TRUE SNAPSHOT: version-pinned
+        against truncating mutations (pointer flips) AND
+        epoch-pinned against in-place intake — `add()` lands new
+        (cell, epoch) leaves inside the CURRENT version without a
+        flip, so a version pin alone would still see vectors arrive
+        mid-read; the view additionally filters to the epoch set on
+        disk at pin time (a static partition-prune, zero cost).
+        Mutations through the view raise. Takes no lock — pinning
+        never blocks intake or maintenance; it only widens their GC
+        keep-set. Legacy (unversioned) artifacts have nothing to
+        pin; the view degrades to the live layout there."""
         v = _read_pointer(self.path)
         lease = None
         if v is not None:
@@ -367,10 +372,15 @@ class IVFIndex:
             os.replace(tmp, lease)
             # the pointer may have flipped while the lease was being
             # written; the grace window covers exactly that race (one
-            # flip), so the leased version is still on disk — but
-            # re-read so the view pins what the lease actually names
+            # flip), so the leased version is still on disk
         view = type(self)(self.spark, self.path)
         view._pin = v
+        if v is not None:
+            eps: set[int] = set()
+            leaf_dir = os.path.join(self.path, v, self._DATA_DIR)
+            for names in _leaf_partitions(leaf_dir).values():
+                eps.update(int(e.split("=", 1)[1]) for e in names)
+            view._pin_epochs = frozenset(eps or {0})
         try:
             yield view
         finally:
@@ -679,14 +689,27 @@ class IVFIndex:
             self.spark.catalog.refreshByPath(self.path)
 
     # ------------------------------------------------------ maintenance
+    def _maybe_pin_epochs(self, df: DataFrame) -> DataFrame:
+        """On a `pinned()` snapshot view, restrict reads to the epoch
+        set captured at pin time — a static partition-prune over the
+        (centroid_id, epoch) layout, so an intake landing new epochs
+        into the pinned version mid-read stays invisible. No-op on
+        normal handles."""
+        eps = getattr(self, "_pin_epochs", None)
+        if eps is None:
+            return df
+        return df.filter(F.col("epoch").isin(*sorted(eps)))
+
     def _data(self) -> DataFrame:
         """On-disk row shape (what compaction/delete rewrite). The
         schema is the pinned base schema plus any attribute-sidecar
         columns — pinned rather than footer-inferred so partition
         columns stay bigint (inference would narrow them to int and
         break the probe plans' join-key types)."""
-        return self.spark.read.schema(self._data_schema()).parquet(
-            self.data_path
+        return self._maybe_pin_epochs(
+            self.spark.read.schema(self._data_schema()).parquet(
+                self.data_path
+            )
         )
 
     def intake_epochs(self) -> set[int]:
@@ -1609,7 +1632,7 @@ class IVFPQIndex(IVFIndex):
             self.spark.catalog.refreshByPath(self.path)
 
     def _data(self) -> DataFrame:
-        return self.codes()
+        return self._maybe_pin_epochs(self.codes())
 
     def codebook(self) -> DataFrame:
         return self.spark.read.schema(PQ_CODEBOOK_SCHEMA).parquet(
@@ -1655,7 +1678,7 @@ class IVFPQIndex(IVFIndex):
             .cast("decimal(18,6)")
             .alias("d"),
         )
-        c = self.codes()
+        c = self._data()
         sc = (
             c.join(
                 F.broadcast(lut),

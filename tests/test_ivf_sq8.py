@@ -898,3 +898,70 @@ def test_expired_lease_is_swept(spark, tmp_path, emb_cents):
     assert idx.delete([402, 403]) > 0
     assert not os.path.exists(os.path.join(ldir, lease))  # swept
     assert not os.path.isdir(pinned_dir)  # version reclaimed
+
+
+def test_pinned_reader_stress_back_to_back_mutations(
+    spark, tmp_path, emb_cents
+):
+    """The lease contract under actual concurrency: the UNPINNED
+    stress test must space its mutations (the grace window protects
+    one mutation per read); a PINNED reader needs no cadence — it
+    re-reads its version bit-identically while the writer runs
+    intake, compaction, a delete, and a full same-path rebuild
+    BACK-TO-BACK. The lease is load-bearing from the second
+    mutation on (the pinned version stops being the superseded
+    one)."""
+    import threading
+
+    emb, cents = emb_cents
+    path = str(tmp_path / "pstress")
+    idx = IVFIndex.build(
+        spark, emb.filter(F.col("vec_id") < 300), path, centroids=cents
+    )
+    queries = _queries(emb)
+    errors: list[str] = []
+    stop = threading.Event()
+    ready = threading.Event()
+
+    def _pinned_reader():
+        try:
+            with IVFIndex(spark, path).pinned() as view:
+                want = {
+                    (r.query_id, r.vec_id, r.cos_sim, r.rank)
+                    for r in view.topk(queries, k=3, nprobe=2).collect()
+                }
+                ready.set()
+                while not stop.is_set():
+                    got = {
+                        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+                        for r in view.topk(
+                            queries, k=3, nprobe=2
+                        ).collect()
+                    }
+                    if got != want:
+                        errors.append("pinned read drifted")
+                        return
+        except Exception as exc:
+            errors.append(f"pinned read failed: {exc}")
+            ready.set()
+
+    t = threading.Thread(target=_pinned_reader)
+    t.start()
+    assert ready.wait(timeout=180)
+    try:
+        late = emb.filter(
+            (F.col("vec_id") >= 300) & (F.col("vec_id") < 400)
+        ).select(
+            "vec_id", as_double(F.col("embedding")).alias("embedding")
+        )
+        idx.add(late, epoch=1)
+        assert idx.compact_epochs() > 0
+        assert idx.delete([350, 351]) > 0
+        corpus = idx.assignments().select(
+            "vec_id", F.col("nvec").alias("embedding")
+        )
+        IVFIndex.build(spark, corpus, path, centroids=cents)
+    finally:
+        stop.set()
+        t.join(timeout=180)
+    assert not errors, errors
