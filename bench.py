@@ -10,6 +10,7 @@ measured cost is the query itself.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import re
@@ -53,6 +54,21 @@ BENCH_CORE = [
 
 
 def main() -> int:
+    # The committed idle-load reference (BENCH_FULL_LOCAL.json) was
+    # clobbered two rounds running by the driver's loaded per-round
+    # run (VERDICT r12 "Next round" #3). Default the full per-query
+    # map to an untracked scratch file; writing the committed idle
+    # reference is an explicit opt-in: `--out BENCH_FULL_LOCAL.json`.
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--out",
+        default="BENCH_LAST_RUN.json",
+        help="file (relative to the repo root) for the full per-query "
+        "map; pass BENCH_FULL_LOCAL.json explicitly to refresh the "
+        "committed idle reference",
+    )
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -109,8 +125,8 @@ def main() -> int:
     # json-parses the final line; with 140+ registered queries the
     # full per-query dict overflows that window. Report the FIXED
     # BENCH_CORE subset inline so round-over-round driver records
-    # compare like-for-like, and write the complete map to
-    # BENCH_FULL_LOCAL.json beside this script.
+    # compare like-for-like, and write the complete map to --out
+    # (default BENCH_LAST_RUN.json, untracked) beside this script.
     core = {k: per_query[k] for k in BENCH_CORE if k in per_query}
     payload = {
         "metric": "total_query_wall_seconds",
@@ -136,7 +152,7 @@ def main() -> int:
             file=sys.stderr,
         )
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LOCAL.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), args.out),
         "w",
     ) as f:
         json.dump(full, f, indent=1)
