@@ -94,6 +94,25 @@ def register(
 #         (tools/diffcheck.py at sf0.01) so the deferral carries
 #         fresh local evidence; they head the r13 window next
 #         to the r9-era block's 47).
+#   r13 — DECLARED BEFORE the round's code work (VERDICT r12 "Next
+#         round" #2): the 3 r8-era queries deferred from r12
+#         (docs_length_histogram, orders_pareto_share,
+#         ts_counter_rate — 5 rounds since their last driver green,
+#         they MUST head) + the 5 ivf-store gates re-staled by this
+#         round's ADVICE r12 fixes (the selectivity-memo pin state,
+#         the lease-leak try/finally, the snapshot caveats, the
+#         legacy read-only flag, the probed-cell scalar bound — all
+#         on ivf_store.py, whose symbol closure covers all 5 gates)
+#         + 42 of the 47-query r9-era block = 50 exactly. FIVE
+#         r9-era rows are therefore deferred to r14:
+#         stratified_split, events_hash_sample, vocab_doc_freq,
+#         cap_per_source, ts_seasonal_residual — chosen as the
+#         block's cheapest, simplest, code-untouched members
+#         (0.17-0.44 s sampling/aggregate queries), each re-verified
+#         green against its DuckDB oracle locally this round
+#         (tools/diffcheck.py at sf0.01) so the deferral carries
+#         fresh local evidence; they head the r14 window next to
+#         the r10-era block.
 #
 # Round-12 head, in priority order:
 #   1. NEW: sim_rerank_filtered_topk — the filtered/auto-depth
@@ -175,61 +194,63 @@ def register(
 #      unchanged since — enforced by tests/test_evidence_freshness.py
 #      + tools/evidence.py fingerprints).
 _CHECK_FIRST = [
-    # 1. NEW in round 12: the filtered/auto-depth rerank gate
-    "sim_rerank_filtered_topk",
-    # 2. changed in round 12 (ivf_store: per-cell auto-depth,
-    #    ADVICE r11 fixes, shared rank tail)
+    # 1. r8-era queries deferred from the r12 window (5 rounds
+    #    since their last driver green — they head, per VERDICT
+    #    r12 'Next round' #1)
+    "docs_length_histogram",
+    "orders_pareto_share",
+    "ts_counter_rate",
+    # 2. changed in round 13 (ivf_store: the 5 ADVICE r12 fixes
+    #    — all five gates share the ivf_store.py symbol closure)
     "sim_ivf_persisted_topk",
     "sim_ivf_filtered_topk",
     "sim_sq8_topk",
     "sim_sq8_filtered_topk",
-    # 3. r8-era rotation block (45 of 48; 3 deferred to r13,
+    "sim_rerank_filtered_topk",
+    # 3. r9-era rotation block (42 of 47; 5 deferred to r14,
     #    see the schedule note above)
-    "basket_part_pairs",
-    "bucketed_colocated_join",
-    "chunk_documents",
-    "curation_yield_by_source",
-    "dedup_clusters",
-    "dedup_simhash_hamming",
-    "dedup_substring_spans",
-    "docs_ngram_novelty",
-    "docs_template_detection",
-    "documents_zipf_fit",
-    "embedding_dim_stats",
-    "embedding_label_cohesion",
-    "event_funnel_windowed",
-    "events_ab_test_lift",
-    "events_markov_transitions",
-    "events_retention_cohorts",
-    "lineitem_discount_elasticity",
-    "lineitem_equidepth_histogram",
-    "metrics_loop_series",
-    "multimodal_exact_dedup",
-    "orders_fulfillment_sla",
-    "orders_open_backlog_daily",
-    "orders_rfm_segments",
-    "parts_skyline_pareto",
-    "pq_quantize",
-    "privacy_delete_propagation",
-    "quality_gopher_rules",
-    "sem_dedup_cells",
-    "sim_ivf_recall_eval",
-    "sim_ivfpq_topk",
-    "sim_lsh_recall_eval",
-    "sim_pq_adc_topk",
-    "sim_pq_recall_eval",
-    "source_overlap_matrix",
-    "store_roundtrip_rollup",
-    "text_code_detection",
-    "text_langid_confusion",
-    "ts_autocorr_lags",
-    "ts_error_budget_burn",
-    "ts_heatmap_2d",
-    "ts_holt_linear",
-    "ts_inter_arrival_stats",
-    "ts_staleness_report",
-    "ts_time_weighted_avg",
-    "user_activity_entropy",
+    "bpe_pair_counts",
+    "decontaminate_ngrams",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_fingerprint",
+    "dedup_minhash_est_vs_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_threshold_yield",
+    "docs_bm25_topk",
+    "docs_ccnet_lm_buckets",
+    "docs_collocations_pmi",
+    "docs_dsir_importance",
+    "docs_rake_keyphrases",
+    "docs_tfidf_topk",
+    "embedding_pca_covariance",
+    "event_funnel",
+    "lsh_scurve_table",
+    "mixture_temperature_allocation",
+    "quality_bigram_logprob",
+    "quality_repetition",
+    "quality_unigram_logprob",
+    "sim_ivf_assign",
+    "sim_ivf_balance_audit",
+    "sim_ivf_topk",
+    "sim_ivf_train",
+    "sim_lsh_topk",
+    "sim_topk_bruteforce",
+    "text_rolling_fingerprint",
+    "ts_anomaly_mad",
+    "ts_anomaly_zscore",
+    "ts_cusum_changepoints",
+    "ts_dft_power",
+    "ts_downsample_lttb",
+    "ts_downsample_m4",
+    "ts_histogram_per_series",
+    "ts_incremental_merge",
+    "ts_ohlc_bars",
+    "ts_pairwise_corr",
+    "ts_percentile_bands",
+    "ts_seasonality_strength",
 ]
 
 
