@@ -1251,3 +1251,104 @@ def test_build_filtered_rejects_codes_only_source(
     )
     with pytest.raises(TypeError, match="no exact vectors"):
         pq.build_filtered(str(tmp_path / "x"), "vec_id > 0")
+
+
+def test_build_filtered_refresh_is_atomic_under_reader(
+    spark, tmp_path, emb_cents
+):
+    """A variant goes stale as the source artifact takes intake; the
+    refresh path is just build_filtered AGAIN at the same path — the
+    stock versioned machinery gives the swap atomicity for free. A
+    reader pinned on the old variant must keep its exact rows through
+    the refresh; a fresh handle must see the refreshed corpus."""
+    emb, cents = emb_cents
+    attrs = emb.select("vec_id", (F.col("vec_id") % 2).alias("parity"))
+    src = IVFIndex.build(
+        spark,
+        emb.filter(F.col("vec_id") < 200),
+        str(tmp_path / "src"),
+        centroids=cents,
+        attrs=attrs.filter(F.col("vec_id") < 200),
+    )
+    vpath = str(tmp_path / "var")
+    variant = src.build_filtered(vpath, "parity = 0")
+    n0 = variant.assignments().count()
+    assert n0 == 100
+    q = _queries(emb)
+    with variant.pinned() as view:
+        before = {
+            (r.query_id, r.vec_id, r.cos_sim, r.rank)
+            for r in view.topk(q, k=3).collect()
+        }
+        # source takes intake, then the variant refreshes in place
+        late = emb.filter(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 300)
+        )
+        src.add(
+            late.select(
+                "vec_id", as_double(F.col("embedding")).alias("embedding")
+            ),
+            epoch=1,
+            attrs=attrs.filter(
+                (F.col("vec_id") >= 200) & (F.col("vec_id") < 300)
+            ),
+        )
+        refreshed = src.build_filtered(vpath, "parity = 0")
+        assert refreshed.assignments().count() == 150  # new matches in
+        after = {
+            (r.query_id, r.vec_id, r.cos_sim, r.rank)
+            for r in view.topk(q, k=3).collect()
+        }
+        assert after == before  # the pinned reader never moved
+    assert IVFIndex(spark, vpath).assignments().count() == 150
+    assert IVFIndex(spark, vpath).filter_predicate() == "parity = 0"
+
+
+def test_build_filtered_sq8_tiers(spark, tmp_path, emb_cents):
+    """The cls= tier matrix: an SQ8 VARIANT (flat source, quantized
+    variant) must serve the filtered corpus with near-flat recall vs
+    the exact filtered brute force; an SQ8 SOURCE (dequantizing
+    assignments view) must materialize a flat variant whose serve
+    matches brute force over the DEQUANTIZED filtered corpus
+    exactly."""
+    emb, cents = emb_cents
+    attrs = emb.select("vec_id", (F.col("vec_id") % 4).alias("quad"))
+    flat = IVFIndex.build(
+        spark, emb, str(tmp_path / "f"), centroids=cents, attrs=attrs
+    )
+    q = _queries(emb)
+    want = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(
+            emb.filter(F.col("vec_id") % 4 == 1), q, k=5
+        ).collect()
+    }
+    # flat -> SQ8 variant: int8 ranking, near-flat overlap
+    sq8_var = flat.build_filtered(
+        str(tmp_path / "sv"), "quad = 1", cls=IVFSQ8Index
+    )
+    got = {
+        (r.query_id, r.vec_id)
+        for r in sq8_var.topk(q, k=5, nprobe=8).collect()
+    }
+    assert len(got) == 20
+    assert len(got & want) / len(want) >= 0.9  # int8 tier tolerance
+    # SQ8 -> flat variant: exact over the dequantized corpus
+    sq8_src = IVFSQ8Index.build(
+        spark, emb, str(tmp_path / "s8"), centroids=cents, attrs=attrs
+    )
+    flat_var = sq8_src.build_filtered(
+        str(tmp_path / "fv"), "quad = 1", cls=IVFIndex
+    )
+    deq = sq8_src.assignments().filter(F.col("quad") == 1).select(
+        "vec_id", F.col("nvec").alias("embedding")
+    )
+    want_deq = {
+        (r.query_id, r.vec_id, r.cos_sim)
+        for r in brute_force_topk(deq, q, k=5).collect()
+    }
+    got_deq = {
+        (r.query_id, r.vec_id, r.cos_sim)
+        for r in flat_var.topk(q, k=5, nprobe=8).collect()
+    }
+    assert got_deq == want_deq
