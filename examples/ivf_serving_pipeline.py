@@ -241,6 +241,43 @@ def serve_topk(
     return topk_rerank(pq, flat, queries, k=k, r=r, dim=dim, nprobe=nprobe)
 
 
+def serve_filtered(
+    flat: IVFIndex,
+    pq: IVFPQIndex,
+    queries: DataFrame,
+    where: str,
+    variants: dict[str, tuple[IVFIndex, IVFPQIndex]] | None = None,
+    k: int = 5,
+    r: int = 20,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Filtered serving with VARIANT ROUTING (round 13): if a
+    `build_filtered` artifact pair exists for this exact predicate,
+    serve from it at default depth — no auto-depth inflation, no
+    max_r cap (the variant's corpus IS the filtered corpus; SCALE.md
+    r13: full k at 20M where the full artifact caps, 2.1x faster
+    than nprobe-widening). Otherwise fall back to the full
+    artifact's auto-depth rerank. `variants` maps predicate strings
+    to (flat_variant, pq_variant) pairs; each is sanity-checked
+    against its recorded `filter_predicate()` so a mislabeled
+    artifact cannot silently serve the wrong corpus. The
+    `SERVE_METRICS` "rerank.depth_capped_batches" counter is the
+    signal for which predicates deserve a variant."""
+    pair = (variants or {}).get(where)
+    if pair is not None:
+        flat_f, pq_f = pair
+        recorded = flat_f.filter_predicate()
+        if recorded is not None and recorded != where:
+            raise ValueError(
+                f"variant at {flat_f.path} was built for "
+                f"{recorded!r}, not {where!r}"
+            )
+        return topk_rerank(pq_f, flat_f, queries, k=k, r=r, nprobe=nprobe)
+    return topk_rerank(
+        pq, flat, queries, k=k, r=r, nprobe=nprobe, where=where
+    )
+
+
 def cell_balance_report(flat: IVFIndex, k: int = 256) -> HotKeyReport:
     """One narrow probe pass over the assignments' cell column — the
     rebuild signal. No shuffle, no full groupBy: at 100 TB this is

@@ -1163,7 +1163,19 @@ class IVFIndex:
         statistics skip non-matching data — no per-query join against
         a corpus-sized attribute table. Under a highly selective
         filter a probed cell may hold few matches; `nprobe` is the
-        recall knob there, same as unfiltered."""
+        recall knob there, same as unfiltered.
+
+        Filtered calls carry the same serve-side observability as
+        `topk_rerank` (VERDICT r12 #5, "topk.*" series): the input
+        query frame and the result frame get CollectMetrics nodes so
+        a thin filtered batch — probed cells holding fewer than k
+        matches — is countable, not just possible. Unfiltered calls
+        stay un-instrumented (their plans are pinned bare, and
+        under-k there just means a small cell)."""
+        qobs = None
+        if where is not None:
+            SERVE_METRICS.inc("topk.filtered_batches")
+            queries, qobs = SERVE_METRICS.observe_queries(queries)
         q = self._route_queries(queries, dim=dim, nprobe=nprobe)
         table = self.assignments()
         if where is not None:
@@ -1183,7 +1195,10 @@ class IVFIndex:
                 "cos_sim"
             ),
         )
-        return _rank_topk(scored, k)
+        out = _rank_topk(scored, k)
+        if qobs is not None:
+            out = SERVE_METRICS.observe_topk(out, k, qobs, prefix="topk")
+        return out
 
 
 SQ8_SCHEMA = (
@@ -1333,7 +1348,13 @@ class IVFSQ8Index(IVFIndex):
 
         `where` filters the RAW storage rows (attribute columns are
         carried next to the codes), so PushedFilters + DPP compose on
-        the same single scan as the flat tier's filtered probe."""
+        the same single scan as the flat tier's filtered probe.
+        Filtered calls carry the "topk.*" serve observability, same
+        as the flat tier."""
+        qobs = None
+        if where is not None:
+            SERVE_METRICS.inc("topk.filtered_batches")
+            queries, qobs = SERVE_METRICS.observe_queries(queries)
         q = self._route_queries(queries, dim=dim, nprobe=nprobe)
         q = (
             q.withColumn(
@@ -1381,7 +1402,10 @@ class IVFSQ8Index(IVFIndex):
                 6,
             ).alias("cos_sim"),
         )
-        return _rank_topk(scored, k)
+        out = _rank_topk(scored, k)
+        if qobs is not None:
+            out = SERVE_METRICS.observe_topk(out, k, qobs, prefix="topk")
+        return out
 
 
 def open_vector_index(spark: SparkSession, path: str) -> IVFIndex:

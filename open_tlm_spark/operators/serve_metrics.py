@@ -115,12 +115,15 @@ class ServeMetrics:
         df: DataFrame,
         k: int,
         queries_obs: Observation | None = None,
+        prefix: str = "rerank",
     ) -> DataFrame:
         """Attach a result-size observation to a top-k result frame.
         Returns the SAME rows (CollectMetrics is pass-through); the
         metrics materialize whenever the caller's first action runs.
         `queries_obs` (from `observe_queries`) supplies the exact
-        requested-query count for the shortfall arithmetic."""
+        requested-query count for the shortfall arithmetic; `prefix`
+        names the serve path ("rerank" for IVFADC+refine, "topk" for
+        the flat/SQ8 filtered probes)."""
         obs = Observation()
         out = df.observe(
             obs,
@@ -130,7 +133,7 @@ class ServeMetrics:
             ),
         )
         with self._lock:
-            self._pending.append((obs, queries_obs, int(k)))
+            self._pending.append((obs, queries_obs, int(k), str(prefix)))
             if len(self._pending) > _MAX_PENDING:
                 self._pending.pop(0)
                 self._counts["observations_dropped"] = (
@@ -144,12 +147,14 @@ class ServeMetrics:
         observations whose action has not run yet stay pending."""
         with self._lock:
             pending, self._pending = self._pending, []
-        still: list[tuple[Observation, Observation | None, int]] = []
-        done: list[tuple[int, int, int, int]] = []
-        for obs, qobs, k in pending:
+        still: list[
+            tuple[Observation, Observation | None, int, str]
+        ] = []
+        done: list[tuple[int, int, int, int, str]] = []
+        for obs, qobs, k, prefix in pending:
             row = _row_or_none(obs)
             if row is None:
-                still.append((obs, qobs, k))
+                still.append((obs, qobs, k, prefix))
                 continue
             served = int(row["queries_served"])
             # exact requested-query count when the routing frame was
@@ -161,27 +166,32 @@ class ServeMetrics:
             requested = (
                 int(qrow["queries_requested"]) if qrow else served
             )
-            done.append((int(row["returned_rows"]), served, requested, k))
+            done.append(
+                (int(row["returned_rows"]), served, requested, k, prefix)
+            )
         with self._lock:
             self._pending = still + self._pending
-            for returned, queries, requested, k in done:
+            for returned, queries, requested, k, prefix in done:
                 want = k * requested
-                self._counts["rerank.result_rows"] = (
-                    self._counts.get("rerank.result_rows", 0.0) + returned
+                self._counts[f"{prefix}.result_rows"] = (
+                    self._counts.get(f"{prefix}.result_rows", 0.0)
+                    + returned
                 )
-                self._counts["rerank.queries_served"] = (
-                    self._counts.get("rerank.queries_served", 0.0) + queries
+                self._counts[f"{prefix}.queries_served"] = (
+                    self._counts.get(f"{prefix}.queries_served", 0.0)
+                    + queries
                 )
-                self._counts["rerank.queries_requested"] = (
-                    self._counts.get("rerank.queries_requested", 0.0)
+                self._counts[f"{prefix}.queries_requested"] = (
+                    self._counts.get(f"{prefix}.queries_requested", 0.0)
                     + requested
                 )
                 if returned < want:
-                    self._counts["rerank.thin_batches"] = (
-                        self._counts.get("rerank.thin_batches", 0.0) + 1.0
+                    self._counts[f"{prefix}.thin_batches"] = (
+                        self._counts.get(f"{prefix}.thin_batches", 0.0)
+                        + 1.0
                     )
-                    self._counts["rerank.missing_rows"] = (
-                        self._counts.get("rerank.missing_rows", 0.0)
+                    self._counts[f"{prefix}.missing_rows"] = (
+                        self._counts.get(f"{prefix}.missing_rows", 0.0)
                         + (want - returned)
                     )
 

@@ -336,3 +336,60 @@ def test_build_serving_indexes_with_attrs(spark, tmp_path):
             pq, flat, _queries(emb), k=5, nprobe=8, where="label = 3"
         ).count()
         assert rr == 20
+
+
+def test_serve_filtered_routes_to_variant(spark, tmp_path):
+    """Round-13 variant routing: serve_filtered with a registered
+    variant pair serves the predicate from the dedicated artifacts
+    (same rows as the full artifact's auto-depth rerank at full
+    fanout — both are exact over the filtered corpus), a mislabeled
+    variant fails fast, and an unregistered predicate falls back to
+    the auto-depth path."""
+    import pytest as _pytest
+
+    from examples.ivf_serving_pipeline import serve_filtered
+    from open_tlm_spark.operators.ivf_store import IVFPQIndex
+
+    load_tables(spark, SF)
+    emb = spark.table("embeddings")
+    attrs = emb.select("vec_id", (F.col("vec_id") % 4).alias("quad"))
+    flat, pq = build_serving_indexes(
+        spark,
+        emb,
+        str(tmp_path / "srv"),
+        centroids=_cents(emb),
+        attrs=attrs,
+    )
+    where = "quad = 1"
+    flat_f = flat.build_filtered(str(tmp_path / "vf"), where)
+    pq_f = flat.build_filtered(
+        str(tmp_path / "vp"), where, cls=IVFPQIndex
+    )
+    q = _queries(emb)
+    # full fanout + corpus-wide r: both paths are exact -> identical
+    want = _rows(
+        serve_filtered(flat, pq, q, where, k=5, r=4096, nprobe=8)
+    )
+    got = _rows(
+        serve_filtered(
+            flat,
+            pq,
+            q,
+            where,
+            variants={where: (flat_f, pq_f)},
+            k=5,
+            r=4096,
+            nprobe=8,
+        )
+    )
+    assert got == want and len(got) == 20
+    # a mislabeled variant must refuse to serve
+    with _pytest.raises(ValueError, match="was built for"):
+        serve_filtered(
+            flat, pq, q, "quad = 2", variants={"quad = 2": (flat_f, pq_f)}
+        )
+    # an unregistered predicate falls back to auto-depth (returns k)
+    fallback = serve_filtered(
+        flat, pq, q, "quad = 2", variants={where: (flat_f, pq_f)}, nprobe=8
+    )
+    assert fallback.count() == 20

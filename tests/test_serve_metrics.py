@@ -178,3 +178,28 @@ def test_maintenance_tick_flushes_serve_series(
         .collect()
     }
     assert "tlm.serve.rerank.batches" in got
+
+
+def test_filtered_topk_thin_batch_counted(spark, serving_pair):
+    """The flat/SQ8 filtered probes carry the same thin-batch
+    observability under the "topk." prefix: a 1/64-selective filter
+    at nprobe=1 leaves most probed cells short of k matches — the
+    shortfall must be counted with the exact requested-query count
+    (zero-row queries included); unfiltered probes stay
+    un-instrumented."""
+    pq, flat, emb = serving_pair
+    SERVE_METRICS.reset()
+    q = _queries(emb)
+    rows = flat.topk(q, k=5, nprobe=1, where="bucket = 3").collect()
+    snap = SERVE_METRICS.snapshot()
+    assert snap.get("topk.filtered_batches", 0) == 1
+    assert snap.get("topk.queries_requested", 0) == 4
+    assert snap.get("topk.result_rows", 0) == len(rows)
+    if len(rows) < 20:
+        assert snap.get("topk.thin_batches", 0) == 1
+        assert snap.get("topk.missing_rows", 0) == 20 - len(rows)
+    # unfiltered: no new observation, no topk counters move
+    flat.topk(q, k=5, nprobe=1).collect()
+    snap2 = SERVE_METRICS.snapshot()
+    assert snap2.get("topk.filtered_batches", 0) == 1
+    assert snap2.get("topk.result_rows", 0) == len(rows)
