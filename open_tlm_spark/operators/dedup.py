@@ -207,16 +207,27 @@ def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(
-    sh: DataFrame, min_jaccard: float, max_df: int = 100
-) -> DataFrame:
-    """All-pairs n-gram Jaccard >= threshold, with stop-shingle removal
-    (shingles in > max_df docs are dropped BEFORE the pairwise join —
-    without this the hot-key join is quadratic at corpus scale)."""
+def stop_capped_shingles(sh: DataFrame, max_df: int = 100) -> DataFrame:
+    """Stop-shingle removal: shingles in > max_df docs are dropped
+    BEFORE any pairwise join — without this cap the hot-key self-join
+    is quadratic at corpus scale."""
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(
+    return sh.join(
         df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
     )
+
+
+def ngram_pair_stats(
+    sh: DataFrame, max_df: int | None = 100
+) -> tuple[DataFrame, DataFrame]:
+    """The shared heavy core of the pairwise n-gram measures: the
+    stop-shingle cap (None = `sh` is already capped), the self
+    equi-join with per-pair intersection counts, and the per-doc
+    (post-cap) set sizes. Jaccard and containment are just different
+    final formulas over the SAME (pairs, sizes) tables, so pipelines
+    computing both measures (a standard corpus-dedup audit) pay the
+    self-join once."""
+    rare = sh if max_df is None else stop_capped_shingles(sh, max_df)
     a = rare.alias("a")
     b = rare.alias("b")
     pairs = (
@@ -233,6 +244,13 @@ def ngram_jaccard_pairs(
     # sizes is 1 row/doc — corpus-scaling, so no broadcast hint: AQE
     # broadcasts when it fits and shuffle-joins on doc_id otherwise.
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return pairs, sizes
+
+
+def jaccard_from_pair_stats(
+    pairs: DataFrame, sizes: DataFrame, min_jaccard: float
+) -> DataFrame:
+    """Jaccard scoring over ngram_pair_stats output: |A∩B| / |A∪B|."""
     out = (
         pairs.join(sizes.alias("za"), F.col("za.doc_id") == F.col("doc_a"))
         .join(sizes.alias("zb"), F.col("zb.doc_id") == F.col("doc_b"))
@@ -247,6 +265,16 @@ def ngram_jaccard_pairs(
         )
     )
     return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def ngram_jaccard_pairs(
+    sh: DataFrame, min_jaccard: float, max_df: int = 100
+) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold, with stop-shingle removal
+    (shingles in > max_df docs are dropped BEFORE the pairwise join —
+    without this the hot-key join is quadratic at corpus scale)."""
+    pairs, sizes = ngram_pair_stats(sh, max_df)
+    return jaccard_from_pair_stats(pairs, sizes, min_jaccard)
 
 
 def bucket_edges(df: DataFrame, key_col: str, id_col: str = "doc_id") -> DataFrame:
@@ -397,26 +425,15 @@ def ngram_containment_pairs(
     Jaccard, and corpus pipelines drop exactly those quote-inclusion
     dups. Same linear plan as ngram_jaccard_pairs: stop-shingle cap
     before the self equi-join, broadcast size dims after."""
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(
-        df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
-    )
-    a = rare.alias("a")
-    b = rare.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    # sizes is 1 row/doc — corpus-scaling, so no broadcast hint (AQE
-    # decides; see ngram_jaccard_pairs).
-    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs, sizes = ngram_pair_stats(sh, max_df)
+    return containment_from_pair_stats(pairs, sizes, min_containment)
+
+
+def containment_from_pair_stats(
+    pairs: DataFrame, sizes: DataFrame, min_containment: float
+) -> DataFrame:
+    """Containment scoring over ngram_pair_stats output:
+    |A∩B| / min(|A|, |B|)."""
     out = (
         pairs.join(sizes.alias("za"), F.col("za.doc_id") == F.col("doc_a"))
         .join(sizes.alias("zb"), F.col("zb.doc_id") == F.col("doc_b"))

@@ -128,15 +128,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_tlm_spark.operators.shared_cache import shared_view
 
     return shared_view(
-        spark, "cc_labels", sf_dir, lambda: _build_cluster_labels(spark)
+        spark, "cc_labels", sf_dir, lambda: _build_cluster_labels(spark, sf_dir)
     )
 
 
-def _build_cluster_labels(spark: SparkSession) -> DataFrame:
-    """The actual CC pipeline (see dedup_clusters docstring)."""
+def _build_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual CC pipeline (see dedup_clusters docstring).
+    Signatures come from the session-shared MinHash chain (r13,
+    plans/shared_subtrees) — the same artifact the LSH dedup gates
+    read, so the edge build re-derives nothing."""
+    from open_tlm_spark.plans.shared_subtrees import shared_signatures
+
     docs = spark.table("documents")
     bag = fan_out(docs).select("doc_id", T.fingerprint(F.col("text")).alias("k"))
-    bands = D.lsh_bands(D.minhash_signatures(D.shingle_table(docs))).select(
+    bands = D.lsh_bands(shared_signatures(spark, sf_dir)).select(
         "doc_id",
         F.concat_ws("|", F.col("band_id").cast("string"), "band_key").alias("k"),
     )
@@ -461,18 +466,16 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes ~4x vs raw strings and was measured 2x faster end-to-end at
     sf0.1); the oracle hashes identically (md5 prefix), so results
     stay byte-identical. At 100 TB an optional per-source MinHash
-    sample replaces the exact sets when estimates suffice.
+    sample replaces the exact sets when estimates suffice. The hashed
+    shingle relation is session-shared (r13, plans/shared_subtrees).
     """
+    from open_tlm_spark.plans.shared_subtrees import shared_hashed_shingles
+
     docs = spark.table("documents")
     sh = (
-        D.shingle_table(docs)
+        shared_hashed_shingles(spark, sf_dir)
         .join(docs.select("doc_id", "source"), "doc_id")
-        .select(
-            "source",
-            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("shingle"),
-        )
+        .select("source", "shingle")
         .distinct()
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))

@@ -52,14 +52,15 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     it; the complement of the duplicated-passage view in
     dedup_substring_spans).
 
-    Plan: reuses the exploded shingle relation; first-occurrence is
-    ONE min-aggregate keyed by shingle (map-side combinable), joined
-    back on the same key (AQE reuses the exchange partitioning), then
-    one per-doc aggregate. Linear in corpus size, no pairwise step."""
-    from open_tlm_spark.operators import dedup as D
+    Plan: reuses the SESSION-SHARED exploded shingle relation (r13,
+    plans/shared_subtrees); first-occurrence is ONE min-aggregate
+    keyed by shingle (map-side combinable), joined back on the same
+    key (AQE reuses the exchange partitioning), then one per-doc
+    aggregate. Linear in corpus size, no pairwise step."""
+    from open_tlm_spark.plans.shared_subtrees import shared_shingles
 
     docs = spark.table("documents")
-    sh = D.shingle_table(docs)
+    sh = shared_shingles(spark, sf_dir)
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     per = (
         sh.join(first, "shingle")
@@ -413,13 +414,21 @@ def dedup_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all pairs. The signature frame (one 13-column row per doc)
     scales with the corpus, so it carries no broadcast hint: AQE
     broadcasts while it fits and otherwise shuffle-joins on doc id
-    against the (LSH-pruned, tiny) candidate set."""
-    from open_tlm_spark.operators import dedup as D
+    against the (LSH-pruned, tiny) candidate set.
 
-    docs = spark.table("documents")
-    sh = D.shingle_table(docs).localCheckpoint(eager=False)
-    sig = D.minhash_signatures(sh).localCheckpoint(eager=False)
-    cand = D.lsh_candidates(sig)
+    r13 optimization (guide §2.4): signatures, candidates and the
+    verified exact Jaccard come from the session-shared MinHash chain
+    (plans/shared_subtrees) — the audit reads the same artifacts
+    dedup_minhash_lsh serves instead of re-deriving them."""
+    from open_tlm_spark.operators import dedup as D
+    from open_tlm_spark.plans.shared_subtrees import (
+        shared_lsh_candidates,
+        shared_lsh_verified,
+        shared_signatures,
+    )
+
+    sig = shared_signatures(spark, sf_dir)
+    cand = shared_lsh_candidates(spark, sf_dir)
     sa = sig.select(
         F.col("doc_id").alias("_ida"),
         *[F.col(f"sig_{j}").alias(f"a_{j}") for j in range(D.NUM_HASHES)],
@@ -446,7 +455,7 @@ def dedup_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    exact = D.jaccard_for_pairs(cand, sh)
+    exact = shared_lsh_verified(spark, sf_dir)
     return est.join(exact, ["doc_a", "doc_b"]).select(
         "doc_a",
         "doc_b",

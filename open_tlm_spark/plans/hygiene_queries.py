@@ -116,12 +116,18 @@ def decontaminate_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full corpus never self-joins — each training doc's bands probe
     only the benchmark band table (broadcastable at any corpus size;
     left to AQE here since the frame scales with the BENCHMARK, not
-    the corpus)."""
-    docs = spark.table("documents")
-    sh = D.shingle_table(docs).localCheckpoint(eager=False)
-    bands = D.lsh_bands(D.minhash_signatures(sh)).localCheckpoint(
-        eager=False
+    the corpus).
+
+    r13 optimization (guide §2.4): shingles and signatures come from
+    the session-shared MinHash chain (plans/shared_subtrees); banding
+    is a narrow projection over the tiny cached signature table."""
+    from open_tlm_spark.plans.shared_subtrees import (
+        shared_shingles,
+        shared_signatures,
     )
+
+    sh = shared_shingles(spark, sf_dir)
+    bands = D.lsh_bands(shared_signatures(spark, sf_dir))
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     t = bands.filter(~is_bench).alias("t")
     e = bands.filter(is_bench).alias("e")
@@ -245,11 +251,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the band table is the only shuffled relation (16-byte keys);
     the arrival-order predicate prunes the self-join to forward pairs,
-    and per-doc min() collapses before anything leaves the join."""
-    docs = spark.table("documents")
-    bands = D.lsh_bands(
-        D.minhash_signatures(D.shingle_table(docs))
-    ).withColumn("epoch", F.col("doc_id") % 2)
+    and per-doc min() collapses before anything leaves the join.
+    Signatures come from the session-shared MinHash chain (r13,
+    plans/shared_subtrees)."""
+    from open_tlm_spark.plans.shared_subtrees import shared_signatures
+
+    bands = D.lsh_bands(shared_signatures(spark, sf_dir)).withColumn(
+        "epoch", F.col("doc_id") % 2
+    )
     d = bands.alias("d")
     e = bands.alias("e")
     earlier = (F.col("e.epoch") < F.col("d.epoch")) | (

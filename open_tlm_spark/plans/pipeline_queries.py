@@ -117,21 +117,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shingles are hashed to 60-bit longs BEFORE the self-join: the
     shuffle then moves fixed 8-byte keys instead of variable strings
     (standard hashed-shingle practice; a 2^-60 collision merges a
-    shingle pair identically in both engines)."""
-    # Materialize the shingle relation once: it feeds df_counts,
-    # the self-join (twice), and the size frame — without the cut each
-    # use re-tokenizes the corpus. (At 100 TB: persist it to storage.)
-    sh = (
-        D.shingle_table(spark.table("documents"))
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("shingle"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    return D.ngram_jaccard_pairs(sh, min_jaccard=0.05, max_df=100)
+    shingle pair identically in both engines).
+
+    r13 optimization (guide §2.4): the capped self-join and its
+    (pairs, sizes) output are session-shared with dedup_containment
+    (plans/shared_subtrees) — both audits score the SAME intersection
+    table, so the expensive pairwise stage runs once per session."""
+    from open_tlm_spark.plans.shared_subtrees import shared_ngram_pair_stats
+
+    pairs, sizes = shared_ngram_pair_stats(spark, sf_dir)
+    return D.jaccard_from_pair_stats(pairs, sizes, min_jaccard=0.05)
 
 
 # ----------------------------------------------------------- MinHash LSH
@@ -198,25 +193,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold ~0.63): candidate pairs share at least one band key;
     each candidate is then verified with exact Jaccard. Signature =
     k min-aggregates in ONE groupBy; banding shuffle is keyed on the
-    16-byte band hash."""
-    docs = spark.table("documents")
-    # One materialization feeds signatures, pairwise verification
-    # (both sides), and size counts.
-    sh = D.shingle_table(docs).localCheckpoint(eager=False)
-    # sig feeds all 4 bands + both self-join sides; cand feeds the
-    # verification join and the final left join — materialize both
-    # (tiny frames) so the shingle groupBy runs once, not per branch.
-    sig = D.minhash_signatures(sh).localCheckpoint(eager=False)
-    cand = D.lsh_candidates(sig).localCheckpoint(eager=False)
-    verified = D.jaccard_for_pairs(cand, sh)
-    # LEFT-join semantics of the oracle: candidates with zero shared
-    # shingles keep jaccard 0 (possible: band collision w/o overlap).
-    out = cand.join(verified, ["doc_a", "doc_b"], "left").select(
-        "doc_a",
-        "doc_b",
-        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
-    )
-    return out
+    16-byte band hash.
+
+    r13 optimization (guide §2.4): the shingle/signature/candidate/
+    verified-Jaccard chain is session-shared (plans/shared_subtrees) —
+    this query's result frame IS the shared verified-candidate
+    artifact that dedup_threshold_yield and dedup_minhash_est_vs_exact
+    also audit, so one session computes the chain once (at 100 TB:
+    one persisted MinHash artifact per corpus snapshot). LEFT-join
+    semantics of the oracle are inside the shared frame: candidates
+    with zero shared shingles keep jaccard 0."""
+    from open_tlm_spark.plans.shared_subtrees import shared_lsh_jaccard
+
+    return shared_lsh_jaccard(spark, sf_dir)
 
 
 # --------------------------------------------------------------- SimHash
@@ -261,9 +250,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal fingerprints; Hamming-distance joins refine. One codegen'd
     hash projection + one grouped aggregation with 16 conditional
     sums (map-side partial agg collapses each doc's shingles before
-    the shuffle)."""
-    sh = D.shingle_table(spark.table("documents"))
-    return D.simhash(sh, bits=_SIMHASH_BITS)
+    the shuffle).
+
+    r13 optimization (guide §2.4): the fingerprint frame is
+    session-shared with the Hamming refinement (plans/shared_subtrees)
+    and builds over the shared shingle relation."""
+    from open_tlm_spark.plans.shared_subtrees import shared_simhash
+
+    return shared_simhash(spark, sf_dir)
 
 
 _HAMMING_MAX = 3
@@ -293,11 +287,13 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     block key per bit-rotation, unioned) so no <= k pair can straddle
     every block boundary — same plan shape, k more block keys.
 
-    Plan: ONE fingerprint subtree (checkpointed, read by both join
-    sides), a hash equi-join on the block key, and a codegen'd
-    bit_count(xor) post-filter. No cartesian, no Python."""
-    sh = D.shingle_table(spark.table("documents"))
-    fp = D.simhash(sh, bits=_SIMHASH_BITS).localCheckpoint(eager=False)
+    Plan: ONE fingerprint subtree (the session-shared dedup_simhash
+    frame, r13 — read by both join sides), a hash equi-join on the
+    block key, and a codegen'd bit_count(xor) post-filter. No
+    cartesian, no Python."""
+    from open_tlm_spark.plans.shared_subtrees import shared_simhash
+
+    fp = shared_simhash(spark, sf_dir)
     a = fp.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("sh_a"),
@@ -631,18 +627,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pipelines use for quote-inclusion / subset dups next to
     symmetric Jaccard (operators/dedup.ngram_containment_pairs).
     Same scale shape as dedup_ngram_jaccard: hashed 60-bit shingles,
-    stop-shingle df-cap before the self equi-join, broadcast sizes."""
-    sh = (
-        D.shingle_table(spark.table("documents"))
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("shingle"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    return D.ngram_containment_pairs(sh, min_containment=0.2, max_df=100)
+    stop-shingle df-cap before the self equi-join, broadcast sizes.
+
+    r13 optimization (guide §2.4): scores the session-shared
+    (pairs, sizes) intersection table dedup_ngram_jaccard also reads
+    (plans/shared_subtrees) — the self equi-join runs once, the two
+    measures differ only in the final formula."""
+    from open_tlm_spark.plans.shared_subtrees import shared_ngram_pair_stats
+
+    pairs, sizes = shared_ngram_pair_stats(spark, sf_dir)
+    return D.containment_from_pair_stats(pairs, sizes, min_containment=0.2)
 
 
 # ------------------------------------------------- persisted IVF serving

