@@ -143,11 +143,25 @@ def blocked_cosine_pairs(
     )
 
 
+def normed_corpus(embeddings: DataFrame, dim: int | None = None) -> DataFrame:
+    """(vec_id, nvec) unit-vector corpus frame — the shared first
+    stage of every similarity operator (normalize ONCE, persist at
+    scale; plans/shared_subtrees caches it per session)."""
+    return normalized(
+        fan_out(embeddings).select(
+            "vec_id", as_double(F.col("embedding")).alias("vec")
+        ),
+        "vec",
+        dim=dim,
+    ).select("vec_id", "nvec")
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
     dim: int | None = None,
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k for each query vector.
 
@@ -155,19 +169,17 @@ def brute_force_topk(
     Both sides pre-normalized (cosine == dot of unit vectors);
     queries are broadcast (small side); rank via window on
     (rounded score desc, vec_id) for a deterministic result set.
+    `normed` short-circuits the corpus normalization with a
+    pre-normalized (vec_id, nvec) frame (e.g. the session-shared
+    cached view) — values are identical by construction.
     """
     # Lineage cut: without it, projection collapse inlines the
     # normalization into EVERY pairwise term, recomputing it once per
     # (vector, query) pair — measured 2-3x slower.
     e = (
-        normalized(
-            fan_out(embeddings).select(
-                "vec_id", as_double(F.col("embedding")).alias("vec")
-            ),
-            "vec", dim=dim,
-        )
-        .select("vec_id", "nvec")
-        .localCheckpoint(eager=False)
+        normed.select("vec_id", "nvec")
+        if normed is not None
+        else normed_corpus(embeddings, dim).localCheckpoint(eager=False)
     )
     q = (
         normalized(
@@ -193,7 +205,10 @@ def brute_force_topk(
 
 
 def hyperplane_signatures(
-    embeddings: DataFrame, hyperplanes: DataFrame, dim: int | None = None
+    embeddings: DataFrame,
+    hyperplanes: DataFrame,
+    dim: int | None = None,
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH signature per vector: bit j of `sig` is
     sign(dot(v, h_j)) — vectors on the same side of every hyperplane
@@ -211,14 +226,14 @@ def hyperplane_signatures(
     would otherwise flip on summation-order differences).
 
     Returns (vec_id, nvec, sig) — nvec kept for exact re-scoring of
-    co-bucketed candidates.
+    co-bucketed candidates. `normed` short-circuits the corpus
+    normalization with a pre-normalized (vec_id, nvec) frame.
     """
-    e = normalized(
-        fan_out(embeddings).select(
-            "vec_id", as_double(F.col("embedding")).alias("vec")
-        ),
-        "vec", dim=dim,
-    ).select("vec_id", "nvec").localCheckpoint(eager=False)
+    e = (
+        normed.select("vec_id", "nvec")
+        if normed is not None
+        else normed_corpus(embeddings, dim).localCheckpoint(eager=False)
+    )
     h = (
         normalized(
             hyperplanes.select("h_id", as_double(F.col("hvec")).alias("vec")),
@@ -335,13 +350,16 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     dim: int | None = None,
+    assigned_normed: DataFrame | None = None,
 ) -> DataFrame:
     """Full IVF search: exact cosine top-k per query, scanning ONLY the
     query's IVF cell (nprobe=1) instead of the corpus.
 
     embeddings: (vec_id, embedding); centroids: (centroid_id, cvec);
     queries: (query_id, query_vec). Corpus cell assignment is the
-    persisted artifact at scale (here recomputed); the probe is a
+    persisted artifact at scale (here recomputed unless
+    `assigned_normed` supplies the (vec_id, centroid_id, nvec)
+    artifact, e.g. the session-shared cached view); the probe is a
     broadcast of the tiny query frame against the cell-partitioned
     corpus — per-query work is |cell| ≈ corpus/n_cells, and the
     equi-join on centroid_id keeps the big side shuffle-partitioned
@@ -349,9 +367,13 @@ def ivf_topk(
     itself; rank = row_number over (rounded cos desc, vec_id) so the
     result is deterministic for the oracle.
     """
-    corpus = normalized(
-        ivf_assign(embeddings, centroids, dim=dim), "vec", dim=dim
-    ).select("vec_id", "centroid_id", "nvec").localCheckpoint(eager=False)
+    corpus = (
+        assigned_normed.select("vec_id", "centroid_id", "nvec")
+        if assigned_normed is not None
+        else normalized(
+            ivf_assign(embeddings, centroids, dim=dim), "vec", dim=dim
+        ).select("vec_id", "centroid_id", "nvec").localCheckpoint(eager=False)
+    )
     q = (
         normalized(
             ivf_assign(
@@ -506,13 +528,24 @@ def ivf_assign_slim(
         "ivf_assign_slim packs centroid_id into 24 bits of the argmax "
         f"key: ids must lie in [0, 2^24), got [{bounds.mn}, {bounds.mx}]"
     )
-    e = normalized(
-        fan_out(embeddings).select(
-            "vec_id", as_double(F.col("embedding")).alias("vec")
-        ),
-        "vec",
-        dim=dim,
-    ).select("vec_id", "nvec").localCheckpoint(eager=False)
+    e = normed_corpus(embeddings, dim).localCheckpoint(eager=False)
+    return ivf_assign_normed(e, centroids, dim=dim)
+
+
+def ivf_assign_normed(
+    normed: DataFrame, centroids: DataFrame, dim: int | None = None
+) -> DataFrame:
+    """The LAZY core of `ivf_assign_slim`: integer-key hash-aggregable
+    argmax assignment over a PRE-NORMALIZED (vec_id, nvec) corpus.
+    Returns (vec_id, nvec, centroid_id) — same deterministic winner
+    as `ivf_assign` (max over (rounded cos, -centroid_id)).
+
+    Caller contract (unchecked here so the plan stays fully lazy —
+    registered query builders may not run driver actions):
+    centroid_id must lie in [0, 2^24). Callers with dynamic centroid
+    sets go through `ivf_assign_slim`, which enforces the bound with
+    a driver-side check before delegating."""
+    e = normed.select("vec_id", "nvec")
     c = (
         normalized(
             centroids.select(

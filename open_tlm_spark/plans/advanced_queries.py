@@ -319,12 +319,13 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane sign bits -> 256 buckets; candidates = same bucket;
     exact cosine + rank within bucket only. Hyperplanes are the 8
     lowest-vec_id vectors (deterministic, oracle-reproducible); a
-    production index uses random Gaussian planes and multi-probe."""
+    production index uses random Gaussian planes and multi-probe.
+    The signature corpus is session-shared with the recall eval
+    (r13, plans/shared_subtrees)."""
+    from open_tlm_spark.plans.shared_subtrees import shared_lsh_signatures
+
     emb = spark.table("embeddings")
-    hp = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("h_id"), F.col("embedding").alias("hvec")
-    )
-    corpus = S.hyperplane_signatures(emb, hp)
+    corpus = shared_lsh_signatures(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id")
     )

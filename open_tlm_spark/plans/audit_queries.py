@@ -805,6 +805,7 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged at any scale."""
     from open_tlm_spark.operators import similarity as S
     from open_tlm_spark.plans.retrieval_queries import docs_bm25_topk
+    from open_tlm_spark.plans.shared_subtrees import shared_normed_embeddings
 
     bm = docs_bm25_topk(spark, sf_dir).select(
         "doc_id", F.col("rank").alias("lex_rank")
@@ -814,7 +815,12 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    dense = S.brute_force_topk(emb, probe, k=_RRF_TOP).select(
+    dense = S.brute_force_topk(
+        emb,
+        probe,
+        k=_RRF_TOP,
+        normed=shared_normed_embeddings(spark, sf_dir),
+    ).select(
         F.col("vec_id").alias("doc_id"),
         F.col("rank").cast("long").alias("vec_rank"),
     )
@@ -905,15 +911,16 @@ def sim_matryoshka_recall_eval(
     scans {_MRL_DIM}/64 of the vector bytes, which is the point);
     the recall join touches {_MRL_K} rows per query."""
     from open_tlm_spark.operators import similarity as S
+    from open_tlm_spark.plans.shared_subtrees import shared_normed_embeddings
 
     emb = spark.table("embeddings")
     q = emb.filter(F.col("vec_id") < _MRL_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    gt = S.brute_force_topk(emb, q, k=_MRL_K).select(
-        "query_id", "vec_id"
-    )
+    gt = S.brute_force_topk(
+        emb, q, k=_MRL_K, normed=shared_normed_embeddings(spark, sf_dir)
+    ).select("query_id", "vec_id")
     t_emb = emb.select(
         "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding")
     )
@@ -1423,12 +1430,17 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     same scored frame (probe spec is a fixed literal — broadcast);
     per-query work at nprobe=p is p/|cells| of the corpus, the IVF
     contract. The ground-truth arm is the deliberate brute-force
-    audit baseline."""
+    audit baseline. Corpus assignment and normalization come from
+    the session-shared views (r13, plans/shared_subtrees)."""
     from open_tlm_spark.operators import similarity as S
     from open_tlm_spark.operators.similarity import (
         as_double,
         dot,
         normalized,
+    )
+    from open_tlm_spark.plans.shared_subtrees import (
+        shared_ivf_cells,
+        shared_normed_embeddings,
     )
 
     emb = spark.table("embeddings")
@@ -1478,10 +1490,8 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(cw).alias("cell_rank"),
         )
     )
-    corpus = (
-        normalized(S.ivf_assign(emb, centroids), "vec")
-        .select("vec_id", "centroid_id", "nvec")
-        .localCheckpoint(eager=False)
+    corpus = shared_ivf_cells(spark, sf_dir).select(
+        "vec_id", "centroid_id", "nvec"
     )
     cand = (
         corpus.join(F.broadcast(cellrank), "centroid_id")
@@ -1514,9 +1524,9 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _NPS_K)
         .select("nprobe", "query_id", "vec_id", F.lit(1).alias("_hit"))
     )
-    gt = S.brute_force_topk(emb, queries, k=_NPS_K).select(
-        "query_id", "vec_id"
-    )
+    gt = S.brute_force_topk(
+        emb, queries, k=_NPS_K, normed=shared_normed_embeddings(spark, sf_dir)
+    ).select("query_id", "vec_id")
     gtp = gt.join(F.broadcast(probes))
     j = gtp.join(ranked, ["nprobe", "query_id", "vec_id"], "left")
     return j.groupBy("nprobe").agg(

@@ -638,8 +638,14 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: composes the gated sim_ivf_topk subtree (broadcast
     centroids, cell equi-join) with the brute-force pass over the 4
-    broadcast queries; the rankings join on {_IVFR_K} rows/query."""
+    broadcast queries; the rankings join on {_IVFR_K} rows/query.
+    Corpus assignment and normalization come from the session-shared
+    views (r13, plans/shared_subtrees)."""
     from open_tlm_spark.operators import similarity as S
+    from open_tlm_spark.plans.shared_subtrees import (
+        shared_ivf_cells,
+        shared_normed_embeddings,
+    )
 
     emb = spark.table("embeddings")
     centroids = emb.filter(F.col("vec_id") < 8).select(
@@ -651,12 +657,16 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    ivf = S.ivf_topk(emb, centroids, queries, k=_IVFR_K).select(
-        "query_id", "vec_id", F.lit(1).alias("_hit")
-    )
-    gt = S.brute_force_topk(emb, queries, k=_IVFR_K).select(
-        "query_id", "vec_id"
-    )
+    ivf = S.ivf_topk(
+        emb,
+        centroids,
+        queries,
+        k=_IVFR_K,
+        assigned_normed=shared_ivf_cells(spark, sf_dir),
+    ).select("query_id", "vec_id", F.lit(1).alias("_hit"))
+    gt = S.brute_force_topk(
+        emb, queries, k=_IVFR_K, normed=shared_normed_embeddings(spark, sf_dir)
+    ).select("query_id", "vec_id")
     j = gt.join(ivf, ["query_id", "vec_id"], "left")
     return j.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_gt"),

@@ -361,7 +361,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the standard scale pattern for vector dedup. Scoring is one
     Arrow stage per block (block-local matrix product, fold-order
     accumulation — see operators/similarity.blocked_cosine_pairs),
-    which ships each vector once instead of once per pair."""
+    which ships each vector once instead of once per pair.
+
+    r13 note: deliberately NOT rewired onto the session-shared
+    normalized corpus — that frame drops `label`, and rejoining it by
+    vec_id would trade this query's single narrow pass (scan ->
+    normalize -> one label shuffle) for a corpus-sized equi-join;
+    the plan pin (test_embedding_dedup_single_block_shuffle: one
+    shuffle, no Join) is the scale property worth keeping."""
     from open_tlm_spark.session import fan_out
 
     vecs = S.normalized(

@@ -353,12 +353,17 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ANN baseline: cosine top-10 for 5 query vectors against
     the whole corpus. Queries broadcast; dot product is a sequential
     zip_with fold in doubles (deterministic; float math would diverge
-    between engines)."""
+    between engines). Corpus normalization comes from the session-
+    shared unit-vector frame (r13, plans/shared_subtrees)."""
+    from open_tlm_spark.plans.shared_subtrees import shared_normed_embeddings
+
     emb = spark.table("embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return S.brute_force_topk(emb, queries, k=10)
+    return S.brute_force_topk(
+        emb, queries, k=10, normed=shared_normed_embeddings(spark, sf_dir)
+    )
 
 
 @register(
@@ -380,12 +385,12 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell assignment (the scale path for ANN): every vector
     joins only the broadcast centroid set (deterministic: lowest
     vec_ids as centroids so the oracle reproduces them); queries then
-    probe a single cell instead of the full corpus."""
-    emb = spark.table("embeddings")
-    centroids = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
-    )
-    return S.ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    probe a single cell instead of the full corpus. Reads the
+    session-shared cell layout (r13, plans/shared_subtrees) — the
+    persisted-assignment pattern the serving store already uses."""
+    from open_tlm_spark.plans.shared_subtrees import shared_ivf_cells
+
+    return shared_ivf_cells(spark, sf_dir).select("vec_id", "centroid_id")
 
 
 @register(
@@ -425,7 +430,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 query vectors each probe exactly their own cell (nprobe=1) and
     take exact cosine top-5 within it — per-query cost is
     |corpus|/n_cells, and the cell equi-join keeps the corpus
-    shuffle-partitioned at any scale."""
+    shuffle-partitioned at any scale. The corpus-side assignment is
+    the session-shared cell layout (r13, plans/shared_subtrees)."""
+    from open_tlm_spark.plans.shared_subtrees import shared_ivf_cells
+
     emb = spark.table("embeddings")
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
@@ -433,7 +441,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return S.ivf_topk(emb, centroids, queries, k=5)
+    return S.ivf_topk(
+        emb,
+        centroids,
+        queries,
+        k=5,
+        assigned_normed=shared_ivf_cells(spark, sf_dir),
+    )
 
 
 # ------------------------------------------------------------- text ops

@@ -352,15 +352,24 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query window over the already-reduced candidate scores."""
     from open_tlm_spark.plans.vector_queries import _pq_parts
 
-    vsub, csub, best = _pq_parts(spark)
-    emb = fan_out(spark.table("embeddings")).select(
-        "vec_id", S.as_double(F.col("embedding")).alias("vec")
+    from open_tlm_spark.plans.shared_subtrees import (
+        shared_ivf_cells,
+        shared_normed_embeddings,
     )
-    nv = S.normalized(emb, "vec").select("vec_id", "nvec")
+
+    vsub, csub, best = _pq_parts(spark, sf_dir)
+    # r13 (guide §1.2 — don't compute what you throw away): the
+    # corpus-wide assignment comes from the session-shared cell
+    # layout; the full cell RANKING (needed only for nprobe routing)
+    # is computed for the 4 query vectors, not the whole corpus.
+    nv = shared_normed_embeddings(spark, sf_dir)
     cent = nv.filter(F.col("vec_id") < _IVFPQ_NCELLS).select(
         F.col("vec_id").alias("centroid_id"), F.col("nvec").alias("cnvec")
     )
-    cs = nv.join(F.broadcast(cent)).select(
+    qn = nv.filter(
+        (F.col("vec_id") >= _IVFPQ_NQ_LO) & (F.col("vec_id") < _IVFPQ_NQ_HI)
+    )
+    cs = qn.join(F.broadcast(cent)).select(
         "vec_id",
         "centroid_id",
         F.round(S.dot(F.col("nvec"), F.col("cnvec")), 6).alias("cs"),
@@ -368,14 +377,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("cs").desc(), "centroid_id"
     )
-    ranked = cs.withColumn("rn", F.row_number().over(w_assign))
-    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
+    assigned = shared_ivf_cells(spark, sf_dir).select("vec_id", "centroid_id")
     probe = (
-        ranked.filter(
-            (F.col("vec_id") >= _IVFPQ_NQ_LO)
-            & (F.col("vec_id") < _IVFPQ_NQ_HI)
-            & (F.col("rn") <= _IVFPQ_NPROBE)
-        )
+        cs.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
         .select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("cell"))
     )
     codes = best.select("vec_id", "sub", (F.col("ik") % 100).alias("code"))

@@ -1288,19 +1288,16 @@ def sim_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_ivf_assign, so the audit describes exactly the index the
     serving queries use.
 
-    Plan: the broadcast-centroid assignment pass (narrow), one
-    k-group count, a 1-row total frame broadcast back. Ratios use the
-    floor-based half-up rounding — n/total is exactly the rational
-    tie case where engine round() rules disagree."""
-    from open_tlm_spark.operators import similarity as S
+    Plan: one k-group count over the session-shared cell layout
+    (r13, plans/shared_subtrees — the same persisted-assignment
+    artifact every IVF gate reads), a 1-row total frame broadcast
+    back. Ratios use the floor-based half-up rounding — n/total is
+    exactly the rational tie case where engine round() rules
+    disagree."""
+    from open_tlm_spark.plans.shared_subtrees import shared_ivf_cells
 
-    emb = spark.table("embeddings")
-    centroids = emb.filter(F.col("vec_id") < _IVF_AUDIT_K).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("cvec"),
-    )
     cell = (
-        S.ivf_assign(emb, centroids)
+        shared_ivf_cells(spark, sf_dir)
         .groupBy("centroid_id")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )

@@ -162,6 +162,62 @@ def shared_ngram_pair_stats(
     )
 
 
+def shared_normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, nvec) L2-normalized embedding corpus — the first
+    stage of every similarity/ANN query (at 100 TB: the persisted
+    unit-vector artifact; normalize once, serve everywhere)."""
+    from open_tlm_spark.operators import similarity as S
+
+    return shared_view(
+        spark,
+        "emb_normed",
+        sf_dir,
+        lambda: S.normed_corpus(spark.table("embeddings")),
+    )
+
+
+def shared_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, nvec, centroid_id) IVF assignment of the full corpus
+    to the 8 deterministic lowest-vec_id centroids — the persisted
+    cell layout every IVF gate (assign/topk/balance/nprobe/recall)
+    reads. Built with the hash-aggregable integer-key argmax
+    (ivf_assign_normed — same deterministic winner as ivf_assign,
+    HashAggregate instead of SortAggregate at any scale) over the
+    shared normalized corpus."""
+    from open_tlm_spark.operators import similarity as S
+
+    def build() -> DataFrame:
+        emb = spark.table("embeddings")
+        centroids = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+        return S.ivf_assign_normed(
+            shared_normed_embeddings(spark, sf_dir), centroids
+        )
+
+    return shared_view(spark, "ivf8_cells", sf_dir, build)
+
+
+def shared_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, nvec, sig) hyperplane-LSH signature corpus over the 8
+    deterministic lowest-vec_id hyperplanes — shared by the LSH topk
+    gate and its recall eval."""
+    from open_tlm_spark.operators import similarity as S
+
+    def build() -> DataFrame:
+        emb = spark.table("embeddings")
+        hp = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("h_id"),
+            F.col("embedding").alias("hvec"),
+        )
+        return S.hyperplane_signatures(
+            emb, hp, normed=shared_normed_embeddings(spark, sf_dir)
+        )
+
+    return shared_view(spark, "lsh_sig_corpus", sf_dir, build)
+
+
 def shared_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document (the dedup_simhash
     result frame; the Hamming refinement joins it against itself)."""

@@ -809,12 +809,13 @@ def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both rankings are deterministic (rounded cosines, vec_id
     tiebreaks), so recall is exact — not a statistical estimate."""
     from open_tlm_spark.operators import similarity as S
+    from open_tlm_spark.plans.shared_subtrees import (
+        shared_lsh_signatures,
+        shared_normed_embeddings,
+    )
 
     emb = spark.table("embeddings")
-    hp = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("h_id"), F.col("embedding").alias("hvec")
-    )
-    corpus = S.hyperplane_signatures(emb, hp)
+    corpus = shared_lsh_signatures(spark, sf_dir)
     q_ids = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id")
     )
@@ -825,7 +826,9 @@ def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    gt = S.brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    gt = S.brute_force_topk(
+        emb, queries, k=10, normed=shared_normed_embeddings(spark, sf_dir)
+    ).select("query_id", "vec_id")
     j = gt.join(lsh, ["query_id", "vec_id"], "left")
     return j.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_gt"),

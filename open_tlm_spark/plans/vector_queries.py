@@ -100,10 +100,17 @@ def _sq_dist(a: str, b: str) -> "F.Column":
     return dist
 
 
-def _pq_parts(spark: SparkSession):
+def _pq_parts(spark: SparkSession, sf_dir: str | None = None):
     """(vsub, csub, best): subvector relation, broadcastable codebook
     subspaces, and the per-(vector, subspace) assignment — the Spark
-    mirror of _PQ_BEST_CTES."""
+    mirror of _PQ_BEST_CTES.
+
+    With `sf_dir` given, `best` (the expensive scored-join argmin
+    over corpus x codebook rows) is the session-shared cached view
+    (r13, plans/shared_subtrees pattern): four gates — pq_quantize,
+    sim_pq_adc_topk, sim_ivfpq_topk, sim_pq_recall_eval — read the
+    SAME per-(vector, subspace) assignment, exactly the PQ-code
+    artifact an IVF-PQ index persists once per corpus snapshot."""
     emb = fan_out(spark.table("embeddings")).select(
         "vec_id", S.as_double(F.col("embedding")).alias("vec")
     )
@@ -120,13 +127,20 @@ def _pq_parts(spark: SparkSession):
         * 100
         + F.col("code_id")
     )
-    best = (
-        vsub.join(F.broadcast(csub), "sub")
-        .select("vec_id", "sub", ikey.alias("ikey"))
-        .groupBy("vec_id", "sub")
-        .agg(F.min("ikey").alias("ik"))
-    )
-    return vsub, csub, best
+
+    def build_best() -> DataFrame:
+        return (
+            vsub.join(F.broadcast(csub), "sub")
+            .select("vec_id", "sub", ikey.alias("ikey"))
+            .groupBy("vec_id", "sub")
+            .agg(F.min("ikey").alias("ik"))
+        )
+
+    if sf_dir is None:
+        return vsub, csub, build_best()
+    from open_tlm_spark.operators.shared_cache import shared_view
+
+    return vsub, csub, shared_view(spark, "pq_best", sf_dir, build_best)
 
 
 def _pq_oracle() -> str:
@@ -159,7 +173,7 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the codeword id into one integer key, so argmin is a plain min()
     with deterministic id tiebreaks in both engines.
     """
-    _, _, best = _pq_parts(spark)
+    _, _, best = _pq_parts(spark, sf_dir)
     code = F.array_join(
         F.transform(
             F.array_sort(
@@ -247,12 +261,9 @@ def sem_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring reuses the Arrow block kernel (blocked_cosine_pairs) that
     ships each vector once per cell.
     """
-    emb = fan_out(spark.table("embeddings")).select(
-        "vec_id", S.as_double(F.col("embedding")).alias("vec")
-    )
-    nv = S.normalized(emb, "vec").select("vec_id", "nvec").localCheckpoint(
-        eager=False
-    )
+    from open_tlm_spark.plans.shared_subtrees import shared_normed_embeddings
+
+    nv = shared_normed_embeddings(spark, sf_dir)
     w = Window.orderBy("vec_id")
     cent = (
         nv.orderBy("vec_id")
@@ -415,7 +426,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{_ADC_K} window. At 100 TB the aggregate's shuffle carries at
     most one partial row per (query, vector) per partition, and the
     window input is already reduced to nq x corpus rows."""
-    vsub, csub, best = _pq_parts(spark)
+    vsub, csub, best = _pq_parts(spark, sf_dir)
     codes = best.select("vec_id", "sub", (F.col("ik") % 100).alias("code"))
     qsub = vsub.filter(F.col("vec_id") < _ADC_NQ).select(
         F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qv")

@@ -1020,7 +1020,15 @@ def test_shared_view_stale_memo_entry_rebuilds(spark):
     probe = REGISTRY["dedup_clusters"]
     df = probe.fn(spark, SF)  # primes the real entry
     df.count()
-    keys = [k for k in sc._MEMO if k[0] == id(spark)]
+    # r13: the memo now also holds the shared dedup subtrees (sh3,
+    # minhash_sig, ...) built underneath cc_labels; target the
+    # cc_labels view specifically — it is the one the downstream
+    # histogram query re-accesses.
+    keys = [
+        k
+        for k in sc._MEMO
+        if k[0] == id(spark) and "cc_labels" in k[1]
+    ]
     assert keys
     view = keys[0][1]
     spark.catalog.dropTempView(view)  # catalog loses the view, memo keeps it
