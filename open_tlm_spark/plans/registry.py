@@ -113,6 +113,34 @@ def register(
 #         (tools/diffcheck.py at sf0.01) so the deferral carries
 #         fresh local evidence; they head the r14 window next to
 #         the r10-era block.
+#         REVISED mid-round — r13 became the first OPTIMIZATION
+#         round, and the shared-subtree work (dedup pair-stats,
+#         normalized corpus / IVF cells / LSH signatures / PQ codes)
+#         re-fingerprinted 27 more queries. Stale set = 32 (the 5
+#         ivf gates + the 27 optimization-touched); window = 3
+#         r8-era heads + 32 stale + 15 r9-era keepers = 50 exactly.
+#         FIFTEEN more r9-era rows defer to r14 (the untouched
+#         ts_* analytics family + lsh_scurve_table,
+#         mixture_temperature_allocation, text_rolling_fingerprint
+#         — cheap, code-untouched since r9, each re-verified green
+#         against its DuckDB oracle locally this round at sf0.01 so
+#         the deferral carries fresh local evidence; every
+#         optimization-touched query was ALSO oracle-verified at
+#         sf0.01 before its commit). r14 window: the 20 deferred
+#         r9-era rows head it, then the r10-era block.
+#         LATE-ROUND EXTENSION — the second optimization batch
+#         (shared BM25 ranking, shared brute-force ground truths,
+#         shared tokenized corpus / unigram / bigram counts)
+#         re-fingerprinted 13 of the 15 r9-era keepers plus
+#         docs_bm25_topk's and the GT evals' closures. The WINDOW
+#         LIST IS UNCHANGED: every query touched by the extension
+#         was already one of the 50 (keepers + stale set) — the
+#         batch was scoped to in-window queries precisely so no
+#         further rotation rows are displaced. Stale count rises
+#         to 45, still 0 outside the window; every oracle-backed
+#         one re-verified at sf0.01 before commit (full registry:
+#         194 ok, 0 failed, UTC and America/New_York), and the
+#         no-oracle sim_ivf_train A/B'd row-identical.
 #
 # Round-12 head, in priority order:
 #   1. NEW: sim_rerank_filtered_topk — the filtered/auto-depth
@@ -207,18 +235,42 @@ _CHECK_FIRST = [
     "sim_sq8_topk",
     "sim_sq8_filtered_topk",
     "sim_rerank_filtered_topk",
-    # 3. r9-era rotation block (42 of 47; 5 deferred to r14,
-    #    see the schedule note above)
-    "bpe_pair_counts",
-    "decontaminate_ngrams",
+    # 3. re-staled by the r13 OPTIMIZATION shared-subtree work
+    #    (plans/shared_subtrees.py: shingle/MinHash pair stats,
+    #    normalized corpus, IVF cells, LSH signatures, PQ codes —
+    #    each oracle-verified at sf0.01 before its commit)
+    "decontaminate_minhash_fuzzy",
+    "dedup_clusters",
     "dedup_containment",
     "dedup_embedding_cosine",
-    "dedup_fingerprint",
+    "dedup_incremental_minhash",
     "dedup_minhash_est_vs_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_simhash_hamming",
     "dedup_threshold_yield",
+    "docs_ngram_novelty",
+    "pq_quantize",
+    "retrieval_rrf_fusion",
+    "sem_dedup_cells",
+    "sim_ivf_assign",
+    "sim_ivf_balance_audit",
+    "sim_ivf_nprobe_sweep",
+    "sim_ivf_recall_eval",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "sim_lsh_recall_eval",
+    "sim_lsh_topk",
+    "sim_matryoshka_recall_eval",
+    "sim_pq_adc_topk",
+    "sim_topk_bruteforce",
+    "source_overlap_matrix",
+    # 4. r9-era rotation block keepers (15 of the 30 unchanged;
+    #    15 more deferred to r14, see the schedule note above)
+    "bpe_pair_counts",
+    "decontaminate_ngrams",
+    "dedup_fingerprint",
     "docs_bm25_topk",
     "docs_ccnet_lm_buckets",
     "docs_collocations_pmi",
@@ -227,30 +279,10 @@ _CHECK_FIRST = [
     "docs_tfidf_topk",
     "embedding_pca_covariance",
     "event_funnel",
-    "lsh_scurve_table",
-    "mixture_temperature_allocation",
     "quality_bigram_logprob",
     "quality_repetition",
     "quality_unigram_logprob",
-    "sim_ivf_assign",
-    "sim_ivf_balance_audit",
-    "sim_ivf_topk",
     "sim_ivf_train",
-    "sim_lsh_topk",
-    "sim_topk_bruteforce",
-    "text_rolling_fingerprint",
-    "ts_anomaly_mad",
-    "ts_anomaly_zscore",
-    "ts_cusum_changepoints",
-    "ts_dft_power",
-    "ts_downsample_lttb",
-    "ts_downsample_m4",
-    "ts_histogram_per_series",
-    "ts_incremental_merge",
-    "ts_ohlc_bars",
-    "ts_pairwise_corr",
-    "ts_percentile_bands",
-    "ts_seasonality_strength",
 ]
 
 
