@@ -73,7 +73,11 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def shingle_table(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """Exploded (id, shingle) relation — the base for Jaccard/MinHash.
 
@@ -82,14 +86,19 @@ def shingle_table(
     Input is fanned out first — the tokenize/gram/md5 chain downstream
     is the expensive narrow stage, and a single-split source would
     serialize it (see session.fan_out).
+
+    `tok` short-circuits the tokenize pass with a pre-tokenized
+    (doc_id, w) frame (e.g. the session-shared tokenized corpus) —
+    values are identical by construction.
     """
     from open_tlm_spark.session import fan_out
 
-    df = fan_out(df)
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.lower(F.col(text_col))).alias("w"),
-    )
+    if tok is None:
+        df = fan_out(df)
+        tok = df.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.lower(F.col(text_col))).alias("w"),
+        )
     return tok.select(
         "doc_id", F.explode(_grams_over(F.col("w"), n)).alias("shingle")
     )

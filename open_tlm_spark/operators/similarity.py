@@ -412,7 +412,11 @@ def ivf_topk(
 
 
 def kmeans_train(
-    embeddings: DataFrame, k: int = 8, iters: int = 2, dim: int = 64
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """Lloyd's k-means on the unit sphere (spherical k-means) — the
     IVF training step that produces the centroids ivf_assign/ivf_topk
@@ -435,10 +439,21 @@ def kmeans_train(
     # by 32 tasks costs more in scheduling than the parallel scoring
     # saves (measured +1.2 s at gate scale). Training at 100 TB runs
     # on a sample anyway (see docstring), so the frame stays small.
-    e = normalized(
-        embeddings.select("vec_id", as_double(F.col("embedding")).alias("vec")),
-        "vec",
-    ).select("vec_id", "nvec").localCheckpoint(eager=False)
+    # `normed` short-circuits the normalization with a pre-normalized
+    # (vec_id, nvec) frame (e.g. the session-shared cached view) —
+    # values are identical by construction.
+    e = (
+        normed.select("vec_id", "nvec")
+        if normed is not None
+        else normalized(
+            embeddings.select(
+                "vec_id", as_double(F.col("embedding")).alias("vec")
+            ),
+            "vec",
+        )
+        .select("vec_id", "nvec")
+        .localCheckpoint(eager=False)
+    )
 
     w_init = Window.orderBy("vec_id")
     centroids = (

@@ -101,8 +101,14 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the sorted distinct token set —
     order/whitespace-insensitive near-exact dedup key (the classic
     'bag-of-words hash' fingerprint)."""
-    bag = F.array_join(F.array_sort(F.array_distinct(tokens(F.lower(text)))), " ")
-    return F.md5(bag)
+    return fingerprint_of(tokens(F.lower(text)))
+
+
+def fingerprint_of(w: Column) -> Column:
+    """fingerprint() over an already-tokenized array column — the
+    entry point for consumers of a shared tokenized-corpus frame
+    (identical bytes: same sort/join/md5 chain)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(w)), " "))
 
 
 def bigrams(w: Column) -> Column:
@@ -124,7 +130,10 @@ def bigrams(w: Column) -> Column:
 
 
 def repetition_features(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """Gopher-style repetition signals: duplicate-word fraction
     (1 - distinct/total tokens) and top-bigram fraction (occurrences
@@ -136,13 +145,18 @@ def repetition_features(
     each doc's grams before the shuffle, so the shuffle carries one
     row per distinct (doc, gram) — bounded by document length, not
     corpus size).
+
+    `tok` short-circuits the tokenize pass with a pre-tokenized
+    (doc_id, w) frame (e.g. the session-shared tokenized corpus) —
+    values are identical by construction.
     """
     from open_tlm_spark.session import fan_out
 
-    tok = fan_out(df).select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.lower(F.col(text_col))).alias("w"),
-    )
+    if tok is None:
+        tok = fan_out(df).select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.lower(F.col(text_col))).alias("w"),
+        )
     base = tok.select(
         "doc_id",
         F.size("w").cast("long").alias("n_words"),

@@ -398,16 +398,15 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate with map-side partials, then TakeOrderedAndProject
     — at corpus scale the shuffle carries one row per distinct pair
     per partition, never the corpus. Reuses text.bigrams (the
-    NON-distinct 2-grams repetition scoring uses)."""
-    from open_tlm_spark.operators.text import bigrams, tokens
-    from open_tlm_spark.session import fan_out
+    NON-distinct 2-grams repetition scoring uses). r13 (guide §2.4):
+    the pair-count table is the session-shared bigram frame the
+    bigram-LM scorer and the PMI collocations also aggregate — one
+    explode+aggregate per session, three consumers."""
+    from open_tlm_spark.plans.shared_subtrees import shared_bigram_counts
 
-    docs = fan_out(spark.table("documents"))
-    tok = docs.select(tokens(F.lower(F.col("text"))).alias("w"))
-    pairs = tok.select(F.explode(bigrams(F.col("w"))).alias("pair"))
     return (
-        pairs.groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        shared_bigram_counts(spark, sf_dir)
+        .select("pair", F.col("c").alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(50)
     )
@@ -512,17 +511,18 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipf-bounded (|vocab| << corpus) -> broadcast; per-token logp is
     rounded to 6 dp and summed as DECIMAL so the per-doc aggregate is
     order-independent and engine-identical."""
-    from open_tlm_spark.operators.text import tokens
-    from open_tlm_spark.session import fan_out
-
-    docs = fan_out(spark.table("documents"))
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    from open_tlm_spark.plans.shared_subtrees import (
+        shared_unigram_counts,
+        token_stream,
     )
+
+    # r13 (guide §2.4): token stream + unigram LM table come from the
+    # session-shared tokenized corpus (ccnet buckets share both).
+    tok = token_stream(spark, sf_dir).select("doc_id", "token")
     # freq is vocab-sized (scales with the corpus) — no broadcast
     # hint; AQE broadcasts while it fits and otherwise reuses freq's
     # own token-keyed exchange for a shuffle join. total is 1 row.
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    freq = shared_unigram_counts(spark, sf_dir)
     total = freq.agg(F.sum("c").cast("long").alias("n"))
     scored = (
         tok.join(freq, "token")

@@ -911,16 +911,21 @@ def sim_matryoshka_recall_eval(
     scans {_MRL_DIM}/64 of the vector bytes, which is the point);
     the recall join touches {_MRL_K} rows per query."""
     from open_tlm_spark.operators import similarity as S
-    from open_tlm_spark.plans.shared_subtrees import shared_normed_embeddings
+    from open_tlm_spark.plans.shared_subtrees import shared_bruteforce_lo
 
     emb = spark.table("embeddings")
     q = emb.filter(F.col("vec_id") < _MRL_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    gt = S.brute_force_topk(
-        emb, q, k=_MRL_K, normed=shared_normed_embeddings(spark, sf_dir)
-    ).select("query_id", "vec_id")
+    # r13: full-dim ground truth = the rank <= {k} prefix of the
+    # session-shared brute-force top-10 (identical rows: ranks are
+    # assigned before the k cut, deterministic tiebreaks).
+    gt = (
+        shared_bruteforce_lo(spark, sf_dir)
+        .filter(F.col("rank") <= _MRL_K)
+        .select("query_id", "vec_id")
+    )
     t_emb = emb.select(
         "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding")
     )
@@ -1432,16 +1437,12 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract. The ground-truth arm is the deliberate brute-force
     audit baseline. Corpus assignment and normalization come from
     the session-shared views (r13, plans/shared_subtrees)."""
-    from open_tlm_spark.operators import similarity as S
     from open_tlm_spark.operators.similarity import (
         as_double,
         dot,
         normalized,
     )
-    from open_tlm_spark.plans.shared_subtrees import (
-        shared_ivf_cells,
-        shared_normed_embeddings,
-    )
+    from open_tlm_spark.plans.shared_subtrees import shared_ivf_cells
 
     emb = spark.table("embeddings")
     centroids = emb.filter(F.col("vec_id") < 8).select(
@@ -1524,9 +1525,11 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _NPS_K)
         .select("nprobe", "query_id", "vec_id", F.lit(1).alias("_hit"))
     )
-    gt = S.brute_force_topk(
-        emb, queries, k=_NPS_K, normed=shared_normed_embeddings(spark, sf_dir)
-    ).select("query_id", "vec_id")
+    # r13: exact ground truth from the session-shared brute-force
+    # frame (also the IVF recall eval's GT arm) — one corpus pass.
+    from open_tlm_spark.plans.shared_subtrees import shared_bruteforce_hi
+
+    gt = shared_bruteforce_hi(spark, sf_dir).select("query_id", "vec_id")
     gtp = gt.join(F.broadcast(probes))
     j = gtp.join(ranked, ["nprobe", "query_id", "vec_id"], "left")
     return j.groupBy("nprobe").agg(

@@ -140,7 +140,13 @@ def _build_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_tlm_spark.plans.shared_subtrees import shared_signatures
 
     docs = spark.table("documents")
-    bag = fan_out(docs).select("doc_id", T.fingerprint(F.col("text")).alias("k"))
+    # r13: bag fingerprints hash the session-shared tokenized corpus
+    # (same sort/join/md5 chain — identical keys).
+    from open_tlm_spark.plans.shared_subtrees import shared_tokens
+
+    bag = shared_tokens(spark, sf_dir).select(
+        "doc_id", T.fingerprint_of(F.col("w")).alias("k")
+    )
     bands = D.lsh_bands(shared_signatures(spark, sf_dir)).select(
         "doc_id",
         F.concat_ws("|", F.col("band_id").cast("string"), "band_key").alias("k"),
@@ -189,8 +195,14 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate-word fraction and
     top-bigram fraction — the cheap detectors for boilerplate and
     keyword-stuffed documents (operators/text.py
-    repetition_features)."""
-    return T.repetition_features(spark.table("documents"))
+    repetition_features). r13 (guide §2.4): the tokenize pass comes
+    from the session-shared tokenized corpus."""
+    from open_tlm_spark.plans.shared_subtrees import shared_tokens
+
+    return T.repetition_features(
+        spark.table("documents"),
+        tok=shared_tokens(spark, sf_dir).select("doc_id", "w"),
+    )
 
 
 # ----------------------------------------------------- PII scrubbing

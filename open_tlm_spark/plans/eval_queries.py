@@ -643,8 +643,8 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     views (r13, plans/shared_subtrees)."""
     from open_tlm_spark.operators import similarity as S
     from open_tlm_spark.plans.shared_subtrees import (
+        shared_bruteforce_hi,
         shared_ivf_cells,
-        shared_normed_embeddings,
     )
 
     emb = spark.table("embeddings")
@@ -664,9 +664,9 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_IVFR_K,
         assigned_normed=shared_ivf_cells(spark, sf_dir),
     ).select("query_id", "vec_id", F.lit(1).alias("_hit"))
-    gt = S.brute_force_topk(
-        emb, queries, k=_IVFR_K, normed=shared_normed_embeddings(spark, sf_dir)
-    ).select("query_id", "vec_id")
+    # r13: exact ground truth from the session-shared brute-force
+    # frame (also the nprobe sweep's GT arm) — one corpus pass.
+    gt = shared_bruteforce_hi(spark, sf_dir).select("query_id", "vec_id")
     j = gt.join(ivf, ["query_id", "vec_id"], "left")
     return j.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_gt"),
@@ -950,17 +950,19 @@ def docs_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed top-k over the floored pair set, then a rank window
     over {_PMI_TOP} survivors. Two text-side shuffles total at any
     corpus size."""
-    from open_tlm_spark.operators.text import bigrams, tokens
-    from open_tlm_spark.session import fan_out
+    from open_tlm_spark.plans.shared_subtrees import shared_bigram_counts
 
-    docs = fan_out(spark.table("documents"))
-    tok = docs.select(tokens(F.lower(F.col("text"))).alias("w"))
-    bg = tok.select(F.explode(bigrams(F.col("w"))).alias("pair")).select(
+    # r13 (guide §2.4): the pair counts are the session-shared bigram
+    # frame (also BPE's and the bigram-LM's); tokens are whitespace-
+    # split so splitting "w1 w2" back is bijective — grouping the
+    # pair key is row-identical to grouping (w1, w2). The former
+    # localCheckpoint is obsolete: the cached view already serves the
+    # four downstream traversals from materialized blocks.
+    c2 = shared_bigram_counts(spark, sf_dir).select(
         F.split(F.col("pair"), " ").getItem(0).alias("w1"),
         F.split(F.col("pair"), " ").getItem(1).alias("w2"),
+        "c",
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    c2 = c2.localCheckpoint(eager=False)
     n = c2.agg(F.sum("c").cast("double").alias("n_pairs"))
     cl = c2.groupBy("w1").agg(F.sum("c").alias("cl"))
     cr = c2.groupBy("w2").agg(F.sum("c").alias("cr"))

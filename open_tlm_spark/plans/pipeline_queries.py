@@ -70,9 +70,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words fingerprint dedup: md5 of the sorted distinct
     token set — catches word-order shuffles exact dedup misses. The
-    16-byte key (not the document) is what shuffles."""
-    docs = fan_out(spark.table("documents")).select(
-        "doc_id", T.fingerprint(F.col("text")).alias("fingerprint")
+    16-byte key (not the document) is what shuffles. r13 (guide
+    §2.4): fingerprints hash the session-shared tokenized corpus
+    (same sort/join/md5 chain — identical keys)."""
+    from open_tlm_spark.plans.shared_subtrees import shared_tokens
+
+    docs = shared_tokens(spark, sf_dir).select(
+        "doc_id", T.fingerprint_of(F.col("w")).alias("fingerprint")
     )
     return D.exact_dedup(docs, ["fingerprint"], "doc_id")
 
@@ -353,17 +357,13 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ANN baseline: cosine top-10 for 5 query vectors against
     the whole corpus. Queries broadcast; dot product is a sequential
     zip_with fold in doubles (deterministic; float math would diverge
-    between engines). Corpus normalization comes from the session-
-    shared unit-vector frame (r13, plans/shared_subtrees)."""
-    from open_tlm_spark.plans.shared_subtrees import shared_normed_embeddings
+    between engines). r13: the ranked frame IS the session-shared
+    exact ground truth the LSH/Matryoshka recall evals audit against
+    (plans/shared_subtrees.shared_bruteforce_lo) — the corpus scoring
+    pass runs once per session, not once per consumer."""
+    from open_tlm_spark.plans.shared_subtrees import shared_bruteforce_lo
 
-    emb = spark.table("embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    return S.brute_force_topk(
-        emb, queries, k=10, normed=shared_normed_embeddings(spark, sf_dir)
-    )
+    return shared_bruteforce_lo(spark, sf_dir)
 
 
 @register(
@@ -597,8 +597,17 @@ def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     consume. Driver-loop iteration with an eager checkpoint per
     round — the canonical Spark iterative-algorithm shape (without
     the lineage cut, iteration N's plan contains every previous
-    iteration)."""
-    cents = S.kmeans_train(spark.table("embeddings"), k=8, iters=2)
+    iteration). r13 (guide §2.4): the training frame reads the
+    session-shared normalized corpus — every Lloyd iteration scans
+    the cached unit vectors instead of re-deriving them."""
+    from open_tlm_spark.plans.shared_subtrees import shared_normed_embeddings
+
+    cents = S.kmeans_train(
+        spark.table("embeddings"),
+        k=8,
+        iters=2,
+        normed=shared_normed_embeddings(spark, sf_dir),
+    )
     return cents.select("centroid_id", "n_members").orderBy("centroid_id")
 
 

@@ -94,7 +94,24 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     then DECIMAL-summed per doc — order-independent — and the final
     ranking is one TakeOrderedAndProject with doc_id tiebreak. Two
     shuffles on the text side (tf agg, per-doc sum) at any corpus
-    size."""
+    size.
+
+    r13 (guide §2.4 — share one subtree): the ranked 50-row result is
+    published as a session-shared cached view, because
+    retrieval_rrf_fusion consumes this exact frame as its lexical arm
+    — previously the whole tokenize->tf->score subtree ran twice per
+    session. First consumer pays the full build; the cached frame is
+    50 rows. At 100 TB the lexical arm of a fused retrieval stack is
+    a materialized ranking artifact for the same reason."""
+    from open_tlm_spark.operators.shared_cache import shared_view
+
+    return shared_view(
+        spark, "bm25_top", sf_dir, lambda: _build_bm25_topk(spark, sf_dir)
+    )
+
+
+def _build_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual BM25 pipeline (see docs_bm25_topk docstring)."""
     from open_tlm_spark.operators.text import tokens
 
     k1, b = _BM25_K1, _BM25_B

@@ -102,13 +102,14 @@ def docs_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 6 dp and the per-doc combination is an exact count x DECIMAL
     dot product, so the aggregate is order-independent and
     engine-identical. Two corpus-side shuffles at any scale."""
-    from open_tlm_spark.operators.text import tokens
+    from open_tlm_spark.plans.shared_subtrees import token_stream
 
-    docs = fan_out(spark.table("documents"))
-    tok = docs.select(
+    # r13 (guide §2.4): token stream from the session-shared
+    # tokenized corpus (`source` rides on the shared frame).
+    tok = token_stream(spark, sf_dir).select(
         "doc_id",
         F.col("source").isin(*_DSIR_TARGET).alias("is_t"),
-        F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+        "token",
     ).select(
         "doc_id",
         "is_t",
@@ -208,15 +209,15 @@ def docs_ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast hint — AQE decides. The ntile window is partitioned by
     source (never a global sort) with a doc_id tiebreak for
     determinism; the final aggregate is a DECIMAL-exact mean."""
-    from open_tlm_spark.operators.text import tokens
-
-    docs = fan_out(spark.table("documents"))
-    tok = docs.select(
-        "doc_id",
-        "source",
-        F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+    from open_tlm_spark.plans.shared_subtrees import (
+        shared_unigram_counts,
+        token_stream,
     )
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+
+    # r13 (guide §2.4): token stream + unigram LM table come from the
+    # session-shared tokenized corpus (unigram scorer shares both).
+    tok = token_stream(spark, sf_dir)
+    freq = shared_unigram_counts(spark, sf_dir)
     total = freq.agg(F.sum("c").cast("long").alias("n"))
     scored = (
         tok.join(freq, "token")
@@ -910,14 +911,14 @@ def docs_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-up form; phrase scores then sum those exact 6-dp DECIMALs.
     Per-doc ranking is a doc-partitioned row_number over the tiny
     deduped phrase frame."""
-    from open_tlm_spark.operators.text import tokens
+    from open_tlm_spark.plans.shared_subtrees import shared_tokens
 
-    docs = fan_out(spark.table("documents"))
-    tok = docs.select(
+    # r13 (guide §2.4): positions explode off the session-shared
+    # tokenized corpus (posexplode indexes the same array the view
+    # caches — byte-identical (pos, token) stream).
+    tok = shared_tokens(spark, sf_dir).select(
         "doc_id",
-        F.posexplode(tokens(F.lower(F.col("text")))).alias(
-            "pos", "token"
-        ),
+        F.posexplode("w").alias("pos", "token"),
     ).select(
         "doc_id",
         "pos",

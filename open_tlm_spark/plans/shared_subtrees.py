@@ -43,6 +43,71 @@ from open_tlm_spark.operators import dedup as D
 from open_tlm_spark.operators.shared_cache import shared_view
 
 
+def shared_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, w) — tokens(lower(text)) per document, the
+    tokenized-corpus artifact every lexical audit starts from (at
+    100 TB: tokenize once per corpus snapshot, persist, audit many).
+    `source` rides along (tiny vs the token array) so per-source
+    consumers (CCNet buckets, DSIR) need no join back."""
+    from open_tlm_spark.operators import text as T
+    from open_tlm_spark.session import fan_out
+
+    return shared_view(
+        spark,
+        "toks",
+        sf_dir,
+        lambda: fan_out(spark.table("documents")).select(
+            "doc_id",
+            "source",
+            T.tokens(F.lower(F.col("text"))).alias("w"),
+        ),
+    )
+
+
+def token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, token) exploded stream over the shared
+    tokenized corpus. Deliberately NOT a second cached view: the
+    explode over the cached array frame is a cheap narrow stage,
+    and caching the exploded twin would triple the block-manager
+    footprint for no saved shuffle."""
+    return shared_tokens(spark, sf_dir).select(
+        "doc_id", "source", F.explode("w").alias("token")
+    )
+
+
+def shared_unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, c) corpus unigram counts over the shared token stream
+    — the LM frequency table both unigram-perplexity scorers
+    (quality_unigram_logprob, docs_ccnet_lm_buckets) join back onto
+    the stream."""
+    return shared_view(
+        spark,
+        "uni_counts",
+        sf_dir,
+        lambda: token_stream(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c")),
+    )
+
+
+def shared_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pair, c) corpus-wide adjacent-token-pair counts (pair =
+    "w1 w2"; tokens are whitespace-split so the encoding is
+    unambiguous) — the one explode+aggregate behind BPE pair
+    counting, bigram-LM scoring, and PMI collocations."""
+    from open_tlm_spark.operators.text import bigrams
+
+    return shared_view(
+        spark,
+        "bg_counts",
+        sf_dir,
+        lambda: shared_tokens(spark, sf_dir)
+        .select(F.explode(bigrams(F.col("w"))).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("c")),
+    )
+
+
 def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) distinct 3-gram relation over `documents` —
     the base of every MinHash/Jaccard/SimHash/novelty query."""
@@ -50,7 +115,12 @@ def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "sh3",
         sf_dir,
-        lambda: D.shingle_table(spark.table("documents")),
+        # r13: grams build over the session-shared tokenized corpus —
+        # the whole lexical stack tokenizes exactly once per session.
+        lambda: D.shingle_table(
+            spark.table("documents"),
+            tok=shared_tokens(spark, sf_dir).select("doc_id", "w"),
+        ),
     )
 
 
@@ -216,6 +286,49 @@ def shared_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return shared_view(spark, "lsh_sig_corpus", sf_dir, build)
+
+
+def shared_bruteforce_lo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the low query set (vec_id < 5) —
+    simultaneously the sim_topk_bruteforce result frame AND the
+    ground-truth arm of the LSH / Matryoshka recall evals (the
+    Matryoshka eval takes the rank <= 5 prefix, identical rows by
+    the deterministic (rounded cos, vec_id) ranking). One corpus
+    dot-product pass instead of three."""
+    from open_tlm_spark.operators import similarity as S
+
+    def build() -> DataFrame:
+        emb = spark.table("embeddings")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        return S.brute_force_topk(
+            emb, queries, k=10, normed=shared_normed_embeddings(spark, sf_dir)
+        )
+
+    return shared_view(spark, "bf_top_lo", sf_dir, build)
+
+
+def shared_bruteforce_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the high query set (8 <= vec_id < 12)
+    — the shared ground-truth arm of the IVF recall eval and the
+    nprobe sweep. One corpus dot-product pass instead of two."""
+    from open_tlm_spark.operators import similarity as S
+
+    def build() -> DataFrame:
+        emb = spark.table("embeddings")
+        queries = emb.filter(
+            (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        return S.brute_force_topk(
+            emb, queries, k=5, normed=shared_normed_embeddings(spark, sf_dir)
+        )
+
+    return shared_view(spark, "bf_top_hi", sf_dir, build)
 
 
 def shared_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

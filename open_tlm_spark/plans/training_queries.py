@@ -362,13 +362,11 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     launches no job). Ranking orders by the ROUNDED score (6 dp) with
     token tiebreak so cross-engine ulp noise in ln() can't reorder
     ties. One text-side shuffle + one window on doc_id."""
-    from open_tlm_spark.operators.text import tokens
-    from open_tlm_spark.session import fan_out
+    from open_tlm_spark.plans.shared_subtrees import token_stream
 
-    docs = fan_out(spark.table("documents"))
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
-    )
+    # r13 (guide §2.4): token stream from the session-shared
+    # tokenized corpus (tokenize once per session).
+    tok = token_stream(spark, sf_dir).select("doc_id", "token")
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = (
@@ -436,15 +434,20 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     table rather than re-scanning text; both broadcast back onto the
     stream. Per-token logp is rounded then DECIMAL-summed —
     order-independent, engine-identical."""
-    from open_tlm_spark.operators.text import bigrams, tokens
-    from open_tlm_spark.session import fan_out
+    from open_tlm_spark.operators.text import bigrams
+    from open_tlm_spark.plans.shared_subtrees import (
+        shared_bigram_counts,
+        shared_tokens,
+    )
 
-    docs = fan_out(spark.table("documents"))
-    tok = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("w"))
+    # r13 (guide §2.4): the bigram stream explodes the session-shared
+    # tokenized corpus; the pair-count table is the session-shared
+    # bigram frame (also BPE's and PMI's) — c2 aggregates nothing.
+    tok = shared_tokens(spark, sf_dir).select("doc_id", "w")
     bg = tok.select(
         "doc_id", F.explode(bigrams(F.col("w"))).alias("pair")
     ).withColumn("w1", F.split(F.col("pair"), " ").getItem(0))
-    c2 = bg.groupBy("pair").agg(F.count(F.lit(1)).alias("c2"))
+    c2 = shared_bigram_counts(spark, sf_dir).withColumnRenamed("c", "c2")
     c1 = (
         c2.withColumn("w1", F.split(F.col("pair"), " ").getItem(0))
         .groupBy("w1")
@@ -810,8 +813,8 @@ def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreaks), so recall is exact — not a statistical estimate."""
     from open_tlm_spark.operators import similarity as S
     from open_tlm_spark.plans.shared_subtrees import (
+        shared_bruteforce_lo,
         shared_lsh_signatures,
-        shared_normed_embeddings,
     )
 
     emb = spark.table("embeddings")
@@ -822,13 +825,9 @@ def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = S.lsh_bucket_topk(corpus, q_ids, k=10).select(
         "query_id", "vec_id", F.lit(1).alias("_hit")
     )
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-    )
-    gt = S.brute_force_topk(
-        emb, queries, k=10, normed=shared_normed_embeddings(spark, sf_dir)
-    ).select("query_id", "vec_id")
+    # r13: the exact ground truth is the session-shared brute-force
+    # frame (also the sim_topk_bruteforce result) — one corpus pass.
+    gt = shared_bruteforce_lo(spark, sf_dir).select("query_id", "vec_id")
     j = gt.join(lsh, ["query_id", "vec_id"], "left")
     return j.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_gt"),
