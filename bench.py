@@ -52,6 +52,67 @@ BENCH_CORE = [
 # fastest members (0.26-0.89 s, scheduling-noise-dominated). They
 # remain in BENCH_FULL_LOCAL.json; bench_compare uses the full map.
 
+# Session-shared cached views (plans/shared_subtrees.py), in
+# dependency order so each build's timing is its OWN subtree, not a
+# prerequisite's. VERDICT r13 "What's wrong" #2: building these
+# lazily inside whichever consumer ran first made per-query numbers
+# order-dependent (dedup_containment read 0.51x while its family
+# improved). The bench now materializes each one under its own
+# `shared_build_*` line — inside the timed region, computed from the
+# parquet inputs every run, nothing persisted — so every query's
+# number is its MARGINAL cost again. A view missing from this list
+# (or one added later) degrades gracefully to the old first-consumer
+# lazy build.
+_SHARED_BUILDERS = [
+    "shared_quality_signals",
+    "shared_tokens",
+    "shared_unigram_counts",
+    "shared_bigram_counts",
+    "shared_shingles",
+    "shared_hashed_shingles",
+    "shared_capped_shingles",
+    "shared_ngram_pair_stats",
+    "shared_signatures",
+    "shared_lsh_candidates",
+    "shared_lsh_verified",
+    "shared_lsh_jaccard",
+    "shared_simhash",
+    "shared_normed_embeddings",
+    "shared_ivf_cells",
+    "shared_lsh_signatures",
+    "shared_bruteforce_lo",
+    "shared_bruteforce_hi",
+]
+
+
+def _materialize_shared_views(spark, sf_dir: str) -> dict[str, float]:
+    """Build + cache every session-shared view, timed per view through
+    the noop sink (guide §1.4 — computes every column, discards rows).
+    Returns {"shared_build_<name>": seconds}."""
+    import time
+
+    from pyspark.sql import DataFrame
+
+    from open_tlm_spark.plans import shared_subtrees as SS
+    from open_tlm_spark.plans.curation_queries import dedup_clusters
+
+    builders = [(n, getattr(SS, n)) for n in _SHARED_BUILDERS]
+    # the CC label table is published by the dedup_clusters builder
+    builders.append(("cc_labels", dedup_clusters))
+    out: dict[str, float] = {}
+    for name, fn in builders:
+        spark.sparkContext.setJobDescription(f"shared build: {name}")
+        t0 = time.perf_counter()
+        res = fn(spark, sf_dir)
+        frames = res if isinstance(res, tuple) else (res,)
+        for df in frames:
+            assert isinstance(df, DataFrame), name
+            df.write.format("noop").mode("overwrite").save()
+        key = name[len("shared_"):] if name.startswith("shared_") else name
+        out[f"shared_build_{key}"] = round(time.perf_counter() - t0, 4)
+        spark.sparkContext.setJobDescription(None)
+    return out
+
 
 def main() -> int:
     # The committed idle-load reference (BENCH_FULL_LOCAL.json) was
@@ -93,6 +154,13 @@ def main() -> int:
         spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
     )
     t_total = time.perf_counter()
+    # Timed pre-pass: materialize the session-shared views under
+    # their own keys (see _SHARED_BUILDERS). Inside t_total — every
+    # byte still computed from the parquet inputs this run.
+    shared_builds = _materialize_shared_views(spark, sf_dir)
+    for k, v in shared_builds.items():
+        per_query[k] = v
+        print(f"# {k}: {v:.3f}s", file=sys.stderr)
     for name, q in sorted(REGISTRY.items()):
         if not q.bench:
             continue  # correctness-only entries (stateful round trips)
@@ -133,7 +201,8 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "core_sec": round(sum(core.values()), 4),
-        "n_queries": len(per_query),
+        "n_queries": len(per_query) - len(shared_builds),
+        "shared_build_sec": round(sum(shared_builds.values()), 4),
         "queries": core,
         "sf": sf,
     }

@@ -465,7 +465,9 @@ WINNOW_W = 4  # k-gram hashes per winnowing window
 _WINNOW_POS_BITS = 20  # pack = hash << POS_BITS | pos  (pos < 2^20)
 
 
-def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+def winnow_fingerprints(
+    docs: DataFrame, tok: DataFrame | None = None
+) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting",
     SIGMOD 2003 — the MOSS algorithm; public technique).
@@ -477,17 +479,36 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     are kept — position-robust dedup keys at a fraction of the
     shingle volume.
 
-    Plan: one tokenize + k-gram transform (narrow), one per-doc
-    rows-frame window min (doc-partitioned — thousands of small
-    partitions), one distinct. The (hash, pos) pair is packed into a
-    single 56-bit integer so the window min is a plain BIGINT min in
-    any engine; hash is 36 bits of the gram's md5 (collisions only
-    merge fingerprints identically in every engine, so results stay
-    deterministic). Returns (doc_id, fp) distinct rows.
+    Plan (r14, guide §2.4): the whole per-document selection is
+    ARRAY-NATIVE — grams, packed (hash << POS_BITS | pos) BIGINTs,
+    the W-wide sliding min, and the distinct all happen inside one
+    narrow codegen'd projection, so the operator has ZERO exchanges
+    (the r13 form posexploded the gram stream, shuffled it into a
+    doc-partitioned window for the sliding min, and paid a second
+    corpus-wide exchange for the distinct). Winnowing is a
+    per-document decision: no byte ever needs to cross the network
+    to make it. Hash is 36 bits of the gram's md5 (collisions only
+    merge fingerprints identically in every engine); the hash is
+    recovered by integer shift, not double division (packs above
+    2^53 lose low bits on a double round-trip). Returns (doc_id, fp)
+    distinct rows.
+
+    `tok`, when given, short-circuits the tokenize with a
+    pre-tokenized frame that MUST carry (doc_id, w) with
+    w == tokens(lower(text)) — e.g. the session-shared tokenized
+    corpus — and `docs` is then ignored (the ADVICE r13 contract
+    note); values are identical by construction.
     """
     from open_tlm_spark.operators.text import tokens
 
-    w = tokens(F.lower(F.col("text")))
+    base = (
+        tok.select("doc_id", "w")
+        if tok is not None
+        else docs.select(
+            "doc_id", tokens(F.lower(F.col("text"))).alias("w")
+        )
+    )
+    w = F.col("w")
     # Guard docs shorter than K tokens: sequence(0, size-K) with a
     # negative stop is descending and the slice throws — mirror the
     # oracle's len(w) >= K predicate with an empty gram array.
@@ -498,43 +519,32 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
             lambda i: F.array_join(F.slice(w, i + 1, WINNOW_K), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    kg = (
-        docs.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
-        # pos must fit in the pack's low POS_BITS; truncate the gram
-        # stream (deterministically, both engines) past 2^20 grams so
-        # a pathologically long doc can't bleed pos bits into the hash.
-        .filter(F.col("pos") < (1 << _WINNOW_POS_BITS))
-        .select(
-            "doc_id",
-            "pos",
-            (
-                F.conv(F.substring(F.md5("gram"), 1, 9), 16, 10).cast(
-                    "long"
-                )
-                * (1 << _WINNOW_POS_BITS)
-                + F.col("pos")
-            ).alias("pack"),
+    # pos must fit in the pack's low POS_BITS; truncate the gram
+    # stream (deterministically, both engines) past 2^20 grams so a
+    # pathologically long doc can't bleed pos bits into the hash.
+    capped = F.slice(grams, 1, 1 << _WINNOW_POS_BITS)
+    packs = F.transform(
+        capped,
+        lambda g, i: F.conv(F.substring(F.md5(g), 1, 9), 16, 10).cast(
+            "long"
         )
+        * (1 << _WINNOW_POS_BITS)
+        + i,
     )
-    frame = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    # Sliding min over every FULL window of W consecutive packs
+    # (window start 0 .. n_grams - W, as the oracle's
+    # pos <= n_grams - W predicate states).
+    sels = F.when(
+        F.size(packs) >= WINNOW_W,
+        F.transform(
+            F.sequence(F.lit(0), F.size(packs) - WINNOW_W),
+            lambda j: F.array_min(F.slice(packs, j + 1, WINNOW_W)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    fps = F.array_distinct(
+        F.transform(sels, lambda s: F.shiftright(s, _WINNOW_POS_BITS))
     )
-    n = Window.partitionBy("doc_id")
-    sel = kg.select(
-        "doc_id",
-        "pos",
-        F.min("pack").over(frame).alias("sel"),
-        F.count(F.lit(1)).over(n).alias("n_grams"),
-    ).filter(F.col("pos") <= F.col("n_grams") - WINNOW_W)
-    # Integer shift, not double division: packs above 2^53 lose low
-    # bits on the double round-trip, shifting the recovered hash by 1
-    # near pos ~ 2^20 boundaries.
-    return sel.select(
-        "doc_id",
-        F.shiftright(F.col("sel"), _WINNOW_POS_BITS).alias("fp"),
-    ).distinct()
+    return base.select("doc_id", F.explode(fps).alias("fp"))
 
 
 def winnow_pairs(

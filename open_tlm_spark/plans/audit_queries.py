@@ -1250,39 +1250,22 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     five cumulative counts come from ONE aggregate over the joined
     flags, exploded to stage rows from a literal 1-row frame —
     corpus-side cost is one scan + the CC rounds regardless of
-    corpus size."""
-    from open_tlm_spark.operators import text as T
-    from open_tlm_spark.plans.curation_queries import (
-        _GOPHER_STOPS,
-        dedup_clusters,
-    )
+    corpus size. r14 (guide §2.4): the signal pass is the
+    session-shared quality-signal frame (plans/shared_subtrees) —
+    same expressions, computed once for the five quality/langid
+    consumers."""
+    from open_tlm_spark.plans.curation_queries import dedup_clusters
+    from open_tlm_spark.plans.shared_subtrees import shared_quality_signals
 
-    stops = [s.strip().strip("'") for s in _GOPHER_STOPS.split(",")]
-    w = T.tokens(F.lower(F.col("text")))
-    d = fan_out(spark.table("documents")).select(
+    d = shared_quality_signals(spark, sf_dir).select(
         "doc_id",
         "lang",
-        F.size(w).cast("long").alias("n_words"),
-        F.round(
-            F.aggregate(
-                F.transform(w, lambda t: F.length(t)),
-                F.lit(0),
-                lambda a, x: a + x,
-            )
-            / F.size(w),
-            6,
-        ).alias("mean_word_len"),
-        F.round(
-            F.size(F.filter(w, lambda t: t.rlike("[a-z]"))) / F.size(w),
-            6,
-        ).alias("pct_alpha_words"),
-        F.size(F.filter(w, lambda t: t.isin(stops)))
-        .cast("long")
-        .alias("n_stopwords"),
-        F.round(
-            F.lit(1) - F.size(F.array_distinct(w)) / F.size(w), 6
-        ).alias("dup_word_frac"),
-        T.language_id(F.col("text")).alias("lang_pred"),
+        "n_words",
+        "mean_word_len",
+        "pct_alpha_words",
+        "n_stopwords",
+        "dup_word_frac",
+        "lang_pred",
     )
     keep = dedup_clusters(spark, sf_dir).select("doc_id", "is_keeper")
     gq = (

@@ -555,27 +555,19 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pipeline runs before any model-based quality scoring.
     All signals come from ONE tokenize pass per document (narrow,
     codegen'd, zero shuffles, zero UDFs); ratios divide exact integer
-    counts so both engines agree bitwise."""
-    stops = [s.strip().strip("'") for s in _GOPHER_STOPS.split(",")]
-    w = T.tokens(F.lower(F.col("text")))
-    m = fan_out(spark.table("documents")).select(
+    counts so both engines agree bitwise. r14 (guide §2.4): that pass
+    is the session-shared quality-signal frame
+    (plans/shared_subtrees.shared_quality_signals) — the same
+    expressions, computed once per session for the five
+    quality/langid consumers."""
+    from open_tlm_spark.plans.shared_subtrees import shared_quality_signals
+
+    m = shared_quality_signals(spark, sf_dir).select(
         "doc_id",
-        F.size(w).cast("long").alias("n_words"),
-        F.round(
-            F.aggregate(
-                F.transform(w, lambda t: F.length(t)),
-                F.lit(0),
-                lambda a, x: a + x,
-            )
-            / F.size(w),
-            6,
-        ).alias("mean_word_len"),
-        F.round(
-            F.size(F.filter(w, lambda t: t.rlike("[a-z]"))) / F.size(w), 6
-        ).alias("pct_alpha_words"),
-        F.size(F.filter(w, lambda t: t.isin(stops)))
-        .cast("long")
-        .alias("n_stopwords"),
+        "n_words",
+        "mean_word_len",
+        "pct_alpha_words",
+        "n_stopwords",
     )
     return m.select(
         "doc_id",
@@ -668,32 +660,21 @@ def curation_yield_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     over ONE tokenize pass and one regex pass (no shuffles before the
     final aggregate); the only shuffle is the per-source count
     aggregate (|sources| groups, map-side combinable). Ratios divide
-    exact integer counts — bitwise identical across engines."""
-    stops = [s.strip().strip("'") for s in _GOPHER_STOPS.split(",")]
-    w = T.tokens(F.lower(F.col("text")))
-    d = fan_out(spark.table("documents")).select(
+    exact integer counts — bitwise identical across engines. r14
+    (guide §2.4): the signal pass is the session-shared
+    quality-signal frame (plans/shared_subtrees) — same expressions,
+    computed once for the five quality/langid consumers."""
+    from open_tlm_spark.plans.shared_subtrees import shared_quality_signals
+
+    d = shared_quality_signals(spark, sf_dir).select(
         "source",
         "lang",
-        F.size(w).cast("long").alias("n_words"),
-        F.round(
-            F.aggregate(
-                F.transform(w, lambda t: F.length(t)),
-                F.lit(0),
-                lambda a, x: a + x,
-            )
-            / F.size(w),
-            6,
-        ).alias("mean_word_len"),
-        F.round(
-            F.size(F.filter(w, lambda t: t.rlike("[a-z]"))) / F.size(w), 6
-        ).alias("pct_alpha_words"),
-        F.size(F.filter(w, lambda t: t.isin(stops)))
-        .cast("long")
-        .alias("n_stopwords"),
-        F.round(
-            F.lit(1) - F.size(F.array_distinct(w)) / F.size(w), 6
-        ).alias("dup_word_frac"),
-        T.language_id(F.col("text")).alias("lang_pred"),
+        "n_words",
+        "mean_word_len",
+        "pct_alpha_words",
+        "n_stopwords",
+        "dup_word_frac",
+        "lang_pred",
     )
     g_quality = (
         F.col("n_words").between(30, 100000)

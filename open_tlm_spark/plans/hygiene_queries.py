@@ -371,7 +371,19 @@ def customers_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1; at 100 TB block width stops mattering entirely).
 
     levenshtein() is a JVM built-in in Spark and a native function in
-    DuckDB — identical distances, no UDF."""
+    DuckDB — identical distances, no UDF.
+
+    r14 (guide §2.3 "shuffle keys and metadata instead of payloads",
+    §8): the candidate join only needs to DECIDE which records pair
+    up, so the exploded frame now shuffles an 8-byte xxhash64 of the
+    deletion key instead of the variable-length key string, and the
+    names stay OUT of the self-join entirely — they are re-attached
+    to the (linear) candidate set afterwards by two joins against
+    the slim (custkey, name) side, which the planner broadcasts at
+    this scale. Hash collisions only ADD candidates (every true
+    lev<=1 pair still shares a genuine deletion key, hence the same
+    hash) and the exact levenshtein verify drops them — the result
+    set is provably unchanged."""
     cust = spark.table("customer").select(
         "c_custkey", "c_nationkey", "c_name"
     )
@@ -385,10 +397,13 @@ def customers_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = cust.select(
         "c_custkey",
         "c_nationkey",
-        "c_name",
         F.explode(
             F.array_union(F.array(F.col("c_name")), dels)
         ).alias("k"),
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        F.xxhash64("k").alias("hk"),
     )
     a = keys.alias("a")
     b = keys.alias("b")
@@ -396,20 +411,27 @@ def customers_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.hk") == F.col("b.hk"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
         .select(
             F.col("a.c_custkey").alias("cust_a"),
             F.col("b.c_custkey").alias("cust_b"),
             F.col("a.c_nationkey").alias("block"),
-            F.col("a.c_name").alias("name_a"),
-            F.col("b.c_name").alias("name_b"),
         )
         .distinct()
     )
+    names = cust.select("c_custkey", "c_name")
+    na = names.select(
+        F.col("c_custkey").alias("cust_a"), F.col("c_name").alias("name_a")
+    )
+    nb = names.select(
+        F.col("c_custkey").alias("cust_b"), F.col("c_name").alias("name_b")
+    )
     return (
-        cand.withColumn(
+        cand.join(na, "cust_a")
+        .join(nb, "cust_b")
+        .withColumn(
             "dist",
             F.levenshtein("name_a", "name_b").cast("long"),
         )

@@ -474,9 +474,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language ID (n-gram heuristic): count per-lang
     stopword hits, highest wins (ties -> lang code DESC). Pure regex
-    column math — scan-bound at any scale."""
-    return spark.table("documents").select(
-        "doc_id", T.language_id(F.col("text")).alias("lang_pred")
+    column math — scan-bound at any scale. r14 (guide §2.4): the
+    4-regex pass comes from the session-shared quality-signal frame
+    (plans/shared_subtrees) — same expression, computed once for the
+    five quality/langid consumers."""
+    from open_tlm_spark.plans.shared_subtrees import shared_quality_signals
+
+    return shared_quality_signals(spark, sf_dir).select(
+        "doc_id", "lang_pred"
     )
 
 
@@ -526,16 +531,20 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (C4/Gopher-style cheap filters): length & word
-    stats, stopword density, and the resulting keep/drop decision."""
-    t = F.col("text")
-    toks = T.tokens(t)
-    n_words = F.size(toks)
-    n_chars = F.length(t)
-    stop_hits = T.marker_hits(t, T.STOPWORDS)
-    return spark.table("documents").select(
+    stats, stopword density, and the resulting keep/drop decision.
+    r14 (guide §2.4): the tokenize + stopword-regex pass comes from
+    the session-shared quality-signal frame (plans/shared_subtrees);
+    n_chars/n_words there are the identical values (token count and
+    char length are lowering-invariant)."""
+    from open_tlm_spark.plans.shared_subtrees import shared_quality_signals
+
+    n_words = F.col("n_words")
+    n_chars = F.col("n_chars")
+    stop_hits = F.col("stop_hits")
+    return shared_quality_signals(spark, sf_dir).select(
         "doc_id",
-        n_chars.cast("long").alias("q_n_chars"),
-        n_words.cast("long").alias("q_n_words"),
+        n_chars.alias("q_n_chars"),
+        n_words.alias("q_n_words"),
         F.round(n_chars / n_words, 6).alias("q_avg_word_len"),
         F.round(stop_hits / n_words, 6).alias("q_stopword_ratio"),
         ((n_words >= 20) & (stop_hits / n_words >= 0.01)).alias("keep"),
@@ -587,10 +596,57 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ivf_train", oracle=None)  # iterative algorithm: the
-# centroid means are float sums whose order differs across engines,
-# so no SQL oracle exists; determinism + quality are pinned by
-# tests/test_operators.py::test_kmeans_train_properties
+def _ivf_train_oracle() -> str:
+    """Unrolled 2-iteration spherical-k-means mirror. Possible at all
+    ONLY because kmeans_train_exact sums centroid components as
+    DECIMAL(28,12) (order-independent exact arithmetic) and rounds
+    the mean at 6 dp — both engines then hold bit-identical centroids
+    and the rounded-cosine argmax assigns identically."""
+    dim = 64
+    m_cols = ",\n             ".join(
+        f"round(CAST(sum(CAST(nvec[{i + 1}] AS DECIMAL(28,12)))"
+        f" AS DOUBLE) / count(*), 6) AS m{i}"
+        for i in range(dim)
+    )
+    mlist = ", ".join(f"m{i}" for i in range(dim))
+    assign = """
+      SELECT vec_id, centroid_id FROM (
+        SELECT n.vec_id, c.centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> n.nvec[i] * c.cnvec[i])), 6) AS cs
+        FROM normed n, {cents} c) s
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, centroid_id) = 1
+    """
+    return f"""{NORMED_CTE},
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+             nvec AS cnvec
+      FROM normed ORDER BY vec_id LIMIT 8
+    ),
+    a1 AS ({assign.format(cents="c0")}),
+    m1 AS (
+      SELECT a.centroid_id,
+             {m_cols}
+      FROM a1 a JOIN normed n USING (vec_id)
+      GROUP BY a.centroid_id
+    ),
+    l1 AS (SELECT centroid_id, list_value({mlist}) AS mvec FROM m1),
+    c1 AS (
+      SELECT centroid_id, list_transform(mvec, x -> x / nn) AS cnvec
+      FROM (SELECT centroid_id, mvec,
+                   sqrt(list_sum(list_transform(range(1, 65),
+                        i -> mvec[i] * mvec[i]))) AS nn
+            FROM l1)
+    ),
+    a2 AS ({assign.format(cents="c1")})
+    SELECT centroid_id, count(*) AS n_members
+    FROM a2 GROUP BY centroid_id
+    ORDER BY centroid_id
+    """
+
+
+@register("sim_ivf_train", oracle=_ivf_train_oracle())
 def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF training (spherical k-means, 2 Lloyd iterations): the
     step that produces the centroids sim_ivf_assign/sim_ivf_topk
@@ -599,10 +655,18 @@ def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lineage cut, iteration N's plan contains every previous
     iteration). r13 (guide §2.4): the training frame reads the
     session-shared normalized corpus — every Lloyd iteration scans
-    the cached unit vectors instead of re-deriving them."""
+    the cached unit vectors instead of re-deriving them.
+
+    r14 (VERDICT r13 "What's wrong" #4): trains via
+    kmeans_train_exact — DECIMAL-exact order-independent centroid
+    means — so the gate finally carries a real DuckDB oracle (the
+    unrolled 2-iteration mirror above) instead of burning its
+    correctness-window slot on a `no_oracle` row. Output unchanged:
+    (centroid_id, n_members) after 2 iterations, A/B'd row-identical
+    against the float-mean form at every gate SF."""
     from open_tlm_spark.plans.shared_subtrees import shared_normed_embeddings
 
-    cents = S.kmeans_train(
+    cents = S.kmeans_train_exact(
         spark.table("embeddings"),
         k=8,
         iters=2,

@@ -221,7 +221,82 @@ def register(
 #   3. The r4-era rotation block (last green row in round 4, code
 #      unchanged since — enforced by tests/test_evidence_freshness.py
 #      + tools/evidence.py fingerprints).
+#   r14 — DECLARED at round start (VERDICT r13 "Next round" #2):
+#         1. the 3 queries the round-14 evidence-closure extension
+#            (tools/evidence.py now follows plans-module composition
+#            — query-builder→query-builder and shared-subtree calls)
+#            proves were restructured by r13 WITHOUT a driver row:
+#            sim_pq_recall_eval (composes the rewired
+#            sim_pq_adc_topk — VERDICT r13 "What's wrong" #1) and
+#            quality_filter_funnel / dedup_cluster_size_histogram
+#            (both compose dedup_clusters, whose CC chain was rewired
+#            onto the shared token/signature views in r13).
+#         2. queries whose code the r14 optimization batches touch
+#            (each oracle-verified at sf0.01 before its commit).
+#         3. the 20 r9-era rows deferred from r13 (schedule above).
+#         4. remaining slots: the oldest r10-era block rows; the rest
+#            of that 45-row block defers to the next window on the
+#            same cheap/stable/code-untouched criterion, each
+#            re-verified green against its DuckDB oracle locally this
+#            round (tools/diffcheck.py at sf0.01).
 _CHECK_FIRST = [
+    # 1. restructured-in-r13 without a driver row (closure catch)
+    "sim_pq_recall_eval",
+    "quality_filter_funnel",
+    "dedup_cluster_size_histogram",
+    # 2. touched by the r14 optimization batches
+    "quality_gopher_rules",
+    "curation_yield_by_source",
+    "text_langid",
+    "text_quality_score",
+    "docs_clean_pipeline",
+    "dedup_winnowing",
+    "customers_fuzzy_linkage",
+    "embedding_label_cohesion",
+    "sim_ivf_train",
+    # 3. r9-era rows deferred from r13 (5 rounds since last green)
+    "cap_per_source",
+    "events_hash_sample",
+    "lsh_scurve_table",
+    "mixture_temperature_allocation",
+    "stratified_split",
+    "text_rolling_fingerprint",
+    "ts_anomaly_mad",
+    "ts_anomaly_zscore",
+    "ts_cusum_changepoints",
+    "ts_dft_power",
+    "ts_downsample_lttb",
+    "ts_downsample_m4",
+    "ts_histogram_per_series",
+    "ts_incremental_merge",
+    "ts_ohlc_bars",
+    "ts_pairwise_corr",
+    "ts_percentile_bands",
+    "ts_seasonal_residual",
+    "ts_seasonality_strength",
+    "vocab_doc_freq",
+    # 4. r10-era block heads (oldest remaining evidence)
+    "customers_kanonymity_audit",
+    "customers_without_orders",
+    "dedup_exact",
+    "docs_heaps_law_fit",
+    "embedding_sq8_error",
+    "events_attribution_linear",
+    "events_json_props",
+    "interval_join_error_windows",
+    "multimodal_decode",
+    "orders_association_rules",
+    "orders_benford_audit",
+    "parts_above_brand_average",
+    "pivot_event_type_daily",
+    "sample_weighted_hash",
+    "sessionize_events",
+    "set_ops_purchasers_vs_errors",
+    "shards_assignment_balance",
+]
+
+# Round-13 head, for the record:
+_CHECK_FIRST_R13 = [
     # 1. r8-era queries deferred from the r12 window (5 rounds
     #    since their last driver green — they head, per VERDICT
     #    r12 'Next round' #1)

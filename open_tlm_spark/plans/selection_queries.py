@@ -1054,21 +1054,26 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash (set similarity) and substring-span hashing (fixed char
     strides).
 
-    Plan: narrow k-gram transform, one doc-partitioned rows-frame
-    window min on a packed (hash<<20|pos) BIGINT, a distinct, then
-    the stop-fingerprint-capped equi-self-join (same linearity
+    Plan (r14, guide §2.4): the per-document winnow selection is
+    array-native — grams, packed (hash<<20|pos) BIGINTs, sliding
+    min, and per-doc distinct inside ONE narrow projection over the
+    session-shared tokenized corpus (zero exchanges; the r13 form
+    shuffled the exploded gram stream into a doc-partitioned window
+    and paid a second exchange for the distinct) — then the
+    stop-fingerprint-capped equi-self-join (same linearity
     discipline as the shingle family). See operators/dedup.py
     winnow_fingerprints/winnow_pairs."""
     from open_tlm_spark.operators import dedup as D
+    from open_tlm_spark.plans.shared_subtrees import shared_tokens
 
     docs = spark.table("documents")
     # the fingerprint subtree feeds the df-cap aggregate AND both
     # self-join sides; materialize once (lazy local checkpoint — the
-    # established pattern from the MinHash family) instead of four
-    # k-gram + window passes
-    fps = D.winnow_fingerprints(fan_out(docs)).localCheckpoint(
-        eager=False
-    )
+    # established pattern from the MinHash family) instead of three
+    # k-gram passes
+    fps = D.winnow_fingerprints(
+        docs, tok=shared_tokens(spark, sf_dir).select("doc_id", "w")
+    ).localCheckpoint(eager=False)
     return D.winnow_pairs(
         fps, min_shared=_WINNOW_MIN_SHARED, max_df=_WINNOW_MAX_DF
     )

@@ -84,6 +84,45 @@ def test_fresh_queries_do_not_crowd_out_stale_ones():
         )
 
 
+def test_closure_follows_query_builder_composition():
+    """VERDICT r13 #1: `sim_pq_recall_eval` composes another module's
+    query builder (`sim_pq_adc_topk`); in round 13 that builder was
+    rewired without the composing query's own source changing, and
+    the ledger missed it. The round-14 closure extension must catch a
+    SEEDED composition-only change: editing the body of a composed
+    plans-module builder has to flip the composing query's deps."""
+    from tools.evidence import _read_fs, compute_record
+    from open_tlm_spark.plans import REGISTRY
+
+    q = REGISTRY["sim_pq_recall_eval"]
+    base = compute_record(q.module, q.func_name, q.oracle, _read_fs)
+    # the composed builder's module must be part of the closure at all
+    assert any("plans/" in p for p in base["deps"]), base["deps"]
+
+    target = "open_tlm_spark/plans/vector_queries.py"
+    assert target in base["deps"], sorted(base["deps"])
+
+    def read_mutated(path: str) -> str | None:
+        src = _read_fs(path)
+        if src is not None and path == target:
+            # semantically inert but source-visible edit INSIDE the
+            # composed builder's body (not the composing query's)
+            src = src.replace(
+                '(F.col("ik") % 100).alias("code")',
+                '(F.col("ik") % (100)).alias("code")',
+                1,
+            )
+        return src
+
+    mutated = compute_record(q.module, q.func_name, q.oracle, read_mutated)
+    assert mutated["fingerprint"] == base["fingerprint"], (
+        "the probe must not touch the composing query's own source"
+    )
+    assert mutated["deps"] != base["deps"], (
+        "composition-only change was NOT caught by the dep closure"
+    )
+
+
 def test_update_mode_records_green_rows(tmp_path):
     """`evidence.py update` on a real driver correctness file must
     produce fresh records (current fingerprints + oracle hash) for

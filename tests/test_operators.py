@@ -432,6 +432,36 @@ def test_kmeans_train_properties(spark):
     assert objective(trained) > objective(init)
 
 
+def test_kmeans_train_exact_matches_float_form(spark):
+    """r14: sim_ivf_train moved to kmeans_train_exact (DECIMAL-exact
+    order-independent centroid means) so the gate can carry a real
+    DuckDB oracle. Pin the A/B: the exact form's 2-iteration
+    memberships equal the float form's on the gate data, its
+    centroids are unit-norm, and the cells partition the corpus."""
+    import math
+
+    from open_tlm_spark.operators.similarity import (
+        kmeans_train,
+        kmeans_train_exact,
+    )
+    from open_tlm_spark.session import load_tables
+
+    load_tables(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings")
+    n_vecs = emb.count()
+
+    exact = kmeans_train_exact(emb, k=8, iters=2).collect()
+    floatf = kmeans_train(emb, k=8, iters=2).collect()
+    assert sorted((r.centroid_id, r.n_members) for r in exact) == sorted(
+        (r.centroid_id, r.n_members) for r in floatf
+    )
+    assert sum(r.n_members for r in exact) == n_vecs
+    for r in exact:
+        assert math.isclose(
+            sum(x * x for x in r.cnvec), 1.0, rel_tol=1e-9
+        ), r.centroid_id
+
+
 def test_connected_components_merges_transitively(spark):
     """Hash-min CC: a chain spanning two edge generators collapses to
     one cluster labeled by its minimum node; disjoint components stay

@@ -11,18 +11,27 @@ time of its last green row in a driver CORRECTNESS_r{N}.json:
     assignments the function (or its decorator f-strings) actually
     references by name (shared thresholds like ``_PMI_MIN_COUNT``),
   * ``deps`` — path -> hash of the SYMBOL CLOSURE the query actually
-    uses in every NON-plans open_tlm_spark module (operators/,
-    store/, streaming/, sources/, functions/): starting from
-    function-local imports and module-level import aliases referenced
-    in the body, we chase the referenced top-level functions/classes/
-    constants and, transitively, every module-level symbol THOSE
-    reference (including cross-module imports). The hash covers only
-    the used symbols' source segments, so APPENDING a new operator to
-    a shared file does not stale its existing users — only editing a
-    function on the query's actual call path does. Unresolvable
-    dynamic imports fall back to whole-file hashing (safe
-    over-approximation). plans.* helper modules are excluded — every
-    query defined there carries its own fingerprint,
+    uses in every open_tlm_spark module (operators/, store/,
+    streaming/, sources/, functions/, and — since round 14 — the
+    plans/ helper modules themselves): starting from function-local
+    imports, module-level import aliases referenced in the body, and
+    same-module top-level helpers, we chase the referenced top-level
+    functions/classes/constants and, transitively, every module-level
+    symbol THOSE reference (including cross-module imports). The hash
+    covers only the used symbols' source segments, so APPENDING a new
+    operator to a shared file does not stale its existing users —
+    only editing a function on the query's actual call path does.
+    Unresolvable dynamic imports fall back to whole-file hashing
+    (safe over-approximation).
+
+    The plans/ extension is VERDICT r13 "What's wrong" #1: query
+    builders COMPOSE other query builders and the shared-subtree
+    helpers (plans/shared_subtrees.py), so a round-13-style rewire of
+    `sim_pq_adc_topk` restructures `sim_pq_recall_eval` without
+    touching its own source. Following query-builder -> query-builder
+    and query-builder -> shared-view calls makes that class of miss
+    machine-caught. `plans.registry` (ledger plumbing) and the
+    `plans` package __init__ (imports-only) stay excluded,
   * ``oracle_sha`` — sha256 of the registered DuckDB oracle string
     (``null`` in records seeded from rounds before this ledger
     existed, where the historical oracle text is not recoverable
@@ -69,6 +78,7 @@ _EXCLUDE = {
     "open_tlm_spark.session",
     "open_tlm_spark.schemas",
     "open_tlm_spark.api",
+    "open_tlm_spark.plans",  # package __init__: imports only
     "open_tlm_spark.plans.registry",
 }
 
@@ -183,11 +193,7 @@ def definition_fingerprint(source: str, func_name: str) -> str | None:
 
 
 def _tracked(mod: str) -> bool:
-    return (
-        mod.startswith("open_tlm_spark")
-        and mod not in _EXCLUDE
-        and not mod.startswith("open_tlm_spark.plans")
-    )
+    return mod.startswith("open_tlm_spark") and mod not in _EXCLUDE
 
 
 def _node_refs(
@@ -340,19 +346,28 @@ def symbol_closure(
     return out
 
 
-def direct_deps(source: str, func_name: str) -> set[tuple[str, str | None]]:
-    """(module, symbol) refs the query function makes outside its own
-    module (see module docstring)."""
+def direct_deps(
+    source: str, func_name: str, module: str = ""
+) -> set[tuple[str, str | None]]:
+    """(module, symbol) refs the query function makes: cross-module
+    imports AND — when `module` is given — same-module top-level
+    helpers (oracle builders, composed query builders), so plans-side
+    composition is part of the closure (see module docstring)."""
     tree = ast.parse(source)
     node = _fn_node(tree, func_name)
     if node is None:
         return set()
     table = _import_alias_table(tree)
-    # local_symbols empty: same-module helpers are plans-side and
-    # covered by the fingerprint/constants, not deps
+    local_symbols: set[str] = set()
+    if module:
+        idx = _ModuleIndex(source)
+        # the query's own function is covered by its fingerprint;
+        # module constants it references are too (definition_
+        # fingerprint) but re-hashing them in deps is harmless.
+        local_symbols = set(idx.symbols) - {func_name}
     return {
         (m, s)
-        for m, s in _node_refs(node, table, set(), "")
+        for m, s in _node_refs(node, table, local_symbols, module)
         if _tracked(m)
     }
 
@@ -397,9 +412,9 @@ def compute_record(
     if fp is None:
         return None
     # the defining module's behavior-relevant parts are in the
-    # fingerprint; deps track the used-symbol closure in the
-    # operator-layer modules
-    deps = symbol_closure(direct_deps(src, func_name), read)
+    # fingerprint; deps track the used-symbol closure in the operator
+    # AND plans helper modules (incl. composed query builders)
+    deps = symbol_closure(direct_deps(src, func_name, module), read)
     return {
         "module": module,
         "fingerprint": fp,
