@@ -82,6 +82,7 @@ _SHARED_BUILDERS = [
     "shared_lsh_signatures",
     "shared_bruteforce_lo",
     "shared_bruteforce_hi",
+    "shared_order_baskets",
 ]
 
 

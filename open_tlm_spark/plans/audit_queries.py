@@ -287,11 +287,14 @@ def docs_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     source collapses to a single (ln n, ln V) point; the OLS is one
     DECIMAL-exact moment aggregate over |sources| points (identical
     association in both engines — the discount-elasticity pattern).
-    Two shuffles at any corpus size, both keyed on (source[, gram])."""
-    from open_tlm_spark.operators.text import tokens
+    Two shuffles at any corpus size, both keyed on (source[, gram]).
+    r14 (guide §2.4): the tokenize pass comes from the session-shared
+    tokenized corpus (plans/shared_subtrees) — the k-gram transform
+    runs over the cached token arrays instead of re-tokenizing."""
+    from open_tlm_spark.plans.shared_subtrees import shared_tokens
 
-    docs = fan_out(spark.table("documents"))
-    w = tokens(F.lower(F.col("text")))
+    docs = shared_tokens(spark, sf_dir)
+    w = F.col("w")
     grams = F.when(
         F.size(w) >= _HEAPS_K,
         F.transform(
@@ -998,10 +1001,21 @@ def embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs can never land a 6-dp round on a tie — 5e-7 is not a
     binary rational); squared errors are rounded to 12 dp and
     DECIMAL-summed (order-independent; magnitudes ~1e-5 keep the
-    scaled sum far under 2^53). Plan: one posexplode scan -> 64-group
-    min/max (a FIXED-size frame — broadcast is legitimate) -> one
-    rejoin + moment aggregate. Two scans of the vector column, no
-    shuffle beyond the 64-key aggregates."""
+    scaled sum far under 2^53).
+
+    Plan: one posexplode scan -> 64-group min/max (a FIXED-size frame
+    — broadcast is legitimate) -> one rejoin + moment aggregate. Two
+    scans of the vector column, no shuffle beyond the 64-key
+    aggregates.
+
+    r14 note (guide §1.1 measure first): an array-native rewrite
+    (all 64 dims as one 192-expression single-row aggregate, no
+    posexplode, no join) was built, oracle-verified, and MEASURED
+    4.5x SLOWER (min-of-5 A/B 2.6 s -> 11.7 s at sf0.1): a >100-field
+    aggregate disables whole-stage codegen, so every row paid ~192
+    interpreted expression-tree walks where the exploded form runs
+    compiled operators on narrow rows. Reverted; the exploded
+    64-group shape stays the measured winner."""
     from open_tlm_spark.operators import similarity as S
 
     emb = fan_out(spark.table("embeddings"))

@@ -215,15 +215,14 @@ def orders_association_rules(
     value with the (part_a, part_b) tiebreak, one
     TakeOrderedAndProject."""
     # the basket frame feeds four branches (pairs, both item-count
-    # sides, the total) — materialize it once (lazy local checkpoint,
-    # the established shared-subtree pattern) instead of four basket
-    # shuffles over lineitem
-    arr = (
-        spark.table("lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-        .localCheckpoint(eager=False)
-    )
+    # sides, the total); r14 (guide §2.4): it is the session-shared
+    # order-basket cached view (plans/shared_subtrees) — the same
+    # expression basket_part_pairs starts from, computed once, and
+    # the cached view already serves the four traversals (the old
+    # localCheckpoint materialization is redundant over a cache)
+    from open_tlm_spark.plans.shared_subtrees import shared_order_baskets
+
+    arr = shared_order_baskets(spark, sf_dir)
     nb = arr.agg(F.count(F.lit(1)).cast("long").alias("n"))
     ic = (
         arr.select(F.explode("parts").alias("l_partkey"))

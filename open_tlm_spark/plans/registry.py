@@ -254,6 +254,9 @@ _CHECK_FIRST = [
     "customers_fuzzy_linkage",
     "embedding_label_cohesion",
     "sim_ivf_train",
+    "basket_part_pairs",  # batch 2: shared order-basket view (the
+    # 50th slot; its co-consumer orders_association_rules and the
+    # other batch-2 rewires are already window rows below)
     # 3. r9-era rows deferred from r13 (5 rounds since last green)
     "cap_per_source",
     "events_hash_sample",

@@ -395,6 +395,28 @@ def shared_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_view(spark, "quality_signals", sf_dir, build)
 
 
+def shared_order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, parts) — the sorted distinct-part basket per
+    order, the collect_set aggregate both market-basket queries
+    (basket_part_pairs, orders_association_rules) previously each
+    rebuilt with their own corpus-wide shuffle of lineitem.
+
+    r14 (guide §2.4): one basket shuffle per session instead of two.
+    At 100 TB the basket table is the persisted first stage of any
+    association-mining pipeline (orders are bounded-width, so the
+    artifact is ~|orders| rows — far smaller than lineitem).
+    Result identity: the exact expression both consumers inlined
+    (sort_array(collect_set(l_partkey)) keyed by l_orderkey)."""
+    return shared_view(
+        spark,
+        "order_baskets",
+        sf_dir,
+        lambda: spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts")),
+    )
+
+
 def shared_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document (the dedup_simhash
     result frame; the Hamming refinement joins it against itself)."""

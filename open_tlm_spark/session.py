@@ -191,6 +191,16 @@ def fan_out(df, min_parts: int | None = None):
 
 
 _LOADED: dict[tuple[int, str], dict] = {}
+# session id -> the sf_dir its temp views CURRENTLY point at. The
+# (session, sf_dir) memo alone is not enough: temp views are global
+# per session, so after a session visits sf A then sf B, a later
+# load_tables(A) used to short-circuit on the memo and silently leave
+# every view bound to B — any query (or session-shared view build)
+# run "at A" then computed against B's data. Found in round 14 when
+# the new shared order-basket view was first built by a test that ran
+# after another scale factor had re-bound the views, poisoning the
+# sf0.001 cache key with foreign-sf baskets.
+_ACTIVE: dict[int, str] = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
@@ -205,8 +215,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     conversion.
     """
     key = (id(spark), os.path.normpath(sf_dir))
-    if key in _LOADED:
-        return _LOADED[key]  # views already registered on this session
+    if key in _LOADED and _ACTIVE.get(id(spark)) == key[1]:
+        return _LOADED[key]  # views already registered AND current
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Caller sessions may carry the Spark 4 default (infer NTZ);
     # engine invariant is naive parquet time == UTC instant (LTZ).
@@ -247,4 +257,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
         df.createOrReplaceTempView(name)
         out[name] = df
     _LOADED[key] = out
+    _ACTIVE[id(spark)] = key[1]
     return out

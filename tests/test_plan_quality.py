@@ -18,6 +18,27 @@ def plan_of(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def own_plan_lines(p: str) -> list[str]:
+    """Plan lines excluding cached views' stored lineage: an
+    InMemoryTableScan renders the cached plan (transitively — nested
+    shared views render THEIR lineage too) indented below the
+    `Scan In-memory table` line, and what appears there depends on
+    which consumer first built each view (test-order dependent). A
+    query's OWN cost is only what sits OUTSIDE those blocks."""
+    out: list[str] = []
+    skip_depth: int | None = None
+    for ln in p.splitlines():
+        depth = len(ln) - len(ln.lstrip(" :+-"))
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        out.append(ln)
+        if "Scan In-memory table" in ln:
+            skip_depth = depth
+    return out
+
+
 def test_range_scan_pushdown(spark):
     """S1/P1: both the dataset-id equality and the time-range bounds
     must reach the parquet reader (row-group skipping at scale)."""
@@ -510,11 +531,16 @@ def test_delete_propagation_no_full_shuffle(spark):
 
 def test_basket_pairs_no_self_join(spark):
     """Market basket: pairs come from a narrow in-array expansion
-    over collect_set baskets — exactly two shuffles (basket agg, pair
-    agg), no join operator of any kind, distributed top-k."""
+    over collect_set baskets — r14: the basket aggregate is the
+    session-shared order-basket cached view (its build exchange lives
+    in the view's stored lineage), so the query's OWN subtree has
+    exactly one shuffle (the pair agg), no join operator of any kind,
+    distributed top-k."""
     plan = plan_of(spark, "basket_part_pairs")
     assert "Join" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Scan In-memory table tlm_shared_order_baskets" in plan
+    own = "\n".join(own_plan_lines(plan))
+    assert own.count("Exchange hashpartitioning") <= 1, own
     assert "TakeOrderedAndProject" in plan
 
 
@@ -904,15 +930,18 @@ def test_attribution_join_is_equi_keyed(spark):
 
 def test_association_rules_single_basket_pass(spark):
     """Association rules: the basket aggregate materializes ONCE
-    (lazy checkpoint) and feeds pairs/item-counts/total; ranking is
+    (r14: the session-shared order-basket cached view, also serving
+    basket_part_pairs) and feeds pairs/item-counts/total; ranking is
     distributed top-k, not a global sort."""
     plan = plan_of(spark, "orders_association_rules")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
-    # the lineitem scan appears only inside the (single) checkpoint;
-    # the executed plan reads the materialized basket RDD
-    assert plan.count("Scan parquet") == 0
+    # the lineitem scan lives only inside the shared basket view's
+    # stored lineage; the query's own subtree reads the cache
+    assert "Scan In-memory table tlm_shared_order_baskets" in plan
+    own = "\n".join(own_plan_lines(plan))
+    assert own.count("Scan parquet") == 0, own
 
 
 def test_sax_is_joinless(spark):
@@ -943,26 +972,24 @@ def test_kanonymity_no_global_sort_no_smj(spark):
 
 
 def test_funnel_single_corpus_scan_and_shared_cc_cache(spark):
-    """VERDICT r6 #7: the funnel's docstring claims ONE tokenize pass
-    feeds every gate signal, and (r6 #3) the dedup stage reads the
-    session-shared CC label cache instead of re-running the
-    connected-components subtree. Pin both: exactly one parquet scan
-    of the corpus in the executed plan, the labels arriving via an
-    InMemoryTableScan of the tlm_shared_* cached view, and no
+    """VERDICT r6 #7 updated for r14: the funnel's signal pass now
+    comes from the session-shared quality-signal view (VERDICT r13
+    "Next round" #3), and (r6 #3) the dedup stage reads the shared CC
+    label cache. Pin both: ZERO parquet scans of the corpus in the
+    funnel's OWN subtree (signals + labels both arrive via
+    InMemoryTableScans of tlm_shared_* cached views), and no
     cartesian products."""
     plan = plan_of(spark, "quality_filter_funnel")
 
-    # ONE FileScan reads the text payload (the signal pass). The
-    # cached label view renders its stored lineage inside the plan
-    # string, so count text-reading scans, not scan nodes.
     def text_scans(p: str) -> int:
         return sum(
             1
-            for ln in p.splitlines()
+            for ln in own_plan_lines(p)
             if "FileScan parquet" in ln and ",text#" in ln
         )
 
-    assert text_scans(plan) == 1, plan
+    assert text_scans(plan) == 0, plan
+    assert "Scan In-memory table tlm_shared_quality_signals" in plan
     assert "Scan In-memory table tlm_shared_cc_labels" in plan
     assert "CartesianProduct" not in plan
 

@@ -28,11 +28,24 @@ def _next_job_id(spark) -> int:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # ADVICE r13: the documented `--reps N` form crashed (no '=' to
+    # split on, and the stray N was parsed as a query name). Handle
+    # both `--reps N` and `--reps=N`.
+    argv = sys.argv[1:]
+    args: list[str] = []
     reps = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--reps"):
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--reps":
+            reps = int(argv[i + 1])
+            i += 2
+            continue
+        if a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     names = args[1:] if args and os.path.isdir(args[0]) else args
 
