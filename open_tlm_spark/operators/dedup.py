@@ -479,19 +479,28 @@ def winnow_fingerprints(
     are kept — position-robust dedup keys at a fraction of the
     shingle volume.
 
-    Plan (r14, guide §2.4): the whole per-document selection is
-    ARRAY-NATIVE — grams, packed (hash << POS_BITS | pos) BIGINTs,
-    the W-wide sliding min, and the distinct all happen inside one
-    narrow codegen'd projection, so the operator has ZERO exchanges
-    (the r13 form posexploded the gram stream, shuffled it into a
-    doc-partitioned window for the sliding min, and paid a second
-    corpus-wide exchange for the distinct). Winnowing is a
-    per-document decision: no byte ever needs to cross the network
-    to make it. Hash is 36 bits of the gram's md5 (collisions only
-    merge fingerprints identically in every engine); the hash is
-    recovered by integer shift, not double division (packs above
-    2^53 lose low bits on a double round-trip). Returns (doc_id, fp)
-    distinct rows.
+    Plan: one k-gram transform (narrow) over the (optionally shared)
+    tokenized corpus, one per-doc rows-frame window min on a packed
+    (hash << POS_BITS | pos) BIGINT (doc-partitioned — thousands of
+    small partitions), one distinct. Hash is 36 bits of the gram's
+    md5 (collisions only merge fingerprints identically in every
+    engine); the hash is recovered by integer shift, not double
+    division (packs above 2^53 lose low bits on a double
+    round-trip). Returns (doc_id, fp) distinct rows.
+
+    r14 note (guide §1.1 measure first): a zero-exchange ARRAY-NATIVE
+    form (grams, packs, the W-wide sliding min, and the per-doc
+    distinct all inside one projection of nested higher-order
+    functions) was built, oracle-verified, and MEASURED ~3x SLOWER
+    (interleaved min-of-6 at sf0.1: 2.02 s window form vs 5.96 s
+    array form): transform/array_min/slice chains are
+    CodegenFallback — every row pays an interpreted expression-tree
+    walk over its whole gram array — while posexplode + window + the
+    distinct's exchange all run compiled. "Winnowing is per-document,
+    so no byte needs to cross the network" remains true in principle,
+    but at this row width the compiled shuffle beats the interpreted
+    no-shuffle. Reverted to the window form; the shared-tokens input
+    (the `tok` short-circuit, which IS a measured win) is kept.
 
     `tok`, when given, short-circuits the tokenize with a
     pre-tokenized frame that MUST carry (doc_id, w) with
@@ -519,32 +528,40 @@ def winnow_fingerprints(
             lambda i: F.array_join(F.slice(w, i + 1, WINNOW_K), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # pos must fit in the pack's low POS_BITS; truncate the gram
-    # stream (deterministically, both engines) past 2^20 grams so a
-    # pathologically long doc can't bleed pos bits into the hash.
-    capped = F.slice(grams, 1, 1 << _WINNOW_POS_BITS)
-    packs = F.transform(
-        capped,
-        lambda g, i: F.conv(F.substring(F.md5(g), 1, 9), 16, 10).cast(
-            "long"
+    kg = (
+        base.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+        # pos must fit in the pack's low POS_BITS; truncate the gram
+        # stream (deterministically, both engines) past 2^20 grams so
+        # a pathologically long doc can't bleed pos bits into the hash.
+        .filter(F.col("pos") < (1 << _WINNOW_POS_BITS))
+        .select(
+            "doc_id",
+            "pos",
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 9), 16, 10).cast(
+                    "long"
+                )
+                * (1 << _WINNOW_POS_BITS)
+                + F.col("pos")
+            ).alias("pack"),
         )
-        * (1 << _WINNOW_POS_BITS)
-        + i,
     )
-    # Sliding min over every FULL window of W consecutive packs
-    # (window start 0 .. n_grams - W, as the oracle's
-    # pos <= n_grams - W predicate states).
-    sels = F.when(
-        F.size(packs) >= WINNOW_W,
-        F.transform(
-            F.sequence(F.lit(0), F.size(packs) - WINNOW_W),
-            lambda j: F.array_min(F.slice(packs, j + 1, WINNOW_W)),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    fps = F.array_distinct(
-        F.transform(sels, lambda s: F.shiftright(s, _WINNOW_POS_BITS))
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
     )
-    return base.select("doc_id", F.explode(fps).alias("fp"))
+    n = Window.partitionBy("doc_id")
+    sel = kg.select(
+        "doc_id",
+        "pos",
+        F.min("pack").over(frame).alias("sel"),
+        F.count(F.lit(1)).over(n).alias("n_grams"),
+    ).filter(F.col("pos") <= F.col("n_grams") - WINNOW_W)
+    return sel.select(
+        "doc_id",
+        F.shiftright(F.col("sel"), _WINNOW_POS_BITS).alias("fp"),
+    ).distinct()
 
 
 def winnow_pairs(

@@ -1054,15 +1054,16 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash (set similarity) and substring-span hashing (fixed char
     strides).
 
-    Plan (r14, guide §2.4): the per-document winnow selection is
-    array-native — grams, packed (hash<<20|pos) BIGINTs, sliding
-    min, and per-doc distinct inside ONE narrow projection over the
-    session-shared tokenized corpus (zero exchanges; the r13 form
-    shuffled the exploded gram stream into a doc-partitioned window
-    and paid a second exchange for the distinct) — then the
+    Plan (r14): narrow k-gram transform over the SESSION-SHARED
+    tokenized corpus (guide §2.4 — the one piece of the r14 rewire
+    that measured as a win), one doc-partitioned rows-frame window
+    min on a packed (hash<<20|pos) BIGINT, a distinct, then the
     stop-fingerprint-capped equi-self-join (same linearity
-    discipline as the shingle family). See operators/dedup.py
-    winnow_fingerprints/winnow_pairs."""
+    discipline as the shingle family). An array-native zero-exchange
+    selection was also tried and MEASURED 3x slower (interpreted
+    higher-order functions vs compiled explode/window — numbers in
+    winnow_fingerprints' docstring), so the window form stays. See
+    operators/dedup.py winnow_fingerprints/winnow_pairs."""
     from open_tlm_spark.operators import dedup as D
     from open_tlm_spark.plans.shared_subtrees import shared_tokens
 
