@@ -525,6 +525,24 @@ def kmeans_train_exact(
     stay untouched; assignment flips vs the float form are confined
     to exact 6-dp rounding boundaries of the scored cosine (A/B'd
     row-identical at every gate SF).
+
+    r14 batch 3 (guide §4 — the Python boundary is the DRIVER side
+    too, and §1.1 measure first): query_profile showed this gate's
+    cost was ~75% DataFrame CONSTRUCTION, not execution — the 64
+    per-component decimal-mean Columns were rebuilt from ~7 chained
+    py4j calls each, PER ITERATION, and each iteration's eager
+    checkpoint blocked the driver on a count-style job before the
+    next micro-stage. The mean expression is now parsed once from
+    SQL strings (1 py4j round trip per component) and hoisted out of
+    the Lloyd loop (Columns are immutable and re-resolve per plan),
+    and the checkpoints are lazy (eager=False): localCheckpoint
+    still replaces each iteration's plan with a LogicalRDD (the
+    lineage cut that keeps analysis linear in iters), but the RDD
+    now materializes inside the first job that needs it (the next
+    iteration's broadcast build) instead of in its own blocking
+    action. Identical expression tree, identical results — measured
+    min-of-5 A/B at sf0.1: 4.8 s -> ~1.9 s, rows identical, oracle
+    hash-green.
     """
     e = (
         normed.select("vec_id", "nvec")
@@ -547,9 +565,20 @@ def kmeans_train_exact(
             (F.row_number().over(w_init) - 1).alias("centroid_id"),
             F.col("nvec").alias("cnvec"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
+    # exact decimal component sums -> order-independent mean; same
+    # tree as the chained-Column form (count(1) == F.count(F.lit(1)))
+    mean_vec = F.array(
+        *[
+            F.expr(
+                f"round(cast(sum(cast(element_at(nvec, {i + 1}) as"
+                f" decimal(28,12))) as double) / count(1), 6)"
+            )
+            for i in range(dim)
+        ]
+    )
     for _ in range(iters):
         scored = e.join(F.broadcast(centroids)).select(
             "vec_id",
@@ -568,26 +597,13 @@ def kmeans_train_exact(
                 F.col("best.centroid_id").alias("centroid_id"),
             )
         )
-        # exact decimal component sums -> order-independent mean
-        mean_vec = F.array(
-            *[
-                F.round(
-                    F.sum(
-                        F.element_at("nvec", i + 1).cast("decimal(28,12)")
-                    ).cast("double")
-                    / F.count(F.lit(1)),
-                    6,
-                )
-                for i in range(dim)
-            ]
-        )
         updated = assigned.groupBy("centroid_id").agg(
             mean_vec.alias("mvec"), F.count(F.lit(1)).alias("n_members")
         )
         centroids = (
             normalized(updated, "mvec", out_col="cnvec")
             .select("centroid_id", "cnvec", "n_members")
-            .localCheckpoint(eager=True)  # lineage cut per iteration
+            .localCheckpoint(eager=False)  # lazy lineage cut per iteration
         )
     return centroids
 
